@@ -1,0 +1,60 @@
+"""Benchmark runner: executes the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing = full query wall time including the collect (results are small
+aggregates; row-returning queries are counted, not collected, so the
+measurement is engine time, not driver materialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from garden_net_backend_spark.queries import CATALOG
+from garden_net_backend_spark.session import get_session
+
+# queries that return a large row set → time .count() instead of .collect()
+_COUNT_ONLY_ABOVE = 100_000
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_session("bench")
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # the plan, not first-touch overheads
+    CATALOG["q01_pricing_summary"].spark_fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name, spec in CATALOG.items():
+        t0 = time.time()
+        df = spec.spark_fn(spark, sf_dir)
+        n = df.count()
+        if n <= _COUNT_ONLY_ABOVE:
+            df.collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+All pure ``pyspark.sql.functions`` compositions — per-row, JVM-side, no
+shuffle, no Python UDFs — so they stay inside whole-stage codegen and
+scale linearly with input size. Each has an exact ANSI-SQL equivalent
+(used as the DuckDB oracle in __spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deterministic stopword lists for the language-ID heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que"),
+    "es": ("el", "la", "los", "y", "es", "una", "que"),
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (size of split on ``\\s+`` of trimmed text;
+    empty text → 0)."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of stopword occurrences for one language (word-boundary,
+    case-insensitive — the same ``\\b`` trick the reference's gene search
+    uses, network_generator_lib.R:112)."""
+    pat = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+    return F.regexp_count(F.lower(text), F.lit(pat))
+
+
+def lang_id(text: Column) -> Column:
+    """N-gram/stopword language-ID heuristic: argmax of per-language
+    stopword hits, deterministic tie-break by language code; 'und'
+    (undetermined) when no stopwords hit at all."""
+    pairs = F.array(
+        *[
+            F.struct(
+                stopword_hits(text, lang).alias("hits"), F.lit(lang).alias("lang")
+            )
+            for lang in sorted(LANG_STOPWORDS)
+        ]
+    )
+    # max by (hits, then reverse-alphabetical lang) == argmax with
+    # alphabetical tie-break when we pick array_max on (hits, -lang)…
+    # simpler: sort by hits desc, lang asc and take element 0.
+    best = F.array_sort(
+        pairs,
+        lambda a, b: F.when(a["hits"] > b["hits"], -1)
+        .when(a["hits"] < b["hits"], 1)
+        .when(a["lang"] < b["lang"], -1)
+        .when(a["lang"] > b["lang"], 1)
+        .otherwise(0),
+    ).getItem(0)
+    return F.when(best["hits"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]:
+
+    0.25·len_ok + 0.25·(1 − punct_ratio) + 0.25·alpha_ratio + 0.25·mean_word_len_ok
+
+    - len_ok: 1 if 50 ≤ n_chars ≤ 20000 else 0
+    - punct_ratio: punctuation chars / n_chars
+    - alpha_ratio: [A-Za-z ] chars / n_chars
+    - word_ok: 1 if 3 ≤ mean word length ≤ 12 else 0
+    Rounded to 6 decimals. NULL/empty text → 0.0.
+    """
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}]", ""))
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z ]", ""))
+    ntok = token_count(text)
+    mean_wl = (n - ntok + 1) / ntok  # chars minus separators per token
+    len_ok = F.when((n >= 50) & (n <= 20000), 1.0).otherwise(0.0)
+    word_ok = F.when((mean_wl >= 3) & (mean_wl <= 12), 1.0).otherwise(0.0)
+    score = (
+        0.25 * len_ok
+        + 0.25 * (1.0 - punct.cast("double") / n)
+        + 0.25 * alpha.cast("double") / n
+        + 0.25 * word_ok
+    )
+    return F.when(text.isNull() | (n == 0), F.lit(0.0)).otherwise(F.round(score, 6))
+
+
+def doc_fingerprint(text: Column, mod: int = 2147483647) -> Column:
+    """Deterministic position-weighted document fingerprint:
+
+    ``sum(codepoint(c_i) * ((i mod 64) + 1)) mod 2^31-1`` over the
+    ASCII-printable-filtered text (0-indexed i). Order-sensitive enough
+    to distinguish permutations within 64-char windows, and expressible
+    identically in any SQL engine (the DuckDB oracle uses
+    generate_series + ascii(substr(...))).
+    """
+    clean = F.regexp_replace(text, r"[^\x20-\x7E]", "")
+    terms = F.transform(
+        F.split(clean, ""),
+        lambda c, i: F.ascii(c).cast("long") * ((i % 64) + 1),
+    )
+    total = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return (total % F.lit(mod)).alias("fingerprint")
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """Array of lower-cased character n-gram shingles (distinct), for
+    Jaccard / MinHash dedup. Whitespace is collapsed first so formatting
+    differences don't change the shingle set."""
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.length(norm) - n, F.lit(0))),
+        lambda i: F.substring(norm, i + 1, n),
+    )
+    return F.array_distinct(F.filter(grams, lambda g: F.length(g) == n))
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Array of distinct word n-gram shingles."""
+    toks = F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
+    count = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(count - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.array_distinct(F.when(count >= n, grams).otherwise(F.array()))

@@ -1,0 +1,483 @@
+"""Query catalog: every operator demonstration the driver's correctness
+gate runs (SURVEY.md §2 inventory, re-expressed over the synthetic
+testdata tables), with its DuckDB oracle SQL.
+
+Structure: ``CATALOG[name] = QuerySpec(spark_fn, oracle_sql)``.
+``spark_fn(spark, sf_dir) -> DataFrame``; ``oracle_sql`` is ANSI SQL on
+the pre-registered parquet views (None ⇒ not SQL-expressible; the
+driver records a weaker rows-only check).
+
+Determinism discipline (why the oracle hashes match):
+
+- every floating aggregate uses the exact decimal-sum pattern from
+  ``functions.exact`` — order-independent, identical on any engine;
+- every "first/top" pick has a total-order tie-break key;
+- no timestamps in output columns (formatted to strings) to avoid
+  engine timezone-representation drift.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .functions import exact
+from .functions.exact import oracle_corr, oracle_davg, oracle_dsum
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle_sql: str | None
+    doc: str = ""
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle_sql: str | None, doc: str = ""):
+    def deco(fn):
+        CATALOG[name] = QuerySpec(fn, oracle_sql, doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# =====================================================================
+# Relational core (SURVEY.md §2.1-2.5): scan → filter → join → agg →
+# window → set ops. These are the engine skeleton the PCHiC pipeline
+# (plans/network_build.py) is built from.
+# =====================================================================
+
+
+@register(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {oracle_dsum('l_quantity')} AS sum_qty,
+           {oracle_dsum('l_extendedprice')} AS sum_base_price,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {oracle_davg('l_quantity')} AS avg_qty,
+           {oracle_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Flagship scan→filter→groupBy→agg (TPC-H Q1 shape; SURVEY F1+A4+A5).",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact.dsum(F.col("l_quantity")).alias("sum_qty"),
+            exact.dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            exact.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            exact.davg(F.col("l_quantity")).alias("avg_qty"),
+            exact.davg(F.col("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_threshold_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity > 45.0
+    """,
+    doc="Strict-> threshold filter + projection (SURVEY F1: score > wt_threshold, "
+    "reference network_generator_lib.R:306-308). Pushed to parquet scan.",
+)
+def q02_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") > 45.0).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@register(
+    "q03_disjunctive_filter",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    WHERE l_returnflag = 'R' OR l_linestatus = 'O'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="OR-of-two-columns filter (SURVEY F2: baitChr==c OR oeChr==c, "
+    "reference network_generator_lib.R:315-317).",
+)
+def q03_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_returnflag") == "R") | (F.col("l_linestatus") == "O"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+
+
+@register(
+    "q04_broadcast_dim_join",
+    f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_customers,
+           {oracle_davg('c.c_acctbal')} AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="Fact × two broadcast dims (SURVEY J1/J10; reference alias/ensembl2name "
+    "lookups). Both dims are broadcast — zero shuffle on the fact side until the agg.",
+)
+def q04_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            exact.davg(F.col("c_acctbal")).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "q05_fact_fact_join_agg",
+    f"""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n_lines,
+           {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Large-side equi-join (shuffle/sort-merge at scale; SURVEY J1 at fact "
+    "scale) + exact revenue aggregate.",
+)
+def q05_fact_fact_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            exact.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "q06_semi_join",
+    """
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Left-semi membership join (SURVEY J8: oe ∈ baits edge typing, "
+    "reference network_generator_lib.R:465-473).",
+)
+def q06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .count()
+        .withColumnRenamed("count", "n_customers")
+    )
+
+
+@register(
+    "q07_anti_join",
+    """
+    SELECT p.p_brand AS brand, COUNT(*) AS n_parts
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 40)
+    GROUP BY p.p_brand
+    """,
+    doc="Left-anti set difference (SURVEY J9/U3: oes = nodes − baits, "
+    "reference network_generator.R:262-263).",
+)
+def q07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40)
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+        .groupBy(F.col("p_brand").alias("brand"))
+        .count()
+        .withColumnRenamed("count", "n_parts")
+    )
+
+
+@register(
+    "q08_derived_key_join",
+    f"""
+    WITH l AS (SELECT CAST(l_partkey AS VARCHAR) || '_' || CAST(l_suppkey AS VARCHAR) AS ps_key,
+                      l_quantity FROM lineitem),
+         p AS (SELECT CAST(p_partkey AS VARCHAR) || '_' || CAST(p_partkey % 100 + 1 AS VARCHAR) AS ps_key,
+                      p_retailprice FROM part)
+    SELECT l.ps_key AS ps_key, COUNT(*) AS n, {oracle_dsum('l.l_quantity')} AS sum_qty
+    FROM l JOIN p ON l.ps_key = p.ps_key
+    GROUP BY l.ps_key
+    """,
+    doc="Join on a synthesized composite key (SURVEY J2: fragment_tmp = chr_start, "
+    "reference network_generator_lib.R:372-378).",
+)
+def q08_derived_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.concat_ws(
+            "_", F.col("l_partkey").cast("string"), F.col("l_suppkey").cast("string")
+        ).alias("ps_key"),
+        "l_quantity",
+    )
+    p = _t(spark, sf_dir, "part").select(
+        F.concat_ws(
+            "_",
+            F.col("p_partkey").cast("string"),
+            (F.col("p_partkey") % 100 + 1).cast("string"),
+        ).alias("ps_key")
+    )
+    return (
+        li.join(p, "ps_key")
+        .groupBy("ps_key")
+        .agg(F.count("*").alias("n"), exact.dsum(F.col("l_quantity")).alias("sum_qty"))
+    )
+
+
+@register(
+    "q09_union_distinct_vertices",
+    """
+    SELECT node_type, COUNT(*) AS n_nodes FROM (
+      SELECT DISTINCT 'P' AS node_type, 'p' || CAST(l_partkey AS VARCHAR) AS node_id FROM lineitem
+      UNION
+      SELECT DISTINCT 'O' AS node_type, 's' || CAST(l_suppkey AS VARCHAR) AS node_id FROM lineitem
+    ) GROUP BY node_type
+    """,
+    doc="Vertex derivation: union of endpoint projections + distinct (SURVEY "
+    "U1+A1: bait ∪ oe → nodes, reference network_generator_lib.R:327-334,350).",
+)
+def q09_union_distinct_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    baits = li.select(
+        F.lit("P").alias("node_type"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("node_id"),
+    )
+    oes = li.select(
+        F.lit("O").alias("node_type"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("node_id"),
+    )
+    return (
+        baits.unionByName(oes)
+        .distinct()
+        .groupBy("node_type")
+        .count()
+        .withColumnRenamed("count", "n_nodes")
+    )
+
+
+@register(
+    "q10_string_agg_sorted",
+    """
+    SELECT n.n_name AS nation,
+           string_agg(DISTINCT c.c_mktsegment, ' ' ORDER BY c.c_mktsegment) AS segments
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Group-by + deterministic sorted string-collapse (SURVEY A2: "
+    "annotation collapse, reference network_generator_lib.R:657-665 — R's "
+    "implicit row order replaced by an explicit sort).",
+)
+def q10_string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), " ").alias(
+                "segments"
+            )
+        )
+    )
+
+
+@register(
+    "q11_conditional_counts",
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+           SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+           SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_bulk
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Conditional counts in one pass (SURVEY A4: promoter/other-end/PP/PO "
+    "counts, reference network_generator_lib.R:420-423).",
+)
+def q11_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return li.groupBy("l_returnflag").agg(
+        one(F.col("l_linestatus") == "O").alias("n_open"),
+        one(F.col("l_linestatus") == "F").alias("n_filled"),
+        one(F.col("l_quantity") > 25).alias("n_bulk"),
+    )
+
+
+@register(
+    "q12_top1_per_group",
+    """
+    SELECT c_mktsegment AS segment, c_custkey, c_acctbal FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer) WHERE rn = 1
+    """,
+    doc="Deterministic top-1 per group (SURVEY W1: largest connected component; "
+    "tie-broken by key — R's implicit 'first' pinned explicitly).",
+)
+def q12_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("c_mktsegment").alias("segment"), "c_custkey", "c_acctbal")
+    )
+
+
+@register(
+    "q13_window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    """,
+    doc="Running aggregate over a total-ordered window (decimal-exact so the "
+    "running sum is order-of-evaluation independent).",
+)
+def q13_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(38,8)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@register(
+    "q14_natural_sort_rank",
+    """
+    WITH chrs AS (SELECT DISTINCT CASE WHEN p_size % 7 = 0 THEN 'X'
+                                       WHEN p_size % 11 = 0 THEN 'Y'
+                                       ELSE CAST(p_size AS VARCHAR) END AS chr
+                  FROM part)
+    SELECT chr, ROW_NUMBER() OVER (ORDER BY
+             CASE WHEN regexp_matches(chr, '^[0-9]+$') THEN lpad(chr, 4, '0')
+                  ELSE 'z' || chr END) AS rank
+    FROM chrs
+    """,
+    doc="Numeric-aware (natural) sort 1,2,…,19,X,Y (SURVEY W3: "
+    "str_sort(numeric=T), reference network_generator.R:244); rank makes the "
+    "ordering value-visible for the hash gate.",
+)
+def q14_natural_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.strings import natural_chr_key
+
+    p = _t(spark, sf_dir, "part")
+    chrs = p.select(
+        F.when(F.col("p_size") % 7 == 0, F.lit("X"))
+        .when(F.col("p_size") % 11 == 0, F.lit("Y"))
+        .otherwise(F.col("p_size").cast("string"))
+        .alias("chr")
+    ).distinct()
+    return chrs.select(
+        "chr", F.row_number().over(W.orderBy(natural_chr_key(F.col("chr")))).alias("rank")
+    )
+
+
+@register(
+    "q15_pivot",
+    f"""
+    SELECT l_returnflag,
+           {oracle_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O,
+           {oracle_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Pivot on a categorical (groupBy().pivot(); oracle = conditional agg).",
+)
+def q15_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(exact.dsum(F.col("l_quantity")))
+    )
+
+
+@register(
+    "q16_grouping_sets",
+    f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n, {oracle_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="GROUPING SETS — the Spark-native form of the reference's net/pp/po "
+    "triple-subset aggregation (SURVEY §2.4 note, reference "
+    "network_generator.R:255-266): one pass instead of three.",
+)
+def q16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n,
+               {exact_dsum_sql('l_quantity')} AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def exact_dsum_sql(expr: str) -> str:
+    """Spark-SQL spelling of the exact decimal sum (same as the oracle's)."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,8))) AS DOUBLE)"
