@@ -481,3 +481,214 @@ def q16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def exact_dsum_sql(expr: str) -> str:
     """Spark-SQL spelling of the exact decimal sum (same as the oracle's)."""
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,8))) AS DOUBLE)"
+
+
+# =====================================================================
+# Interval kernel (SURVEY.md §2.3 J4-J7, §2.4 A7/A8) — the engine's
+# custom genomic-range operators, demonstrated on synthesized interval
+# tables derived deterministically from customer/supplier. The Spark
+# side runs the binned kernel (operators/interval.py); the oracle is
+# the plain theta-join the kernel must be equivalent to.
+# =====================================================================
+
+# interval synthesis (same arithmetic in Spark and SQL):
+#   customer: grp = c_nationkey % 5, start = (c_custkey*37) % 100000,
+#             end = start + 40 + (c_custkey % 200) * 3
+#   supplier: grp = s_suppkey % 5,  start = (s_suppkey*911) % 100000,
+#             end = start + 500 + (s_suppkey % 300) * 5
+_CUST_IV_SQL = """
+  SELECT c_custkey AS id, CAST(c_nationkey % 5 AS INT) AS grp,
+         (c_custkey * 37) % 100000 AS start,
+         (c_custkey * 37) % 100000 + 40 + (c_custkey % 200) * 3 AS "end"
+  FROM customer
+"""
+_SUPP_IV_SQL = """
+  SELECT s_suppkey AS id, CAST(s_suppkey % 5 AS INT) AS grp,
+         (s_suppkey * 911) % 100000 AS start,
+         (s_suppkey * 911) % 100000 + 500 + (s_suppkey % 300) * 5 AS "end"
+  FROM supplier
+"""
+
+
+def _cust_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    start = (F.col("c_custkey") * 37) % 100000
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        (F.col("c_nationkey") % 5).cast("int").alias("grp"),
+        start.alias("start"),
+        (start + 40 + (F.col("c_custkey") % 200) * 3).alias("end"),
+    )
+
+
+def _supp_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    start = (F.col("s_suppkey") * 911) % 100000
+    return s.select(
+        F.col("s_suppkey").alias("id"),
+        (F.col("s_suppkey") % 5).cast("int").alias("grp"),
+        start.alias("start"),
+        (start + 500 + (F.col("s_suppkey") % 300) * 5).alias("end"),
+    )
+
+
+@register(
+    "q17_interval_overlap_join",
+    f"""
+    WITH c AS ({_CUST_IV_SQL}), s AS ({_SUPP_IV_SQL})
+    SELECT c.id AS cust_id, s.id AS supp_id,
+           least(c."end", s."end") - greatest(c.start, s.start) + 1 AS overlap_len
+    FROM c JOIN s ON c.grp = s.grp AND c.start <= s."end" AND s.start <= c."end"
+    """,
+    doc="Many-to-many interval overlap join via the binned kernel (SURVEY J4: "
+    "GRanges mergeByOverlaps, reference network_generator_lib.R:645-647). "
+    "Oracle = the naive theta join the kernel is equivalent to.",
+)
+def q17_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.interval import interval_overlap_join
+
+    c = _cust_intervals(spark, sf_dir).withColumnRenamed("id", "cust_id")
+    s = (
+        _supp_intervals(spark, sf_dir)
+        .withColumnRenamed("id", "supp_id")
+        .withColumnRenamed("start", "sstart")
+        .withColumnRenamed("end", "send")
+    )
+    pairs = interval_overlap_join(
+        c, s, on="grp", left_range=("start", "end"), right_range=("sstart", "send"),
+        bin_size=8192,
+    )
+    return pairs.select(
+        "cust_id",
+        "supp_id",
+        (
+            F.least(F.col("end"), F.col("send"))
+            - F.greatest(F.col("start"), F.col("sstart"))
+            + 1
+        ).alias("overlap_len"),
+    )
+
+
+@register(
+    "q18_overlap_flag",
+    f"""
+    WITH c AS ({_CUST_IV_SQL}), s AS ({_SUPP_IV_SQL})
+    SELECT c.id AS cust_id,
+           EXISTS (SELECT 1 FROM s WHERE s.grp = c.grp
+                   AND c.start <= s."end" AND s.start <= c."end") AS hit
+    FROM c
+    """,
+    doc="Existence-only overlap flag (SURVEY J5: intronic_regions boolean, "
+    "reference network_generator_lib.R:853-862).",
+)
+def q18_overlap_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.interval import overlap_flag
+
+    c = _cust_intervals(spark, sf_dir)
+    s = _supp_intervals(spark, sf_dir).drop("id")
+    return overlap_flag(c, s, flag_name="hit", on="grp", bin_size=8192).select(
+        F.col("id").alias("cust_id"), "hit"
+    )
+
+
+@register(
+    "q19_range_query",
+    f"""
+    WITH c AS ({_CUST_IV_SQL})
+    SELECT id, grp, start, "end" FROM c
+    WHERE grp = 2 AND start <= 30500 AND "end" >= 19500
+    """,
+    doc="Single-range overlap query with ±expand (SURVEY J6/Q1: literal "
+    "predicate pushed into the scan — no join; reference "
+    "network_generator_lib.R:163-183).",
+)
+def q19_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.interval import range_query
+
+    c = _cust_intervals(spark, sf_dir)
+    return range_query(c, 2, 20000, 30000, expand=500, on="grp").select(
+        "id", "grp", "start", "end"
+    )
+
+
+@register(
+    "q20_nearest_interval",
+    f"""
+    WITH c AS ({_CUST_IV_SQL}), s AS ({_SUPP_IV_SQL})
+    SELECT s.id AS supp_id,
+           MIN(greatest(s.start - c."end", c.start - s."end", 0)) AS distance
+    FROM s JOIN c ON s.grp = c.grp
+    GROUP BY s.id
+    """,
+    doc="Nearest-range (as-of) join: per query interval the min gap distance "
+    "to any target on the same key (SURVEY J7: GRanges nearest, reference "
+    "network_generator_lib.R:138-153). Engine = union-sort as-of kernel "
+    "(no cartesian); oracle = brute-force min. Distance (not target id) is "
+    "returned so the check is insensitive to equal-distance tie choice; "
+    "tie-break determinism is pinned in tests/test_interval.py.",
+)
+def q20_nearest_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.interval import nearest_interval_join
+
+    s = _supp_intervals(spark, sf_dir).withColumnRenamed("id", "supp_id")
+    c = _cust_intervals(spark, sf_dir).select(
+        "grp",
+        F.col("start").alias("cstart"),
+        F.col("end").alias("cend"),
+        F.col("id").cast("string").alias("cid"),
+    )
+    out = nearest_interval_join(
+        s,
+        c,
+        on="grp",
+        query_range=("start", "end"),
+        target_range=("cstart", "cend"),
+        target_id="cid",
+    )
+    return out.select("supp_id", "distance")
+
+
+@register(
+    "q21_overlap_aggregate",
+    f"""
+    WITH nodes AS ({_CUST_IV_SQL}),
+         feats AS (SELECT s.*, 'f' || CAST(s.id % 3 AS VARCHAR) AS feature,
+                          sp.s_acctbal AS value
+                   FROM ({_SUPP_IV_SQL}) s JOIN supplier sp ON s.id = sp.s_suppkey)
+    SELECT n.id AS cust_id, f.feature,
+           COALESCE({oracle_davg('p.value')}, 0.0) AS value
+    FROM nodes n
+    CROSS JOIN (SELECT DISTINCT feature FROM feats) f
+    LEFT JOIN (SELECT n2.id, fe.feature, fe.value
+               FROM nodes n2 JOIN feats fe
+                 ON n2.grp = fe.grp AND n2.start <= fe."end" AND fe.start <= n2."end") p
+      ON p.id = n.id AND p.feature = f.feature
+    GROUP BY n.id, f.feature
+    """,
+    doc="Overlap aggregation with named-dispatch fn and missing-fill 0 "
+    "(SURVEY A7/A8: chaser::load_features auxfun=mean, missingv=0; reference "
+    "merge_features.R:68). Dense (node × feature) output feeds ChAS/abundance.",
+)
+def q21_overlap_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.interval import overlap_aggregate
+
+    nodes = _cust_intervals(spark, sf_dir).withColumnRenamed("id", "fragment")
+    sup = _t(spark, sf_dir, "supplier")
+    feats = (
+        _supp_intervals(spark, sf_dir)
+        .join(sup, F.col("id") == sup.s_suppkey)
+        .select(
+            "grp",
+            "start",
+            "end",
+            F.concat(F.lit("f"), (F.col("id") % 3).cast("string")).alias("feature"),
+            F.col("s_acctbal").alias("value"),
+        )
+    )
+    out = overlap_aggregate(
+        nodes, feats, agg="mean", missing_value=0.0, on="grp",
+        node_key="fragment",
+        feature_cols=("grp", "start", "end", "feature", "value"),
+        bin_size=8192,
+    )
+    return out.select(F.col("fragment").alias("cust_id"), "feature", "value")
