@@ -1,0 +1,173 @@
+"""ChAS — chromatin assortativity — and the distance-matched edge
+randomization null model (SURVEY.md §2.6 G11/G12).
+
+ChAS(feature) is the Pearson correlation of node feature values across
+edge endpoints, over the **symmetrized** edge list (each undirected
+edge contributes both (u,v) and (v,u) — that makes the correlation the
+classic Newman assortativity of a node attribute; published definition:
+Pancaldi et al., Genome Biology 2016, as implemented by the chaser
+package; reference call sites network_generator_lib.R:535,541).
+
+Implementation: two broadcast-or-shuffle joins of the edge list to the
+long-form feature table + one groupBy(feature) with exact moment sums
+(functions/exact.py) — order-independent, oracle-checkable with a SQL
+corr().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.exact import exact_corr
+from .graph import symmetrize
+
+
+def chas(
+    edges: DataFrame,
+    features: DataFrame,
+    node_key: str = "fragment",
+    feature_col: str = "feature",
+    value_col: str = "value",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-feature assortativity → (feature, chas).
+
+    ``features`` is long-form ``(node_key, feature, value)`` — the dense
+    output of ``overlap_aggregate`` plugs in directly.
+    """
+    sym = symmetrize(edges, src, dst)
+    f_src = features.select(
+        F.col(node_key).alias("src"),
+        F.col(feature_col).alias("feature"),
+        F.col(value_col).alias("x"),
+    )
+    f_dst = features.select(
+        F.col(node_key).alias("dst"),
+        F.col(feature_col).alias("feature"),
+        F.col(value_col).alias("y"),
+    )
+    paired = sym.join(f_src, "src").join(f_dst, ["dst", "feature"])
+    return paired.groupBy("feature").agg(
+        exact_corr(F.col("x"), F.col("y")).alias("chas")
+    )
+
+
+def feature_abundance(
+    features: DataFrame,
+    feature_col: str = "feature",
+    value_col: str = "value",
+    decimals: int = 6,
+) -> DataFrame:
+    """Mean feature value over all nodes (reference merge_features.R
+    'Abundance'; SURVEY A5) → (feature, abundance)."""
+    v = F.col(value_col)
+    return features.groupBy(feature_col).agg(
+        F.round(
+            F.sum(v.cast("decimal(38,8)")).cast("double") / F.count(v), decimals
+        ).alias("abundance")
+    )
+
+
+def feature_mean_degree(
+    features: DataFrame,
+    degrees_df: DataFrame,
+    node_key: str = "fragment",
+    feature_col: str = "feature",
+    value_col: str = "value",
+    decimals: int = 6,
+) -> DataFrame:
+    """Mean degree of feature-positive (value != 0) nodes (reference
+    merge_features.R mean-degree metric; network_generator_lib.R:559-566)
+    → (feature, mean_degree). One pass over the long form."""
+    pos = features.filter(F.col(value_col) != 0)
+    joined = pos.join(
+        degrees_df.select(F.col("node").alias(node_key), "degree"), node_key
+    )
+    d = F.col("degree").cast("double")
+    return joined.groupBy(feature_col).agg(
+        F.round(
+            F.sum(d.cast("decimal(38,8)")).cast("double") / F.count(d), decimals
+        ).alias("mean_degree")
+    )
+
+
+def randomize_edges_distance_matched(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_random: int = 10,
+    seed: int = 42,
+    node_key: str = "fragment",
+    chr_col: str = "chr",
+    start_col: str = "start",
+    src: str = "src",
+    dst: str = "dst",
+    dist_bins_per_decade: int = 4,
+) -> DataFrame:
+    """Distance-matched edge randomization (chaser ``randomize(...,
+    dist.match=TRUE)``; reference network_generator_lib.R:533-556;
+    SURVEY G12): generate ``n_random`` null edge lists preserving each
+    edge's genomic-distance stratum, so random-ChAS intervals are
+    comparable to the observed ChAS.
+
+    Method (distributed, seeded, reproducible):
+      - compute each edge's genomic distance |src.start − dst.start|
+        (interchromosomal → its own stratum), log-bucket it
+        (``dist_bins_per_decade`` buckets per decade);
+      - within each (run, bucket): permute the dst endpoints among the
+        edges of that bucket — sort one side by a seeded deterministic
+        hash ``xxhash64(src, dst, run, seed)`` and pair by
+        ``row_number`` against the original key order on the other.
+        Endpoint degree-in-bucket distribution and the distance
+        histogram are preserved exactly.
+      - n_random runs fan out as a crossJoin with a run-id range —
+        cluster-parallel instead of the reference's serial loop.
+
+    Returns (run, src, dst).
+
+    Determinism: the permutation key is a pure hash of row content +
+    run + seed — independent of partitioning and cluster layout, so
+    results are bit-reproducible anywhere (stronger than ``F.rand``,
+    whose output depends on partition assignment). Goldens should still
+    treat random-ChAS as interval bounds (min/max), as the reference's
+    tests do.
+    """
+    pos = nodes.select(
+        F.col(node_key).alias("_nk"),
+        F.col(chr_col).alias("_chr"),
+        F.col(start_col).alias("_start"),
+    )
+    e = (
+        edges.select(src, dst)
+        .join(pos.withColumnRenamed("_nk", src), src)
+        .withColumnRenamed("_chr", "_schr")
+        .withColumnRenamed("_start", "_sstart")
+        .join(pos.withColumnRenamed("_nk", dst), dst)
+        .withColumnRenamed("_chr", "_dchr")
+        .withColumnRenamed("_start", "_dstart")
+    )
+    dist = F.abs(F.col("_sstart") - F.col("_dstart"))
+    bucket = F.when(F.col("_schr") != F.col("_dchr"), F.lit(-1)).otherwise(
+        F.floor(F.log10(F.greatest(dist, F.lit(1))) * dist_bins_per_decade)
+    )
+    e = e.select(src, dst, bucket.alias("_bucket"))
+    runs = e.sparkSession.range(n_random).withColumnRenamed("id", "run")
+    fan = e.crossJoin(F.broadcast(runs))
+
+    # within (run, bucket): pair i-th src (by stable key order) with
+    # i-th dst (by seeded random order)
+    from pyspark.sql import Window as W
+
+    w_src = W.partitionBy("run", "_bucket").orderBy(src, dst)
+    w_dst = W.partitionBy("run", "_bucket").orderBy("_r")
+    left = fan.select(
+        "run", "_bucket", src, F.row_number().over(w_src).alias("_i")
+    )
+    right = (
+        fan.withColumn(
+            "_r", F.xxhash64(F.col(src), F.col(dst), F.col("run"), F.lit(seed))
+        )
+        .select("run", "_bucket", dst, F.row_number().over(w_dst).alias("_i"))
+    )
+    return left.join(right, ["run", "_bucket", "_i"]).select("run", src, dst)

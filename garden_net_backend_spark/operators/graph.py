@@ -1,0 +1,380 @@
+"""Graph operators on plain node/edge DataFrames (SURVEY.md §2.6).
+
+The reference builds an igraph object (network_generator.R:143-148) and
+calls degree/components/diameter/transitivity/ego on it. Here the graph
+IS the pair of DataFrames — every operator is a join/aggregation plan,
+so it distributes, and Catalyst sees through it.
+
+Undirected convention: edges are stored canonicalized
+``src <= dst`` (``canonicalize_edges``); neighbor expansion symmetrizes
+on the fly. Self-loops are removed and parallel edges collapsed by
+``simplify`` with an explicit deterministic "first" (the reference
+relies on R row order — network_generator.R:148; Spark has no implicit
+order, so the caller supplies tie-break columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def canonicalize_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected canonical form: (least, greatest) endpoint order
+    (SURVEY G1)."""
+    lo, hi = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    return edges.withColumns({src: lo, dst: hi})
+
+
+def simplify(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """Drop self-loops; collapse parallel (undirected) edges keeping the
+    first row per canonical pair (igraph ``simplify``; reference
+    network_generator.R:146-148). "First" is pinned by ``order_by``
+    (deterministic); with no ``order_by``, rows are collapsed by
+    ``dropDuplicates`` over ALL columns (safe only when parallel edges
+    carry identical attributes).
+    """
+    e = canonicalize_edges(edges, src, dst).filter(F.col(src) != F.col(dst))
+    if order_by:
+        w = W.partitionBy(src, dst).orderBy(*order_by)
+        return (
+            e.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return e.dropDuplicates([src, dst])
+
+
+def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Both directions of every undirected edge (for neighbor scans)."""
+    return edges.select(src, dst).union(
+        edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
+    )
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node degree from simplified undirected edges → (node, degree)
+    (SURVEY A3/G8; reference degree(net), network_generator.R:151).
+    One union + one agg; partial (map-side) aggregation applies."""
+    return (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+
+
+def neighbors(edges: DataFrame, seeds: DataFrame, node_col: str = "node") -> DataFrame:
+    """Distinct neighbors of the seed set (SURVEY G9)."""
+    sym = symmetrize(edges)
+    return (
+        sym.join(F.broadcast(seeds.select(F.col(node_col).alias("src"))), "src", "left_semi")
+        .select(F.col("dst").alias(node_col))
+        .distinct()
+    )
+
+
+def ego_nodes(edges: DataFrame, seeds: DataFrame, node_col: str = "node") -> DataFrame:
+    """Seed set ∪ 1-hop neighbors (SURVEY G3: make_ego_graph node set;
+    reference network_generator_lib.R:86,122). Multi-seed union is
+    inherent — the DataFrame form needs no per-seed graphs + merge
+    (reference merge_networks, network_generator_lib.R:586-630)."""
+    return (
+        seeds.select(node_col)
+        .union(neighbors(edges, seeds, node_col))
+        .distinct()
+    )
+
+
+def induced_subgraph(
+    edges: DataFrame, nodeset: DataFrame, node_col: str = "node",
+    src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """Edges with BOTH endpoints in the node set (SURVEY G4; reference
+    induced_subgraph, network_generator_lib.R:195). Two semi-joins —
+    broadcast when the node set is small (ego queries), shuffle
+    otherwise."""
+    ns_src = nodeset.select(F.col(node_col).alias(src))
+    ns_dst = nodeset.select(F.col(node_col).alias(dst))
+    return edges.join(ns_src, src, "left_semi").join(ns_dst, dst, "left_semi")
+
+
+def ego_graph(
+    edges: DataFrame, seeds: DataFrame, node_col: str = "node"
+) -> tuple[DataFrame, DataFrame]:
+    """(nodes, edges) of the 1-hop ego graph around the seed set."""
+    ns = ego_nodes(edges, seeds, node_col)
+    return ns, induced_subgraph(edges, ns, node_col)
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation →
+    (node, component) where component = min node id in the component
+    (SURVEY G5; reference components(net), network_generator_lib.R:415-417).
+
+    Each round every node takes the min label over itself and its
+    neighbors; converges in O(diameter) rounds. ``localCheckpoint``
+    truncates lineage per round (join loops otherwise stack plans).
+    GraphFrames would do the same with large-star/small-star; PCHiC
+    graphs have small diameters (fragment chains), so plain propagation
+    is the right cost.
+    """
+    sym = symmetrize(edges, src, dst).localCheckpoint(eager=True)
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("component")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym[dst] == labels["node"])
+            .select(sym[src].alias("node"), F.col("component"))
+            .groupBy("node")
+            .agg(F.min("component").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "_old"), "node")
+            .filter(F.col("component") != F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def component_sizes(components: DataFrame) -> DataFrame:
+    return components.groupBy("component").agg(F.count("*").alias("size"))
+
+
+def bfs_distances(
+    edges: DataFrame, sources: DataFrame, node_col: str = "node", max_depth: int = 10_000
+) -> DataFrame:
+    """Unweighted BFS distances from a (small) source set → (node, dist).
+    Frontier-expansion joins; each round one shuffle."""
+    sym = symmetrize(edges).localCheckpoint(eager=True)
+    visited = sources.select(F.col(node_col).alias("node"), F.lit(0).alias("dist"))
+    visited = visited.localCheckpoint(eager=True)
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            sym.join(frontier, sym["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(depth))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def diameter(
+    nodes: DataFrame, edges: DataFrame, node_col: str = "node", exact_limit: int = 2000
+) -> int:
+    """Graph diameter — longest shortest path over the whole graph
+    (igraph semantics: max over components; reference diameter(net),
+    network_generator_lib.R:418; SURVEY G6).
+
+    ≤ ``exact_limit`` nodes → exact (BFS from every node, batched as a
+    multi-source product — fine for interactive subnetworks). Larger →
+    double-sweep BFS lower bound per component (exact on trees, tight
+    in practice; documented approximation — exact all-pairs at 100 TB
+    is infeasible).
+    """
+    n = nodes.count()
+    if n == 0:
+        return 0
+    if n <= exact_limit:
+        # exact: APSP by joining BFS layers from all sources at once
+        sym = symmetrize(edges).localCheckpoint(eager=True)
+        dist = nodes.select(
+            F.col(node_col).alias("s"), F.col(node_col).alias("node"), F.lit(0).alias("dist")
+        ).localCheckpoint(eager=True)
+        frontier = dist
+        best = 0
+        for depth in range(1, n):
+            nxt = (
+                sym.join(frontier, sym["src"] == frontier["node"])
+                .select("s", F.col("dst").alias("node"))
+                .distinct()
+                .join(dist, ["s", "node"], "left_anti")
+                .withColumn("dist", F.lit(depth))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            dist = dist.union(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+            best = depth
+        return best
+    # double sweep from the max-degree node of each component
+    comps = connected_components(nodes, edges, node_col)
+    degs = degrees(edges)
+    start = (
+        comps.join(degs, "node", "left")
+        .fillna(0, subset=["degree"])
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("component").orderBy(F.desc("degree"), F.asc("node"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("node")
+    )
+    d1 = bfs_distances(edges, start, "node")
+    far = d1.orderBy(F.desc("dist"), F.asc("node")).limit(1).select("node")
+    d2 = bfs_distances(edges, far, "node")
+    row = d2.agg(F.max("dist").alias("m")).collect()[0]
+    return int(row["m"] or 0)
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> int:
+    """Global triangle count via 3-way self-join of canonical (a<b)
+    edges (SURVEY G7). Each triangle a<b<c matches exactly once."""
+    e = (
+        canonicalize_edges(edges.select(src, dst), src, dst)
+        .filter(F.col(src) != F.col(dst))
+        .dropDuplicates([src, dst])
+    )
+    e1 = e.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e2 = e.select(F.col(src).alias("b"), F.col(dst).alias("c"))
+    e3 = e.select(F.col(src).alias("a"), F.col(dst).alias("c"))
+    return e1.join(e2, "b").join(e3, ["a", "c"], "left_semi").count()
+
+
+def transitivity(edges: DataFrame, src: str = "src", dst: str = "dst") -> float:
+    """Global clustering coefficient = 3·triangles / #connected-triples
+    (igraph ``transitivity(type="global")``; reference
+    network_generator_lib.R:436). Triples from degrees: Σ d(d−1)/2."""
+    tri = triangle_count(edges, src, dst)
+    e = (
+        canonicalize_edges(edges.select(src, dst), src, dst)
+        .filter(F.col(src) != F.col(dst))
+        .dropDuplicates([src, dst])
+    )
+    row = (
+        degrees(e, src, dst)
+        .agg(F.sum(F.col("degree") * (F.col("degree") - 1) / 2).alias("triples"))
+        .collect()[0]
+    )
+    triples = float(row["triples"] or 0.0)
+    return float("nan") if triples == 0 else 3.0 * tri / triples
+
+
+def interchromosomal_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst", sep: str = "_"
+) -> int:
+    """Edges whose endpoint fragment ids live on different chromosomes
+    (fragment id = ``{chr}_{start}_{end}``; reference
+    network_generator_lib.R:426-435; SURVEY G10)."""
+    return edges.filter(
+        F.split(F.col(src), sep).getItem(0) != F.split(F.col(dst), sep).getItem(0)
+    ).count()
+
+
+def subset_edges_by_nodesets(
+    edges: DataFrame,
+    nodes1: DataFrame,
+    nodes2: DataFrame | None = None,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """chaser ``subset_chromnet`` (SURVEY G13; reference
+    network_generator.R:258-265): with only ``nodes1`` → induced
+    subgraph on nodes1 (PP net); with both → edges with one endpoint in
+    each set (PO net)."""
+    if nodes2 is None:
+        return induced_subgraph(edges, nodes1, node_col, src, dst)
+    n1 = nodes1.select(F.col(node_col).alias("_n1"))
+    n2 = nodes2.select(F.col(node_col).alias("_n2"))
+    e = edges
+    fwd = (
+        e.join(n1, e[src] == n1["_n1"], "left_semi")
+        .join(n2, e[dst] == n2["_n2"], "left_semi")
+    )
+    bwd = (
+        e.join(n2, e[src] == n2["_n2"], "left_semi")
+        .join(n1, e[dst] == n1["_n1"], "left_semi")
+    )
+    return fwd.union(bwd).dropDuplicates([src, dst])
+
+
+def graph_metadata(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "fragment",
+    type_col: str = "type",
+    edge_type_col: str = "type",
+) -> dict:
+    """The reference's per-network metadata bundle (SURVEY G14; reference
+    generate_metadata, network_generator_lib.R:411-459): counts, degree
+    average, component stats, diameter, clustering coefficient.
+
+    Returns a plain dict (this is a small driver-side artifact — the
+    inputs are aggregated, never collected row-wise).
+    """
+    e = edges.select(F.col("src"), F.col("dst"), F.col(edge_type_col).alias("etype"))
+    node_stats = nodes.agg(
+        F.count("*").alias("nodes"),
+        F.sum(F.when(F.col(type_col) == "P", 1).otherwise(0)).alias("promoters"),
+        F.sum(F.when(F.col(type_col) == "O", 1).otherwise(0)).alias("other_ends"),
+    ).collect()[0]
+    edge_stats = e.agg(
+        F.count("*").alias("edges"),
+        F.sum(F.when(F.col("etype") == "P-P", 1).otherwise(0)).alias("pp_edges"),
+        F.sum(F.when(F.col("etype") == "P-O", 1).otherwise(0)).alias("po_edges"),
+    ).collect()[0]
+    deg_avg = (
+        degrees(e).agg(F.round(F.avg("degree"), 2).alias("d")).collect()[0]["d"]
+    )
+    comps = connected_components(
+        nodes.select(F.col(node_col).alias("node")), e
+    )
+    sizes = component_sizes(comps)
+    comp_row = sizes.agg(
+        F.count("*").alias("n_components"), F.max("size").alias("largest")
+    ).collect()[0]
+    n_nodes = node_stats["nodes"]
+    pct_largest = (
+        round(100.0 * comp_row["largest"] / n_nodes, 2) if n_nodes else 0.0
+    )
+    return {
+        "nodes": n_nodes,
+        "promoters": node_stats["promoters"],
+        "other_ends": node_stats["other_ends"],
+        "edges": edge_stats["edges"],
+        "pp_edges": edge_stats["pp_edges"],
+        "po_edges": edge_stats["po_edges"],
+        "degree_avg": float(deg_avg) if deg_avg is not None else 0.0,
+        "connected_components": comp_row["n_components"],
+        "pct_nodes_in_largest_component": f"{pct_largest}%",
+        "interchromosomal_edges": interchromosomal_count(e),
+        "diameter": diameter(nodes.select(F.col(node_col).alias("node")), e),
+        "clustering_coefficient": transitivity(e),
+    }

@@ -692,3 +692,215 @@ def q21_overlap_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_size=8192,
     )
     return out.select(F.col("fragment").alias("cust_id"), "feature", "value")
+
+
+# =====================================================================
+# Graph operators (SURVEY.md §2.6) on a deterministic graph derived
+# from lineitem: node ids are l_orderkey%997 / l_partkey%997, edges are
+# the canonicalized distinct pairs with quantity > 49 (sparse enough
+# that the DuckDB recursive-CTE oracles stay cheap at sf0.01).
+# =====================================================================
+
+_GRAPH_EDGES_SQL = """
+  SELECT DISTINCT least(l_orderkey % 997, l_partkey % 997) AS src,
+                  greatest(l_orderkey % 997, l_partkey % 997) AS dst
+  FROM lineitem
+  WHERE l_quantity > 49 AND (l_orderkey % 997) <> (l_partkey % 997)
+"""
+
+
+def _graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import simplify
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+    raw = li.select(
+        (F.col("l_orderkey") % 997).alias("src"),
+        (F.col("l_partkey") % 997).alias("dst"),
+    )
+    return simplify(raw)
+
+
+@register(
+    "q22_graph_simplify",
+    f"WITH e AS ({_GRAPH_EDGES_SQL}) SELECT src, dst FROM e",
+    doc="Undirected canonicalization + self-loop removal + parallel-edge "
+    "collapse (SURVEY G1/G2: igraph simplify, reference "
+    "network_generator.R:146-148).",
+)
+def q22_graph_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _graph_edges(spark, sf_dir)
+
+
+@register(
+    "q23_degrees",
+    f"""
+    WITH e AS ({_GRAPH_EDGES_SQL})
+    SELECT node, COUNT(*) AS degree FROM (
+      SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+    ) GROUP BY node
+    """,
+    doc="Per-node degree (SURVEY A3/G8: degree(net), reference "
+    "network_generator.R:151) — union of endpoints + count, map-side "
+    "partial agg.",
+)
+def q23_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import degrees
+
+    return degrees(_graph_edges(spark, sf_dir))
+
+
+@register(
+    "q24_ego_graph",
+    f"""
+    WITH e AS ({_GRAPH_EDGES_SQL}),
+         seeds(node) AS (VALUES (1), (2), (3)),
+         hood AS (SELECT node FROM seeds
+                  UNION SELECT e.dst FROM e JOIN seeds s ON e.src = s.node
+                  UNION SELECT e.src FROM e JOIN seeds s ON e.dst = s.node)
+    SELECT e.src, e.dst FROM e
+    WHERE e.src IN (SELECT node FROM hood) AND e.dst IN (SELECT node FROM hood)
+    """,
+    doc="Multi-seed 1-hop ego graph = neighborhood ∪ seeds, induced edges "
+    "(SURVEY G3/G4: make_ego_graph + induced_subgraph, reference "
+    "network_generator_lib.R:86-129,195). DataFrame form makes the "
+    "reference's per-seed graph merge (U2) a non-op.",
+)
+def q24_ego_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import ego_graph
+
+    edges = _graph_edges(spark, sf_dir)
+    seeds = spark.range(1, 4).select(F.col("id").alias("node"))
+    _, sub_edges = ego_graph(edges, seeds)
+    return sub_edges.select("src", "dst")
+
+
+@register(
+    "q25_connected_components",
+    f"""
+    WITH RECURSIVE e AS ({_GRAPH_EDGES_SQL}),
+      sym AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+      nodes AS (SELECT DISTINCT a AS node FROM sym),
+      reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+      )
+    SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    """,
+    doc="Connected components by iterative min-label propagation with "
+    "lineage checkpointing (SURVEY G5: components(net), reference "
+    "network_generator_lib.R:415-417). Oracle = recursive-CTE transitive "
+    "closure — checkable exactly, not rows-only.",
+)
+def q25_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import connected_components
+
+    edges = _graph_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    return connected_components(nodes, edges)
+
+
+@register(
+    "q26_transitivity",
+    f"""
+    WITH e AS ({_GRAPH_EDGES_SQL}),
+      tri AS (SELECT COUNT(*) AS triangles
+              FROM e e1 JOIN e e2 ON e1.dst = e2.src
+                        JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      deg AS (SELECT node, COUNT(*) AS degree FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst FROM e) GROUP BY node),
+      tpl AS (SELECT CAST(SUM(degree * (degree - 1) / 2) AS DOUBLE) AS triples FROM deg)
+    SELECT triangles, triples,
+           3.0 * triangles / triples AS transitivity
+    FROM tri, tpl
+    """,
+    doc="Global clustering coefficient: triangles via 3-way self-join of "
+    "canonical a<b edges + triples from degrees (SURVEY G7: "
+    "transitivity(net), reference network_generator_lib.R:436).",
+)
+def q26_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _graph_edges(spark, sf_dir)
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"], "left_semi")
+        .agg(F.count("*").alias("triangles"))
+    )
+    from .operators.graph import degrees
+
+    tpl = degrees(edges).agg(
+        F.sum(F.col("degree") * (F.col("degree") - 1) / 2)
+        .cast("double")
+        .alias("triples")
+    )
+    return tri.crossJoin(tpl).select(
+        "triangles",
+        "triples",
+        (3.0 * F.col("triangles") / F.col("triples")).alias("transitivity"),
+    )
+
+
+@register(
+    "q27_bfs_distances",
+    f"""
+    WITH RECURSIVE e AS ({_GRAPH_EDGES_SQL}),
+      sym AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+      walk(node, d) AS (
+        SELECT CAST(1 AS BIGINT), 0
+        UNION
+        SELECT sym.b, walk.d + 1 FROM walk JOIN sym ON walk.node = sym.a
+        WHERE walk.d < 40
+      )
+    SELECT node, MIN(d) AS dist FROM walk GROUP BY node
+    """,
+    doc="Single-source BFS distances by distributed frontier expansion "
+    "(SURVEY G6 building block: diameter/shortest paths). Oracle = bounded "
+    "recursive walk + MIN.",
+)
+def q27_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import bfs_distances
+
+    edges = _graph_edges(spark, sf_dir)
+    seeds = spark.createDataFrame([(1,)], "node long")
+    return bfs_distances(edges, seeds).select("node", F.col("dist").cast("int").alias("dist"))
+
+
+@register(
+    "q28_assortativity_chas",
+    f"""
+    WITH e AS ({_GRAPH_EDGES_SQL}),
+      pairs AS (
+        SELECT CAST((src * 37) % 101 AS DOUBLE) AS x,
+               CAST((dst * 37) % 101 AS DOUBLE) AS y FROM e
+        UNION ALL
+        SELECT CAST((dst * 37) % 101 AS DOUBLE), CAST((src * 37) % 101 AS DOUBLE) FROM e
+      )
+    SELECT 'f1' AS feature, {oracle_corr('x', 'y')} AS chas
+    FROM pairs
+    """,
+    doc="ChAS: per-feature Pearson assortativity of node values across "
+    "symmetrized edge endpoints (SURVEY G11: chaser::chas, Pancaldi et al. "
+    "Genome Biol 2016; reference network_generator_lib.R:535,541) — exact "
+    "moment sums so the corr is order-independent.",
+)
+def q28_assortativity_chas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.chas import chas
+
+    edges = _graph_edges(spark, sf_dir)
+    feats = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+        .select(
+            F.col("node").alias("fragment"),
+            F.lit("f1").alias("feature"),
+            ((F.col("node") * 37) % 101).cast("double").alias("value"),
+        )
+    )
+    return chas(edges, feats)

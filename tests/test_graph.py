@@ -1,0 +1,198 @@
+"""Graph operator tests vs pure-Python brute force on a seeded random
+graph (no igraph/networkx dependency — brute force is ~30 lines)."""
+
+import random
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from garden_net_backend_spark.operators import graph as G
+
+random.seed(13)
+
+N_NODES = 120
+NODES = [f"n{i:03d}" for i in range(N_NODES)]
+# random graph + guaranteed chain so components/diameter are nontrivial,
+# plus self-loops and duplicate edges to exercise simplify
+RAW_EDGES = [(random.choice(NODES), random.choice(NODES)) for _ in range(220)]
+RAW_EDGES += [(NODES[i], NODES[i + 1]) for i in range(0, 30)]
+RAW_EDGES += [(e[1], e[0]) for e in RAW_EDGES[:40]]  # reversed dups
+
+
+def _simple_edges():
+    seen = set()
+    for a, b in RAW_EDGES:
+        if a == b:
+            continue
+        k = (min(a, b), max(a, b))
+        seen.add(k)
+    return seen
+
+
+EDGES = _simple_edges()
+ADJ = defaultdict(set)
+for a, b in EDGES:
+    ADJ[a].add(b)
+    ADJ[b].add(a)
+
+
+def _bfs(start):
+    dist = {start: 0}
+    frontier = [start]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in ADJ[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+@pytest.fixture(scope="module")
+def gdfs(spark):
+    nodes = spark.createDataFrame([(n,) for n in NODES], "node string")
+    raw = spark.createDataFrame(RAW_EDGES, "src string, dst string")
+    edges = G.simplify(raw)
+    return nodes, raw, edges
+
+
+def test_simplify(gdfs):
+    _, _, edges = gdfs
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert got == EDGES
+
+
+def test_simplify_first_semantics(spark):
+    raw = spark.createDataFrame(
+        [("b", "a", "t1", 1), ("a", "b", "t2", 2), ("a", "a", "t0", 9)],
+        "src string, dst string, tag string, ord int",
+    )
+    out = G.simplify(raw, order_by=["ord"]).collect()
+    assert len(out) == 1 and out[0]["tag"] == "t1"  # first by ord, loop dropped
+
+
+def test_degrees(gdfs):
+    _, _, edges = gdfs
+    got = {r["node"]: r["degree"] for r in G.degrees(edges).collect()}
+    want = {n: len(ADJ[n]) for n in NODES if ADJ[n]}
+    assert got == want
+
+
+def test_ego_graph(gdfs, spark):
+    _, _, edges = gdfs
+    seeds = ["n000", "n007"]
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node string")
+    ns, es = G.ego_graph(edges, sdf)
+    got_nodes = {r["node"] for r in ns.collect()}
+    want_nodes = set(seeds) | set().union(*(ADJ[s] for s in seeds))
+    assert got_nodes == want_nodes
+    got_edges = {(r["src"], r["dst"]) for r in es.collect()}
+    want_edges = {
+        (a, b) for a, b in EDGES if a in want_nodes and b in want_nodes
+    }
+    assert got_edges == want_edges
+
+
+def test_connected_components(gdfs, spark):
+    nodes, _, edges = gdfs
+    comp = {r["node"]: r["component"] for r in G.connected_components(nodes, edges).collect()}
+    # brute force
+    want = {}
+    for n in NODES:
+        if n in want:
+            continue
+        members = set(_bfs(n))
+        label = min(members)
+        for m in members:
+            want[m] = label
+    assert comp == want
+
+
+def test_diameter_exact(gdfs):
+    nodes, _, edges = gdfs
+    want = max(max(_bfs(n).values()) for n in NODES)
+    assert G.diameter(nodes, edges) == want
+
+
+def test_triangles_and_transitivity(gdfs):
+    _, _, edges = gdfs
+    tri = 0
+    for a, b in EDGES:
+        tri += len(ADJ[a] & ADJ[b])
+    tri //= 3
+    assert G.triangle_count(edges) == tri
+    triples = sum(len(ADJ[n]) * (len(ADJ[n]) - 1) / 2 for n in NODES)
+    assert abs(G.transitivity(edges) - 3 * tri / triples) < 1e-12
+
+
+def test_subset_edges_pp_po(gdfs, spark):
+    _, _, edges = gdfs
+    set1 = set(NODES[:40])
+    set2 = set(NODES[40:])
+    n1 = spark.createDataFrame([(n,) for n in set1], "node string")
+    n2 = spark.createDataFrame([(n,) for n in set2], "node string")
+    pp = {(r["src"], r["dst"]) for r in G.subset_edges_by_nodesets(edges, n1).collect()}
+    assert pp == {(a, b) for a, b in EDGES if a in set1 and b in set1}
+    po = {(r["src"], r["dst"]) for r in G.subset_edges_by_nodesets(edges, n1, n2).collect()}
+    assert po == {
+        (a, b)
+        for a, b in EDGES
+        if (a in set1 and b in set2) or (a in set2 and b in set1)
+    }
+
+
+def test_interchromosomal_count(spark):
+    edges = spark.createDataFrame(
+        [("1_5_9", "1_20_30"), ("1_5_9", "2_1_4"), ("X_1_2", "Y_1_2")],
+        "src string, dst string",
+    )
+    assert G.interchromosomal_count(edges) == 2
+
+
+def test_chas_and_randomization(spark):
+    from garden_net_backend_spark.operators.chas import (
+        chas,
+        randomize_edges_distance_matched,
+    )
+
+    # small graph with a known-assortative feature
+    nodes = [(f"1_{i*100}_{i*100+50}", "1", i * 100, i * 100 + 50) for i in range(10)]
+    ndf = spark.createDataFrame(nodes, "fragment string, chr string, start long, end long")
+    edges = [(nodes[i][0], nodes[i + 1][0]) for i in range(9)]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    feats = spark.createDataFrame(
+        [(n[0], "f", float(i)) for i, n in enumerate(nodes)],
+        "fragment string, feature string, value double",
+    )
+    got = chas(edf, feats).collect()[0]
+    # brute force: corr over symmetrized endpoint pairs
+    import statistics
+
+    xs = [float(i) for i in range(9)] + [float(i + 1) for i in range(9)]
+    ys = [float(i + 1) for i in range(9)] + [float(i) for i in range(9)]
+    mx, my = statistics.mean(xs), statistics.mean(ys)
+    num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    den = (
+        sum((x - mx) ** 2 for x in xs) ** 0.5 * sum((y - my) ** 2 for y in ys) ** 0.5
+    )
+    assert abs(got["chas"] - num / den) < 1e-9
+
+    rand = randomize_edges_distance_matched(edf, ndf, n_random=3, seed=1)
+    rows = rand.collect()
+    assert {r["run"] for r in rows} == {0, 1, 2}
+    # per run: same edge count, same src multiset (dst permuted within buckets)
+    per_run = defaultdict(list)
+    for r in rows:
+        per_run[r["run"]].append((r["src"], r["dst"]))
+    for run, es in per_run.items():
+        assert len(es) == len(edges)
+        assert sorted(s for s, _ in es) == sorted(s for s, _ in edges)
+    # reproducible: same seed → same output
+    rand2 = randomize_edges_distance_matched(edf, ndf, n_random=3, seed=1)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rand2.collect()))
+    # different runs differ (with 9 edges the chance of identical
+    # permutations across all 3 runs is negligible)
+    assert len({tuple(sorted(es)) for es in per_run.values()}) > 1
