@@ -110,7 +110,7 @@ def char_ngrams(text: Column, n: int = 5) -> Column:
     """Array of lower-cased character n-gram shingles (distinct), for
     Jaccard / MinHash dedup. Whitespace is collapsed first so formatting
     differences don't change the shingle set."""
-    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.length(norm) - n, F.lit(0))),
         lambda i: F.substring(norm, i + 1, n),

@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two paths, same answer shape:
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Query side is broadcast; the corpus scan is embarrassingly parallel;
+  per-query top-k via window row_number. O(|Q|·|C|) — right when |Q| is
+  small or as the verifier for the ANN path.
+- ``lsh_cosine_topk``: random-hyperplane LSH — the 100 TB path.
+  Deterministic integer pseudo-hyperplanes (no RNG state), sign-bit
+  bucket per band, candidates = bucket collisions in any band, exact
+  re-rank of candidates only. Recall < 1 by construction (documented);
+  cost is linear in corpus + candidates.
+
+Dot products use exact decimal accumulation (functions/exact.py
+rationale) so scores are bit-stable across partitionings and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dot_exact(a: Column, b: Column) -> Column:
+    """Order-independent exact dot product of two float arrays → double.
+
+    Accumulator is decimal(32,12): each add widens to (33,12) and the
+    cast back is lossless (magnitudes here are ≪ 1e20), so the fold is
+    exact and equals any engine's exact decimal SUM."""
+    prods = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast("decimal(32,12)")
+    )
+    return F.aggregate(
+        prods,
+        F.lit(0).cast("decimal(32,12)"),
+        lambda acc, x: (acc + x).cast("decimal(32,12)"),
+        lambda acc: acc.cast("double"),
+    )
+
+
+def _norm_exact(a: Column) -> Column:
+    return F.sqrt(_dot_exact(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot_exact(a, b) / (_norm_exact(a) * _norm_exact(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per query → (query_id, vec_id, cosine,
+    rank). Ties broken by vec_id asc (total order ⇒ deterministic).
+    Self-matches (same id) are NOT excluded — filter upstream if needed.
+    """
+    q = F.broadcast(queries.select(query_id_col, query_vec_col))
+    scored = corpus.select(id_col, vec_col).crossJoin(q).select(
+        query_id_col,
+        id_col,
+        F.round(
+            cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 9
+        ).alias("cosine"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _plane_component(band: Column | int, dim: int, j: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [−0.5, 0.5):
+    an integer LCG on (band, dim-index) — identical on any engine, no
+    RNG state, no stored plane matrix."""
+    h = (F.lit(band) * 2654435761 + j * 40503 + F.lit(dim) * 69621) % 1000003
+    return h.cast("double") / 1000003.0 - 0.5
+
+
+def lsh_bucket(vec: Column, band: int, bits: int, dim: int) -> Column:
+    """Sign-bit bucket of one band: ``bits`` hyperplanes → integer in
+    [0, 2^bits)."""
+
+    def _plane_dot(bit: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, j: x.cast("double")
+                * _plane_component(band * 64 + bit, dim, j),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = F.lit(0).cast("long")
+    for bit in range(bits):
+        bucket = bucket + F.when(_plane_dot(bit) > 0, F.lit(1 << bit)).otherwise(0)
+    return bucket
+
+
+def lsh_assign_buckets(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Bucket assignment → (id, band, bucket). The corpus-side index
+    build: one parallel scan, writeable as a bucketed table so query
+    lookups are shuffle-free."""
+    cols = [
+        lsh_bucket(F.col(vec_col), band, bits, dim).alias(f"_b{band}")
+        for band in range(bands)
+    ]
+    wide = vectors.select(F.col(id_col).alias("id"), *cols)
+    stack = ", ".join(f"{b}, _b{b}" for b in range(bands))
+    return wide.selectExpr("id", f"stack({bands}, {stack}) as (band, bucket)")
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    bands: int = 8,
+    bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k: candidates = corpus vectors sharing ≥1 band-bucket
+    with the query, exact cosine re-rank of candidates → same schema as
+    ``cosine_topk`` (rank may have < k rows when buckets are sparse)."""
+    cb = lsh_assign_buckets(corpus, id_col, vec_col, bands, bits, dim)
+    qb = lsh_assign_buckets(queries, query_id_col, query_vec_col, bands, bits, dim)
+    cand = (
+        cb.join(
+            qb.withColumnRenamed("id", "_qid"), ["band", "bucket"]
+        )
+        .select(F.col("_qid").alias(query_id_col), F.col("id").alias(id_col))
+        .distinct()
+    )
+    scored = (
+        cand.join(corpus.select(id_col, vec_col), id_col)
+        .join(queries.select(query_id_col, query_vec_col), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 9
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

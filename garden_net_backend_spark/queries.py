@@ -51,6 +51,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects; read nanos as long and convert with exact
+    integer division (``div`` — a double division would lose sub-μs
+    precision at 1e18 nanos)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 # =====================================================================
 # Relational core (SURVEY.md §2.1-2.5): scan → filter → join → agg →
 # window → set ops. These are the engine skeleton the PCHiC pipeline
@@ -904,3 +914,366 @@ def q28_assortativity_chas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return chas(edges, feats)
+
+
+# =====================================================================
+# Training-data pipeline extensions (north star): dedup, text analysis,
+# similarity search, event-time windows — on documents / embeddings /
+# events.
+# =====================================================================
+
+_NORM_SQL = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+# Word-trigram shingles. DuckDB can't lateral-join generate_series on a
+# column; the oracle shingles against a fixed index table instead
+# (documents are ≤ ~1k tokens at the oracle's sf).
+_SHINGLES_SQL = f"""
+  norm AS (SELECT doc_id, trim({_NORM_SQL}) AS t FROM documents),
+  toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+  idx AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 10000) AS g(i)),
+  sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         FROM toks JOIN idx ON i <= len(w) - 2)
+"""
+
+
+@register(
+    "q29_exact_dedup",
+    f"""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM (SELECT doc_id, trim({_NORM_SQL}) AS norm FROM documents)
+    GROUP BY norm
+    """,
+    doc="Exact dedup: hash-groupBy on whitespace-normalized lowercased text, "
+    "min-id representative. One shuffle; at 100 TB shuffle a 128-bit digest "
+    "instead of bodies.",
+)
+def q29_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q30_ngram_jaccard_dedup",
+    f"""
+    WITH {_SHINGLES_SQL},
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(c * 1.0 / (x.n + y.n - c), 9) AS jaccard
+    FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+    WHERE c * 1.0 / (x.n + y.n - c) >= 0.5
+    """,
+    doc="Exact n-gram Jaccard near-dup pairs via shingle inverted index "
+    "(word trigrams, τ=0.5 — char shingles are near-universal on this "
+    "corpus's small vocabulary and send the index join quadratic; word "
+    "trigrams keep shingle document frequency low). The deterministic "
+    "baseline MinHash-LSH is verified against.",
+)
+def q30_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5, shingle="word"
+    )
+
+
+@register(
+    "q31_minhash_lsh_dedup",
+    None,  # probabilistic recall (LSH S-curve) — not SQL-expressible;
+    # precision + determinism are pinned by tests/test_dedup.py
+    doc="MinHash(64 hashes over word-trigram shingles) + LSH banding (16×4) "
+    "candidates + exact Jaccard verification τ=0.5. The 100 TB dedup path: "
+    "map-side-combinable signature aggregation, banded equi-join "
+    "candidates, verification only on candidates.",
+)
+def q31_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.5,
+        num_hashes=64,
+        bands=16,
+        ngram=3,
+        shingle="word",
+    )
+
+
+@register(
+    "q32_simhash_dedup",
+    None,  # blocking recall exact for hamming<=3 but fingerprint bit
+    # order isn't SQL-portable; pinned by tests/test_dedup.py
+    doc="SimHash-64 near-dup pairs: per-row fingerprint (higher-order "
+    "array funcs, no shuffle), 16-bit-chunk pigeonhole blocking, Hamming ≤ 3 "
+    "verification via bit_count(xor).",
+)
+def q32_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash, simhash_near_pairs
+
+    return simhash_near_pairs(simhash(_t(spark, sf_dir, "documents")))
+
+
+@register(
+    "q33_token_count",
+    r"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           len(text) AS n_chars
+    FROM documents
+    """,
+    doc="Whitespace token counting — per-row, codegen-friendly, no UDF.",
+)
+def q33_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@register(
+    "q34_lang_id",
+    r"""
+    WITH hits AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein)\b')) AS c_de,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS c_en,
+             len(regexp_extract_all(lower(text), '\b(el|la|los|y|es|una|que)\b')) AS c_es,
+             len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|que)\b')) AS c_fr
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+                WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                WHEN c_es >= c_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM hits
+    """,
+    doc="Stopword-hit language ID heuristic, argmax with alphabetical "
+    "tie-break (word-boundary regex — the same \\b technique as the "
+    "reference's gene-name search, network_generator_lib.R:112).",
+)
+def q34_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "q35_quality_score",
+    r"""
+    WITH m AS (
+      SELECT doc_id, text, len(text) AS n,
+             len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+             len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS alpha,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR n = 0 THEN 0.0 ELSE ROUND(
+             0.25 * (CASE WHEN n BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
+           + 0.25 * (1.0 - CAST(punct AS DOUBLE) / n)
+           + 0.25 * CAST(alpha AS DOUBLE) / n
+           + 0.25 * (CASE WHEN CAST(n - ntok + 1 AS DOUBLE) / greatest(ntok, 1)
+                          BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END), 6) END AS quality
+    FROM m
+    """,
+    doc="Heuristic document quality score (length / punctuation ratio / "
+    "alpha ratio / mean word length), pure column arithmetic.",
+)
+def q35_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "q36_fingerprint",
+    """
+    WITH clean AS (SELECT doc_id,
+                          regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS t
+                   FROM documents),
+      idx AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 100000) AS g(i))
+    SELECT c.doc_id,
+           COALESCE(SUM(ascii(substr(c.t, i.i, 1)) * (((i.i - 1) % 64) + 1)), 0)
+             % 2147483647 AS fingerprint
+    FROM clean c LEFT JOIN idx i ON i.i <= len(c.t)
+    GROUP BY c.doc_id
+    """,
+    doc="Position-weighted rolling document fingerprint (mod 2^31−1) — "
+    "computed per-row with array higher-order functions (no explode, no "
+    "shuffle); oracle unrolls via generate_series.",
+)
+def q36_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import doc_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# --- similarity search -------------------------------------------------
+
+_EMB_NORMS_SQL = """
+  dims AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 64) AS g(i)),
+  norms AS (
+    SELECT vec_id,
+           CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS nrm
+    FROM embeddings, dims GROUP BY vec_id)
+"""
+
+
+@register(
+    "q37_cosine_topk",
+    f"""
+    WITH {_EMB_NORMS_SQL},
+      q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      dots AS (
+        SELECT q.query_id, e.vec_id,
+               CAST(SUM(CAST(CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        FROM q, embeddings e, dims
+        GROUP BY q.query_id, e.vec_id),
+      scored AS (
+        SELECT d.query_id, d.vec_id,
+               ROUND(d.dot / (SQRT(nq.nrm) * SQRT(nc.nrm)), 9) AS cosine
+        FROM dots d JOIN norms nq ON d.query_id = nq.vec_id
+                    JOIN norms nc ON d.vec_id = nc.vec_id)
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+    doc="Brute-force exact cosine top-k (k=5, 10 query vectors vs full "
+    "corpus): broadcast queries, embarrassingly-parallel scan, per-query "
+    "window top-k; decimal-exact dot products so scores are bit-stable. "
+    "The correctness baseline the ANN path is measured against.",
+)
+def q37_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk(emb, queries, k=5)
+
+
+@register(
+    "q38_lsh_ann_topk",
+    None,  # ANN recall < 1 by design — verified against q37 in
+    # tests/test_similarity.py (recall@5 measured, not asserted == 1)
+    doc="Random-hyperplane LSH ANN top-k: deterministic integer pseudo-"
+    "planes (8 bands × 8 bits), candidates = bucket collisions, exact "
+    "re-rank of candidates only. The 100 TB path: index build is one "
+    "parallel scan; queries touch buckets, not the corpus.",
+)
+def q38_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_cosine_topk(emb, queries, k=5)
+
+
+# --- event-time windows (batch form of the streaming ops; the same
+#     expressions run under readStream — see streaming/windows.py) ----
+
+
+@register(
+    "q39_tumbling_window",
+    f"""
+    SELECT strftime(to_timestamp(floor(epoch(ts) / 300) * 300),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n, {oracle_dsum('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Tumbling event-time window (5 min) per event type — F.window(); "
+    "identical expression runs under Structured Streaming with a watermark "
+    "(streaming/windows.py).",
+)
+def q39_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), exact.dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q40_sliding_window",
+    f"""
+    WITH buckets AS (
+      SELECT floor(epoch(ts) / 300) * 300 - 300 * s.off AS wstart, value
+      FROM events, (VALUES (0), (1)) AS s(off))
+    SELECT strftime(to_timestamp(wstart), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n, {oracle_dsum('value')} AS sum_value
+    FROM buckets GROUP BY wstart
+    """,
+    doc="Sliding window (10 min size, 5 min slide): each event lands in 2 "
+    "windows — F.window(size, slide); oracle = union of shifted buckets.",
+)
+def q40_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), exact.dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q41_session_window",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+      FROM events),
+      sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Session window (30 min gap) per user — F.session_window(), whose "
+    "end = last event + gap; oracle = gaps-and-islands. Streaming form with "
+    "watermark in streaming/windows.py.",
+)
+def q41_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )

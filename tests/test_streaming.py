@@ -1,0 +1,110 @@
+"""Structured Streaming tests: the windowed aggregations produce the
+SAME result executed as a stream (file source, availableNow trigger,
+memory sink) as in batch — plus watermark late-data behavior."""
+
+import json
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from garden_net_backend_spark.queries import _events
+from garden_net_backend_spark.streaming.windows import (
+    run_to_memory_sink,
+    session_metrics,
+    sliding_metrics,
+    stream_events_json,
+    tumbling_metrics,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_json_dir(spark):
+    """Materialize the events table as a 4-file json dir (multiple files
+    → multiple micro-batches under maxFilesPerTrigger)."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    ev = _events(spark, SF).orderBy("ts")
+    rows = ev.collect()
+    files = 4
+    per = (len(rows) + files - 1) // files
+    for i in range(files):
+        with open(f"{d}/part{i}.json", "w") as fh:
+            for r in rows[i * per : (i + 1) * per]:
+                rec = r.asDict()
+                rec["ts"] = rec["ts"].strftime("%Y-%m-%dT%H:%M:%S.%f")
+                fh.write(json.dumps(rec) + "\n")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _batch(spark):
+    return _events(spark, SF)
+
+
+def _norm(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+@pytest.mark.parametrize(
+    "agg_fn,name",
+    [
+        (tumbling_metrics, "tumbling_sink"),
+        (sliding_metrics, "sliding_sink"),
+        (session_metrics, "session_sink"),
+    ],
+)
+def test_stream_batch_equivalence(spark, events_json_dir, agg_fn, name):
+    stream = stream_events_json(spark, events_json_dir, max_files_per_trigger=1)
+    assert stream.isStreaming
+    run_to_memory_sink(agg_fn(stream), name, output_mode="complete")
+    got = _norm(spark.sql(f"SELECT * FROM {name}").collect())
+    want = _norm(agg_fn(_batch(spark)).collect())
+    assert got == want
+
+
+def test_watermark_drops_late_rows(spark):
+    """Append-mode tumbling agg with a tight watermark: a straggler
+    older than (max event time − watermark) is dropped from the stream
+    result."""
+    import os
+    import time
+
+    d = tempfile.mkdtemp(prefix="late_events_")
+    try:
+        batches = [
+            # batch 0: establishes max event time 02:00 → watermark 01:50
+            [
+                {"event_id": 1, "ts": "2024-01-01T00:01:00.000000", "user_id": 1, "event_type": "a", "value": 1.0, "props": ""},
+                {"event_id": 2, "ts": "2024-01-01T02:00:00.000000", "user_id": 1, "event_type": "a", "value": 1.0, "props": ""},
+            ],
+            # batch 1: advances processing → the [00:00,00:05) window is
+            # finalized (end < watermark), emitted with n=1, state evicted
+            [{"event_id": 4, "ts": "2024-01-01T02:01:00.000000", "user_id": 1, "event_type": "a", "value": 1.0, "props": ""}],
+            # batch 2: straggler 2h behind the watermark → must be dropped
+            # (dropping is only GUARANTEED once the window state is
+            # evicted — a straggler arriving while state is still live
+            # may legally merge, so the eviction batch above is essential)
+            [{"event_id": 3, "ts": "2024-01-01T00:02:00.000000", "user_id": 1, "event_type": "a", "value": 1.0, "props": ""}],
+        ]
+        now = time.time()
+        for i, recs in enumerate(batches):
+            with open(f"{d}/{i}.json", "w") as fh:
+                fh.write("\n".join(json.dumps(x) for x in recs))
+            # file source orders micro-batches by modification time
+            os.utime(f"{d}/{i}.json", (now - 120 + i * 60, now - 120 + i * 60))
+        stream = stream_events_json(spark, d, max_files_per_trigger=1)
+        agg = tumbling_metrics(stream, window="5 minutes", watermark="10 minutes")
+        run_to_memory_sink(agg, "late_sink", output_mode="append")
+        rows = [
+            (r["window_start"], r["n"])
+            for r in spark.sql("SELECT * FROM late_sink").collect()
+        ]
+        # exactly one finalized emission of the 00:00 window, straggler
+        # excluded and no duplicate window row afterwards
+        assert rows.count(("2024-01-01 00:00:00", 1)) == 1
+        assert ("2024-01-01 00:00:00", 2) not in rows
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
