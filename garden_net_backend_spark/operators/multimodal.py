@@ -1,0 +1,160 @@
+"""Multimodal (image/audio/video) column handling for training-data
+pipelines (north-star extension).
+
+Design: media payloads are opaque ``binary`` columns + a typed metadata
+struct; all per-item compute runs as Arrow-batched ``mapInPandas``
+(payloads never pass through Python row-at-a-time serde, and the scan
+stays embarrassingly parallel). Heavy rows are the scale hazard:
+``repartition_for_media`` re-packs by payload size so one straggler
+partition doesn't hold a 4 GB video while others hold thumbnails.
+
+The actual codec calls (PIL/libav/ffmpeg) are NOT available in this
+environment — ``decode_fn`` defaults to a clearly-marked deterministic
+fake so the plumbing (schemas, batch shapes, partitioning) is real and
+tested; swap in a real decoder in production (the signature is the
+contract).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def fake_decode_features(payload: bytes | None, kind: str, dim: int = 8) -> list[float]:
+    """Deterministic STUB for the codec+featurizer step.
+
+    Real deployments replace this with PIL/torchvision/librosa decode →
+    embed. The fake derives ``dim`` floats from byte statistics so tests
+    have stable, content-sensitive values.
+    """
+    if payload is None or len(payload) == 0:
+        return [0.0] * dim
+    n = len(payload)
+    return [
+        float(sum(payload[i::dim]) % 1000) / 1000.0 for i in range(min(dim, n))
+    ] + [0.0] * max(0, dim - n)
+
+
+def repartition_for_media(
+    media: DataFrame, target_bytes_per_partition: int = 512 * 1024 * 1024
+) -> DataFrame:
+    """Size-aware repartitioning: range-partition on a cumulative-size
+    rank proxy (payload length) so partitions carry comparable byte
+    loads — row-count partitioning is wrong when row sizes span 6
+    orders of magnitude."""
+    sized = media.withColumn("_sz", F.coalesce(F.length("payload"), F.lit(0)))
+    total = sized.agg(F.sum("_sz").alias("t")).collect()[0]["t"] or 0
+    n_parts = max(1, int(total / target_bytes_per_partition) + 1)
+    return sized.repartitionByRange(n_parts, F.col("_sz"), F.col("media_id")).drop(
+        "_sz"
+    )
+
+
+def extract_media_features(
+    media: DataFrame,
+    decode_fn: Callable[[bytes | None, str], list[float]] | None = None,
+    dim: int = 8,
+) -> DataFrame:
+    """Decode/featurize every media row via Arrow-batched mapInPandas →
+    FEATURE_RESULT_SCHEMA. ``decode_fn(payload, kind) -> list[float]``
+    is the pluggable codec step (defaults to the deterministic stub)."""
+    fn = decode_fn or (lambda p, k: fake_decode_features(p, k, dim))
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda p: 0 if p is None else len(p)
+                    ),
+                    "feature": [
+                        fn(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
+                    ],
+                }
+            )
+
+    return media.mapInPandas(_op, schema=FEATURE_RESULT_SCHEMA)
+
+
+def sample_video_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 16
+) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per sampled
+    frame offset → (media_id, frame_idx, offset_ms, frame binary).
+
+    The frame *schedule* is pure column math (explode over a sequence
+    bounded by duration); the frame *extraction* is the stubbed decode
+    step (real: ffmpeg seek per offset inside mapInPandas)."""
+    vids = media.filter(F.col("kind") == "video")
+    offsets = F.slice(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1, F.lit(0)),
+            F.lit(every_ms),
+        ),
+        1,
+        max_frames,
+    )
+    schedule = vids.select(
+        "media_id", F.posexplode(offsets).alias("frame_idx", "offset_ms"), "payload"
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # STUB frame extraction: a real implementation seeks the
+            # container; here a deterministic byte slice stands in.
+            frames = [
+                None if p is None else bytes(p[o % max(len(p), 1) : o % max(len(p), 1) + 16])
+                for p, o in zip(pdf["payload"], pdf["offset_ms"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "offset_ms": pdf["offset_ms"],
+                    "frame": frames,
+                }
+            )
+
+    return schedule.mapInPandas(
+        _extract,
+        schema="media_id long, frame_idx int, offset_ms long, frame binary",
+    )

@@ -1,0 +1,206 @@
+"""End-to-end PCHiC pipeline tests on a synthetic fixture, mirroring the
+reference's golden-test strategy (reference tests/test_network_generator.R;
+SURVEY.md §5): cardinality goldens per stage, row-content goldens, search
+goldens, cytoscape output contracts."""
+
+import gzip
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from garden_net_backend_spark.plans.network_build import (
+    build_network,
+    chromosome_list,
+    cytoscape_elements,
+    filter_threshold,
+    suggestions,
+    to_cytoscape_json,
+)
+from garden_net_backend_spark.plans.search import build_token_index, search_subnetwork
+from garden_net_backend_spark.sources.readers import (
+    load_interactions,
+    load_pchic,
+    sniff_format,
+)
+
+HEADER = "baitChr\tbaitStart\tbaitEnd\tbaitID\tbaitName\toeChr\toeStart\toeEnd\toeID\toeName\tdist\tmESC"
+ROWS = [
+    # bait 1_100_200 (Hoxa6) ↔ oe 1_300_400: above threshold, P-O
+    "1\t100\t200\t1\tHoxa6-001\t1\t300\t400\t2\t.\t200\t7.5",
+    # duplicate interaction (exercises simplify)
+    "1\t100\t200\t1\tHoxa6-001\t1\t300\t400\t2\t.\t200\t9.0",
+    # self-loop (dropped by simplify)
+    "1\t100\t200\t1\tHoxa6-001\t1\t100\t200\t1\tHoxa6-001\t0\t8.0",
+    # oe that is ALSO a bait elsewhere → P-P typing
+    "1\t100\t200\t1\tHoxa6-001\t1\t500\t600\t3\t.\t400\t6.1",
+    "1\t500\t600\t3\tSox2;Sox2-201\t1\t700\t800\t4\t.\t300\t6.5",
+    # below threshold (filtered)
+    "1\t100\t200\t1\tHoxa6-001\t1\t900\t950\t5\t.\t800\t4.9",
+    # interchromosomal, touches chr 2
+    "2\t1000\t1100\t6\tNanog\tX\t2000\t2100\t7\t.\t\t5.5",
+    # chromosome X internal
+    "X\t2000\t2100\t7\tXist\tX\t2500\t2600\t8\t.\t500\t11.0",
+]
+
+
+@pytest.fixture(scope="module")
+def pchic_path():
+    d = tempfile.mkdtemp(prefix="pchic_fix_")
+    p = os.path.join(d, "mus.tsv")
+    with open(p, "w") as fh:
+        fh.write(HEADER + "\n" + "\n".join(ROWS) + "\n")
+    return p
+
+
+@pytest.fixture(scope="module")
+def network(spark, pchic_path):
+    inter = load_pchic(spark, pchic_path)
+    return build_network(inter, wt_threshold=5.0)
+
+
+def test_sniff_and_gzip(spark, pchic_path):
+    assert sniff_format(pchic_path) == ("pchic", 12)
+    gz = pchic_path + ".gz"
+    with open(pchic_path, "rb") as src, gzip.open(gz, "wb") as dst:
+        dst.write(src.read())
+    df, hic_mode = load_interactions(spark, gz)
+    assert not hic_mode
+    assert df.count() == len(ROWS)  # gzip transparent (reference S4)
+
+
+def test_threshold_golden(spark, pchic_path):
+    inter = load_pchic(spark, pchic_path)
+    assert filter_threshold(inter, 5.0).count() == 7  # strict >, 4.9 dropped
+    assert filter_threshold(inter, 8.0).count() == 2  # strict >: 9.0, 11.0
+
+
+def test_vertices_and_typing_goldens(network):
+    nodes, edges = network
+    nd = {r["fragment"]: r for r in nodes.collect()}
+    # 7 distinct fragments survive the threshold
+    assert len(nd) == 7
+    # bait set: 1_100_200, 1_500_600, 2_1000_1100, X_2000_2100
+    assert nd["1_100_200"]["type"] == "P"
+    assert nd["1_500_600"]["type"] == "P"  # oe elsewhere but bait → P
+    assert nd["1_300_400"]["type"] == "O"
+    # transcript suffix stripped, dedup preserved
+    assert nd["1_100_200"]["gene_names"] == "Hoxa6"
+    assert nd["1_500_600"]["gene_names"] == "Sox2"
+    # '.' normalized to ""
+    assert nd["1_300_400"]["gene_names"] == ""
+    # chr is a STRING, X survives
+    assert nd["X_2000_2100"]["chr"] == "X"
+
+    ed = {(r["src"], r["dst"]): r["type"] for r in edges.collect()}
+    # self-loop dropped, duplicate collapsed → 5 edges
+    assert len(ed) == 5
+    assert ed[("1_100_200", "1_500_600")] == "P-P"  # oe ∈ baits
+    assert ed[("1_100_200", "1_300_400")] == "P-O"
+    # interchromosomal; its oe (X_2000_2100) is itself a bait → P-P
+    assert ed[("2_1000_1100", "X_2000_2100")] == "P-P"
+    assert ed[("X_2000_2100", "X_2500_2600")] == "P-O"
+
+
+def test_degree_golden(network):
+    nodes, _ = network
+    deg = {r["fragment"]: r["degree"] for r in nodes.collect()}
+    assert deg["1_100_200"] == 2  # dup collapsed, loop dropped
+    assert deg["1_500_600"] == 2
+    assert deg["1_900_950"] == 0 if "1_900_950" in deg else True
+
+
+def test_chromosome_filter_golden(spark, pchic_path):
+    inter = load_pchic(spark, pchic_path)
+    nodes_x, edges_x = build_network(inter, wt_threshold=5.0, chromosome="X")
+    # interactions touching X: the interchromosomal 2↔X and X↔X
+    assert edges_x.count() == 2
+    frag_chrs = {r["chr"] for r in nodes_x.collect()}
+    assert frag_chrs == {"2", "X"}
+    # PP pseudo-chromosome
+    _, edges_pp = build_network(inter, wt_threshold=5.0, chromosome="PP")
+    assert {r["type"] for r in edges_pp.collect()} == {"P-P"}
+
+
+def test_suggestions_and_chromosomes(network):
+    nodes, _ = network
+    sug = [r["suggestion"] for r in suggestions(nodes).collect()]
+    assert sug == sorted(sug)
+    assert "Hoxa6" in sug and "Sox2" in sug and "Xist" in sug
+    chroms = chromosome_list(nodes)
+    assert chroms == ["1", "2", "X"]  # natural order, numeric first
+
+
+def test_search_gene_ego(network):
+    nodes, edges = network
+    sub_nodes, sub_edges = search_subnetwork(nodes, edges, "Hoxa6")
+    got = {r["fragment"]: r for r in sub_nodes.collect()}
+    # ego of 1_100_200: itself + neighbors 1_300_400, 1_500_600
+    assert set(got) == {"1_100_200", "1_300_400", "1_500_600"}
+    assert got["1_100_200"]["searched"] == "true"  # string contract
+    assert got["1_300_400"]["searched"] == "false"
+    # per-subnet degree recomputed (Q7): induced edges only
+    es = {(r["src"], r["dst"]) for r in sub_edges.collect()}
+    assert es == {("1_100_200", "1_300_400"), ("1_100_200", "1_500_600")}
+    assert got["1_500_600"]["degree"] == 1  # 1 in subnet (2 globally)
+
+
+def test_search_fragment_and_range_and_multi(network):
+    nodes, edges = network
+    sn, _ = search_subnetwork(nodes, edges, "x_2000_2100")  # case-insensitive Q2
+    assert {r["fragment"] for r in sn.collect()} == {
+        "X_2000_2100", "2_1000_1100", "X_2500_2600"
+    }
+    # Q1 range overlap
+    sn, _ = search_subnetwork(nodes, edges, "1:150-350")
+    assert "1_100_200" in {r["fragment"] for r in sn.collect()}
+    # Q1 nearest fallback: empty overlap → closest fragment
+    sn, _ = search_subnetwork(nodes, edges, "1:10-20")
+    searched = {r["fragment"] for r in sn.collect() if r["searched"] == "true"}
+    assert searched == {"1_100_200"}
+    # Q5 multi-term
+    sn, _ = search_subnetwork(nodes, edges, "Hoxa6, Xist")
+    assert {r["fragment"] for r in sn.collect() if r["searched"] == "true"} == {
+        "1_100_200", "X_2000_2100"
+    }
+
+
+def test_ensembl_search(network, spark):
+    nodes, edges = network
+    e2n = spark.createDataFrame(
+        [("ENSMUSG00000038227", "Hoxa6")], "ensembl_id string, gene_name string"
+    )
+    sn, _ = search_subnetwork(nodes, edges, "ENSMUSG00000038227", ensembl2name=e2n)
+    assert {r["fragment"] for r in sn.collect() if r["searched"] == "true"} == {
+        "1_100_200"
+    }
+
+
+def test_token_index(network):
+    nodes, _ = network
+    idx = {(r["token"], r["fragment"]) for r in build_token_index(nodes).collect()}
+    assert ("hoxa6", "1_100_200") in idx
+    assert ("sox2", "1_500_600") in idx
+
+
+def test_cytoscape_contracts(network):
+    nodes, edges = network
+    elems = [json.loads(r["element"]) for r in cytoscape_elements(nodes, edges).collect()]
+    groups = [e["group"] for e in elems]
+    assert groups == sorted(groups, key=lambda g: 0 if g == "nodes" else 1)
+    node_el = next(e for e in elems if e["group"] == "nodes")
+    # rename contracts: name→id, gene_names→names
+    assert "id" in node_el["data"] and "names" in node_el["data"]
+    # numbers are typed (no sed unquoting needed) and non-scientific
+    assert isinstance(node_el["data"]["start"], int)
+    assert "e+" not in json.dumps(elems) and "E+" not in json.dumps(elems)
+    # searched is the string "true"/"false"
+    assert node_el["data"]["searched"] in ("true", "false")
+    edge_el = next(e for e in elems if e["group"] == "edges")
+    assert edge_el["data"]["id"] == f"{edge_el['data']['source']}~{edge_el['data']['target']}"
+    # empty-network sentinel
+    empty_nodes = nodes.limit(0)
+    empty_edges = edges.limit(0)
+    assert to_cytoscape_json(empty_nodes, empty_edges) == "{}"
