@@ -37,9 +37,15 @@ def main() -> None:
     for name, spec in CATALOG.items():
         t0 = time.time()
         df = spec.spark_fn(spark, sf_dir)
-        n = df.count()
-        if n <= _COUNT_ONLY_ABOVE:
-            df.collect()
+        # one execution: cache, count, then materialize to the driver
+        # only when the result is driver-sized
+        df.persist()
+        try:
+            n = df.count()
+            if n <= _COUNT_ONLY_ABOVE:
+                df.collect()
+        finally:
+            df.unpersist()
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)

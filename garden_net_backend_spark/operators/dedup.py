@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import ensure_min_partitions
 from ..functions.text import char_ngrams, word_ngrams
 
 # Mersenne prime 2^31-1: modulus for the MinHash universal-hash family.
@@ -93,7 +94,7 @@ def ngram_jaccard_pairs(
     deterministically; both sides of any comparison must use the same
     cap).
     """
-    sh = docs.select(
+    sh = ensure_min_partitions(docs).select(
         F.col(id_col).alias("_id"),
         F.explode(_shingles(text_col, n, shingle)).alias("_sh"),
     )
@@ -157,7 +158,7 @@ def minhash_signatures(
         )
         for i in range(num_hashes)
     ]
-    sh = docs.select(
+    sh = ensure_min_partitions(docs).select(
         F.col(id_col).alias("id"),
         F.explode(_shingles(text_col, ngram, shingle)).alias("_g"),
     ).select(
@@ -258,7 +259,7 @@ def simhash(
     form re-evaluates the token pipeline per bit — measured ~10× slower.)
     Docs with zero tokens keep fingerprint 0 via the left join back.
     """
-    th = docs.select(
+    th = ensure_min_partitions(docs).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import ensure_min_partitions
+
 
 def _dot_exact(a: Column, b: Column) -> Column:
     """Order-independent exact dot product of two float arrays → double.
@@ -61,7 +63,7 @@ def cosine_topk(
     Self-matches (same id) are NOT excluded — filter upstream if needed.
     """
     q = F.broadcast(queries.select(query_id_col, query_vec_col))
-    scored = corpus.select(id_col, vec_col).crossJoin(q).select(
+    scored = ensure_min_partitions(corpus.select(id_col, vec_col)).crossJoin(q).select(
         query_id_col,
         id_col,
         F.round(
@@ -120,7 +122,7 @@ def lsh_assign_buckets(
         lsh_bucket(F.col(vec_col), band, bits, dim).alias(f"_b{band}")
         for band in range(bands)
     ]
-    wide = vectors.select(F.col(id_col).alias("id"), *cols)
+    wide = ensure_min_partitions(vectors).select(F.col(id_col).alias("id"), *cols)
     stack = ", ".join(f"{b}, _b{b}" for b in range(bands))
     return wide.selectExpr("id", f"stack({bands}, {stack}) as (band, bucket)")
 

@@ -902,7 +902,10 @@ def q27_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q28_assortativity_chas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.chas import chas
 
-    edges = _graph_edges(spark, sf_dir)
+    # chas() scans the edge list three times (both symmetrized directions
+    # + the node-value derivation) — materialize the small derived edge
+    # table once instead of re-running the lineitem scan + dedup per use
+    edges = _graph_edges(spark, sf_dir).localCheckpoint(eager=True)
     feats = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select("dst"))
@@ -1239,6 +1242,229 @@ def q40_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "sum_value",
         )
+    )
+
+
+@register(
+    "q42_string_functions",
+    """
+    SELECT p_partkey,
+           CAST(p_partkey AS VARCHAR) || '_' || p_brand AS frag_key,
+           upper(p_type) AS up, lower(p_brand) AS lo,
+           upper(substr(p_name, 1, 1)) || lower(substr(p_name, 2)) AS sentence,
+           regexp_replace(p_name, '-[0-9]+$', '', 'g') AS no_suffix,
+           trim(' ' || p_name || ' ') AS trimmed,
+           replace(p_brand, '#', '_') AS replaced,
+           substr(p_type, 4) AS sub,
+           CASE WHEN regexp_matches(p_name, '[aeiou]{2}') THEN 1 ELSE 0 END AS has_double_vowel,
+           split_part(p_type, ' ', 1) AS first_word
+    FROM part WHERE p_partkey <= 500
+    """,
+    doc="String function library sweep (SURVEY §2.8): concat_ws/str_c, "
+    "upper/lower/str_to_sentence, regexp strip of transcript-style "
+    "suffixes (reference network_generator_lib.R:355), trim, fixed "
+    "replace (MGI: strip, :777), substring, rlike, split.",
+)
+def q42_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    name, brand, ptype = F.col("p_name"), F.col("p_brand"), F.col("p_type")
+    return p.select(
+        "p_partkey",
+        F.concat_ws("_", F.col("p_partkey").cast("string"), brand).alias("frag_key"),
+        F.upper(ptype).alias("up"),
+        F.lower(brand).alias("lo"),
+        F.concat(
+            F.upper(F.substring(name, 1, 1)),
+            F.lower(F.expr("substr(p_name, 2)")),
+        ).alias("sentence"),
+        F.regexp_replace(name, r"-\d+$", "").alias("no_suffix"),
+        F.trim(F.concat(F.lit(" "), name, F.lit(" "))).alias("trimmed"),
+        F.replace(brand, F.lit("#"), F.lit("_")).alias("replaced"),
+        F.expr("substr(p_type, 4)").alias("sub"),
+        F.when(name.rlike("[aeiou]{2}"), 1).otherwise(0).alias("has_double_vowel"),
+        F.split(ptype, " ").getItem(0).alias("first_word"),
+    )
+
+
+@register(
+    "q43_null_normalization",
+    """
+    SELECT c_custkey,
+           CASE WHEN raw IS NULL OR raw = '.' THEN '' ELSE raw END AS dot_normalized,
+           CASE WHEN raw2 IS NULL OR raw2 = 'NA' THEN '' ELSE raw2 END AS na_normalized
+    FROM (SELECT c_custkey,
+                 CASE WHEN c_custkey % 10 = 0 THEN '.'
+                      WHEN c_custkey % 10 = 1 THEN NULL ELSE c_name END AS raw,
+                 CASE WHEN c_custkey % 7 = 0 THEN 'NA' ELSE c_mktsegment END AS raw2
+          FROM customer)
+    """,
+    doc="Null/sentinel normalization (SURVEY F7/F8: '.' and 'NA' → '', "
+    "reference network_generator_lib.R:352, 728-733).",
+)
+def q43_null_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.strings import na_to_empty, normalize_dot
+
+    c = _t(spark, sf_dir, "customer")
+    raw = (
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("."))
+        .when(F.col("c_custkey") % 10 == 1, F.lit(None))
+        .otherwise(F.col("c_name"))
+    )
+    raw2 = F.when(F.col("c_custkey") % 7 == 0, F.lit("NA")).otherwise(
+        F.col("c_mktsegment")
+    )
+    return c.select(
+        "c_custkey",
+        normalize_dot(raw).alias("dot_normalized"),
+        na_to_empty(raw2).alias("na_normalized"),
+    )
+
+
+@register(
+    "q44_rounding_and_percent",
+    """
+    SELECT s_suppkey,
+           round(s_acctbal, 2) AS bal2,
+           round(s_acctbal / 10000.0, 3) AS frac3,
+           CAST(round(s_acctbal / 100.0, 2) AS VARCHAR) || '%' AS pct,
+           CAST(s_suppkey * 100000000 AS VARCHAR) AS big_coord
+    FROM supplier
+    """,
+    doc="Rounding + percent formatting + no-scientific-notation contract "
+    "(SURVEY §2.8: round(x,2|3), percent str_c(round(x*100,2),'%'), "
+    "scipen=999 — reference network_generator_lib.R:413,417; "
+    "network_generator.R:18; long→string never exponent-notated).",
+)
+def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.strings import percent_string
+
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.round(F.col("s_acctbal"), 2).alias("bal2"),
+        F.round(F.col("s_acctbal") / 10000.0, 3).alias("frac3"),
+        percent_string(F.col("s_acctbal") / 10000.0, 2).alias("pct"),
+        (F.col("s_suppkey") * 100000000).cast("string").alias("big_coord"),
+    )
+
+
+@register(
+    "q45_array_ops",
+    """
+    SELECT token, ROW_NUMBER() OVER (ORDER BY token) AS rank FROM (
+      SELECT DISTINCT unnest(string_split(p_name, ' ')) AS token
+      FROM part) WHERE token <> ''
+    """,
+    doc="Array pipeline: split → explode → distinct → sorted with rank "
+    "(SURVEY A9/W4: suggestions list, reference "
+    "network_generator_lib.R:397-405; §2.8 unnest).",
+)
+def q45_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    toks = (
+        p.select(F.explode(F.split(F.col("p_name"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    return toks.select("token", F.row_number().over(W.orderBy("token")).alias("rank"))
+
+
+@register(
+    "q46_count_distinct",
+    """
+    SELECT c_mktsegment AS segment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(DISTINCT c_custkey % 100) AS n_buckets,
+           COUNT(*) AS n_rows
+    FROM customer GROUP BY c_mktsegment
+    """,
+    doc="Multi count-distinct in one agg (SURVEY A9: unique gene names / "
+    "chromosomes). approx_count_distinct is the at-scale variant (not "
+    "oracle-matchable — HLL sketches are engine-specific).",
+)
+def q46_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.countDistinct(F.col("c_custkey") % 100).alias("n_buckets"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "q47_json_extract",
+    f"""
+    SELECT event_type,
+           {oracle_dsum("CAST(json_extract_string(props, '$.k') AS INT)")} AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON field extraction from a string column (get_json_object) + "
+    "aggregate — the nested-output boundary of SURVEY S11 exercised in "
+    "reverse.",
+)
+def q47_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        exact.dsum(k).alias("sum_k"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "q48_cube",
+    f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n, {oracle_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over two categoricals — the full-lattice generalization of "
+    "q16's GROUPING SETS (Spark-native multidimensional rollup).",
+)
+def q48_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            exact.dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+@register(
+    "q49_union_merge_attrs",
+    """
+    WITH a AS (SELECT c_custkey AS id, c_acctbal AS v FROM customer WHERE c_custkey % 2 = 0),
+         b AS (SELECT c_custkey AS id, c_acctbal / 2 AS v FROM customer WHERE c_custkey % 3 = 0)
+    SELECT id, MIN(v) AS merged, COUNT(*) AS n_sources
+    FROM (SELECT * FROM a UNION ALL SELECT * FROM b) GROUP BY id
+    """,
+    doc="Graph-union attribute merge: union N node sets, merge suffixed "
+    "attrs with first-non-null/min (SURVEY U2: pmin(na.rm=T) merge, "
+    "reference network_generator_lib.R:586-630) — in DataFrame land a "
+    "union + groupBy(min).",
+)
+def q49_union_merge_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("id"), F.col("c_acctbal").alias("v")
+    )
+    b = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("id"), (F.col("c_acctbal") / 2).alias("v")
+    )
+    return (
+        a.unionByName(b)
+        .groupBy("id")
+        .agg(F.min("v").alias("merged"), F.count("*").alias("n_sources"))
     )
 
 
