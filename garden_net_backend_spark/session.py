@@ -24,6 +24,8 @@ _ENGINE_CONFS = {
     # stages; keep broadcast threshold generous (dims here are ~50k rows)
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
+    # keep stdout parseable (bench.py prints one JSON line)
+    "spark.ui.showConsoleProgress": "false",
 }
 
 

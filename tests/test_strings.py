@@ -1,0 +1,86 @@
+"""Unit tests for the string/text column-function library (SURVEY §2.8)."""
+
+from pyspark.sql import functions as F
+
+from garden_net_backend_spark.functions.strings import (
+    ascii_scrub,
+    chaser_key,
+    clean_gene_names,
+    cytoscape_safe_name,
+    fragment_key,
+    fragment_to_chaser_key,
+    na_to_empty,
+    natural_chr_key,
+    normalize_dot,
+    percent_string,
+)
+from garden_net_backend_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+
+def _one(spark, expr, **cols):
+    df = spark.createDataFrame(
+        [tuple(cols.values())], ", ".join(f"{k} string" for k in cols)
+    )
+    return df.select(expr.alias("out")).collect()[0]["out"]
+
+
+def test_keys(spark):
+    df = spark.createDataFrame([("X", 100, 200)], "chr string, s long, e long")
+    row = df.select(
+        fragment_key(F.col("chr"), F.col("s"), F.col("e")).alias("f"),
+        chaser_key(F.col("chr"), F.col("s"), F.col("e")).alias("c"),
+    ).collect()[0]
+    assert row["f"] == "X_100_200"
+    assert row["c"] == "chrX:100-200"
+    df2 = spark.createDataFrame([("X_100_200",)], "frag string")
+    assert (
+        df2.select(fragment_to_chaser_key(F.col("frag")).alias("o")).collect()[0]["o"]
+        == "chrX:100-200"
+    )
+
+
+def test_gene_name_cleanup(spark):
+    assert _one(spark, clean_gene_names(F.col("x")), x="Hoxa6-001; Hoxa6,Sox2 ") == "Hoxa6 Sox2"
+    assert _one(spark, clean_gene_names(F.col("x")), x=".") == ""
+    assert _one(spark, normalize_dot(F.lit(None).cast("string"))) == ""
+    assert _one(spark, na_to_empty(F.col("x")), x="NA") == ""
+    assert _one(spark, na_to_empty(F.col("x")), x="real") == "real"
+
+
+def test_ascii_scrub_and_cytoscape_names(spark):
+    assert _one(spark, ascii_scrub(F.col("x")), x="PKCβ GOOD oké fine") == "GOOD fine"
+    assert _one(spark, cytoscape_safe_name(F.col("x")), x="H3K27me3 (broad)[v2],x-y") == "H3K27me3broadv2xy"
+
+
+def test_natural_chr_sort(spark):
+    chroms = ["10", "1", "2", "X", "Y", "19", "PP"]
+    df = spark.createDataFrame([(c,) for c in chroms], "chr string")
+    got = [
+        r["chr"]
+        for r in df.orderBy(natural_chr_key(F.col("chr"))).collect()
+    ]
+    assert got == ["1", "2", "10", "19", "PP", "X", "Y"]
+
+
+def test_percent_string(spark):
+    df = spark.createDataFrame([(0.4237,)], "x double")
+    assert df.select(percent_string(F.col("x")).alias("o")).collect()[0]["o"] == "42.37%"
+
+
+def test_text_functions_edges(spark):
+    # empty text → 0 tokens, quality 0, und language, fingerprint 0
+    df = spark.createDataFrame([("",), ("   ",), ("the cat and the dog",)], "text string")
+    rows = df.select(
+        token_count(F.col("text")).alias("t"),
+        quality_score(F.col("text")).alias("q"),
+        lang_id(F.col("text")).alias("l"),
+        doc_fingerprint(F.col("text")).alias("f"),
+    ).collect()
+    assert rows[0]["t"] == 0 and rows[0]["q"] == 0.0 and rows[0]["f"] == 0
+    assert rows[1]["t"] == 0
+    assert rows[2]["t"] == 5 and rows[2]["l"] == "en" and rows[2]["f"] > 0
