@@ -1537,6 +1537,60 @@ def q52_broadcast_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q53_asof_join",
+    """
+    WITH typed AS (SELECT event_id, ts, user_id, event_type, value FROM events),
+      purchases AS (SELECT * FROM typed WHERE event_type = 'purchase'),
+      clicks AS (
+        SELECT user_id, ts, value, event_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                       ORDER BY event_id DESC) AS rn
+          FROM typed WHERE event_type = 'click') WHERE rn = 1)
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           c.value AS click_value
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    doc="Event-time as-of join: for each purchase, the user's most recent "
+    "click at-or-before it (temporal generalization of SURVEY J7; the "
+    "union-sort kernel, one shuffle, no range explosion). Oracle = DuckDB "
+    "native ASOF JOIN; right side deduped per (user, ts) so the match is "
+    "total-ordered on both engines.",
+)
+def q53_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import asof_join_backward
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    w = W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "value", "event_id")
+    )
+    out = asof_join_backward(
+        purchases,
+        clicks,
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        payload=["value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("asof_time", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+
+
+@register(
     "q41_session_window",
     f"""
     WITH flagged AS (
