@@ -8,10 +8,12 @@ last-click-before-purchase).
 
 Physical plan: the union-sort pattern — tag both sides, sort within
 each key by (time, side), run ``last(..., ignorenulls=True)`` over the
-running window. One shuffle on the key, O(n log n), no range
-explosion, no per-key cartesian. Window state is a single row, so skew
-in the key distribution degrades gracefully (a hot key is one sorted
-partition, not a quadratic join).
+running window, with the LEFT payload carried through the stream so
+there is no join-back (and therefore no synthetic row id — a
+monotonically_increasing_id join-back diverges between plan branches
+when upstream partitioning is nondeterministic). One shuffle on the
+key, O(n log n), no range explosion; a hot key is one sorted partition,
+not a quadratic join.
 
 Equal timestamps: right rows sort BEFORE left rows at the same time
 (inclusive ``<=``), and ties among right rows resolve to the greatest
@@ -21,7 +23,7 @@ deterministic and oracle-comparable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -35,7 +37,7 @@ def asof_join_backward(
     tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row: latest right row with same ``key`` and
-    ``right_time <= left_time``. Returns left columns + the right
+    ``right_time <= left_time``. Returns all left columns + the right
     ``payload`` columns (NULL when no prior right row exists) +
     ``asof_time`` (the matched right time).
 
@@ -43,28 +45,33 @@ def asof_join_backward(
     (max wins); REQUIRED if (key, right_time) is not unique, else the
     match is nondeterministic.
     """
-    l_keyed = left.withColumn("_lid", F.monotonically_increasing_id())
-    l_tag = l_keyed.select(
+    left_cols = left.columns
+    rv_type = (
+        "struct<"
+        + ",".join(
+            [f"{c}:{right.schema[c].dataType.simpleString()}" for c in payload]
+            + [f"_rt:{right.schema[right_time].dataType.simpleString()}"]
+        )
+        + ">"
+    )
+    l_tag = left.select(
         F.col(key).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_is_left"),
-        "_lid",
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload],
-        F.lit(None).cast(right.schema[right_time].dataType).alias("_rt"),
+        F.struct(*[F.col(c) for c in left_cols]).alias("_l"),
+        F.lit(None).cast(rv_type).alias("_rv"),
         F.lit(None).cast("long").alias("_tb"),
     )
-    tb = (
-        F.col(tiebreak).cast("long")
-        if tiebreak is not None
-        else F.lit(0).cast("long")
-    )
+    tb = F.col(tiebreak).cast("long") if tiebreak is not None else F.lit(0).cast("long")
     r_tag = right.select(
         F.col(key).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_is_left"),
-        F.lit(None).cast("long").alias("_lid"),
-        *[F.col(c).alias(f"_r_{c}") for c in payload],
-        F.col(right_time).alias("_rt"),
+        F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
+        F.struct(
+            *[F.col(c).alias(c) for c in payload],
+            F.col(right_time).alias("_rt"),
+        ).alias("_rv"),
         tb.alias("_tb"),
     )
     stream = r_tag.unionByName(l_tag)
@@ -77,17 +84,11 @@ def asof_join_backward(
     )
     packed = F.when(
         F.col("_is_left") == 0,
-        F.struct(
-            F.col("_t").alias("t"),
-            F.col("_tb").alias("tb"),
-            F.struct(*[F.col(f"_r_{c}").alias(c) for c in payload]).alias("p"),
-            F.col("_rt").alias("rt"),
-        ),
+        F.struct(F.col("_t").alias("t"), F.col("_tb").alias("tb"), F.col("_rv").alias("rv")),
     )
     matched = stream.withColumn("_best", F.last(packed, ignorenulls=True).over(w))
-    out = matched.filter(F.col("_is_left") == 1).select(
-        "_lid",
-        F.col("_best.rt").alias("asof_time"),
-        *[F.col(f"_best.p.{c}").alias(c) for c in payload],
+    return matched.filter(F.col("_is_left") == 1).select(
+        *[F.col(f"_l.{c}").alias(c) for c in left_cols],
+        F.col("_best.rv._rt").alias("asof_time"),
+        *[F.col(f"_best.rv.{c}").alias(c) for c in payload],
     )
-    return l_keyed.join(out, "_lid", "left").drop("_lid")

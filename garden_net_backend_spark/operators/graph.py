@@ -364,6 +364,9 @@ def graph_metadata(
     pct_largest = (
         round(100.0 * comp_row["largest"] / n_nodes, 2) if n_nodes else 0.0
     )
+    import math
+
+    trans = transitivity(e)
     return {
         "nodes": n_nodes,
         "promoters": node_stats["promoters"],
@@ -376,5 +379,7 @@ def graph_metadata(
         "pct_nodes_in_largest_component": f"{pct_largest}%",
         "interchromosomal_edges": interchromosomal_count(e),
         "diameter": diameter(nodes.select(F.col(node_col).alias("node")), e),
-        "clustering_coefficient": transitivity(e),
+        # NaN (no connected triples) → None: valid JSON null, unlike the
+        # reference's rjson NaN emission (a wart not copied)
+        "clustering_coefficient": None if math.isnan(trans) else trans,
     }

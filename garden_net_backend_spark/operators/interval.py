@@ -108,25 +108,27 @@ def overlap_flag(
     """
     ls, le = node_range
     rs, re_ = region_range
-    key = F.monotonically_increasing_id()
-    keyed = nodes.withColumn("_nid", key)
+    # join back on the interval CONTENT (on, start, end) — a synthetic
+    # monotonically_increasing_id here is a correctness trap: the id is
+    # recomputed independently in the two plan branches and diverges
+    # when upstream joins make partitioning nondeterministic (observed:
+    # flags landing on wrong rows after annotation joins). Duplicate
+    # (on,start,end) node rows get identical flags — semantically right.
     hits = (
         interval_overlap_join(
-            keyed.select("_nid", on, ls, le),
+            nodes.select(on, ls, le).distinct(),
             regions.select(on, F.col(rs).alias("_rs"), F.col(re_).alias("_re")),
             on=on,
             left_range=(ls, le),
             right_range=("_rs", "_re"),
             bin_size=bin_size,
         )
-        .select("_nid")
+        .select(on, ls, le)
         .distinct()
         .withColumn(flag_name, F.lit(True))
     )
-    return (
-        keyed.join(hits, "_nid", "left")
-        .withColumn(flag_name, F.coalesce(F.col(flag_name), F.lit(False)))
-        .drop("_nid")
+    return nodes.join(hits, [on, ls, le], "left").withColumn(
+        flag_name, F.coalesce(F.col(flag_name), F.lit(False))
     )
 
 
@@ -179,7 +181,12 @@ def nearest_interval_join(
     qs, qe = query_range
     ts, te = target_range
 
-    q = queries.withColumn("_qid", F.monotonically_increasing_id())
+    # the synthetic query id is joined back on below — materialize so
+    # the id is assigned exactly once (recomputation across plan
+    # branches can diverge when upstream partitioning is nondeterministic)
+    q = queries.withColumn("_qid", F.monotonically_increasing_id()).localCheckpoint(
+        eager=True
+    )
     t = targets.select(
         F.col(on).alias("_chr"),
         F.col(ts).cast("long").alias("_ts"),

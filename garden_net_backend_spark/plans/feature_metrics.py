@@ -34,16 +34,25 @@ def merge_features(
     feature_intervals: DataFrame,
     agg: str = "mean",
     missing_value: float = 0.0,
+    binarize: bool = False,
 ) -> DataFrame:
     """Overlap-aggregate feature intervals onto network nodes → dense
     long-form (fragment, feature, value). ``agg`` dispatches by name
-    (mean/min/max — reference auxfun, backend.py:204)."""
-    return overlap_aggregate(
+    (mean/min/max — reference auxfun, backend.py:204). ``binarize``
+    collapses values to presence 0/1 (the reference's default feature
+    binarization, --no-features-binarization flag at
+    network_generator_lib.R:31-35; SURVEY A11)."""
+    out = overlap_aggregate(
         nodes.select("fragment", "chr", "start", "end"),
         feature_intervals,
         agg=agg,
         missing_value=missing_value,
     )
+    if binarize:
+        out = out.withColumn(
+            "value", F.when(F.col("value") != 0, 1.0).otherwise(0.0)
+        )
+    return out
 
 
 def _metrics_for_subset(

@@ -82,6 +82,42 @@ def load_serving_session(
     return out
 
 
+def write_artifacts(
+    nodes: DataFrame,
+    edges: DataFrame,
+    out_dir: str,
+    features_long: DataFrame | None = None,
+) -> dict:
+    """The small JSON artifacts the reference writes next to the network
+    (SURVEY S11; reference network_generator.R:184-188, 270-284):
+    metadata.json, suggestions.json, chromosomes.json[, features.json].
+    These are aggregate-sized → collected and dumped driver-side; the
+    big per-chromosome element files are the partitioned parquet +
+    cytoscape_elements stream, not these."""
+    import json
+
+    from .network_build import chromosome_list, network_metadata, suggestions
+
+    meta = network_metadata(nodes, edges)
+    sugg = [r["suggestion"] for r in suggestions(nodes).collect()]
+    chroms = chromosome_list(nodes)
+    artifacts = {
+        "metadata.json": meta,
+        "suggestions.json": sugg,
+        "chromosomes.json": chroms,
+    }
+    if features_long is not None:
+        feats = sorted(
+            r["feature"] for r in features_long.select("feature").distinct().collect()
+        )
+        artifacts["features.json"] = feats
+    os.makedirs(out_dir, exist_ok=True)
+    for name, payload in artifacts.items():
+        with open(os.path.join(out_dir, name), "w") as fh:
+            json.dump(payload, fh)
+    return artifacts
+
+
 def chromosome_view(nodes: DataFrame, chromosome: str) -> DataFrame:
     """Per-chromosome node view — a partition-pruned scan of the
     materialized table (check: .explain() shows PartitionFilters on

@@ -255,6 +255,45 @@ def annotate_alias_overlap(nodes: DataFrame, alias_db: DataFrame) -> DataFrame:
     ).drop("gene_name")
 
 
+def annotate_promoter_names(nodes: DataFrame, alias_db: DataFrame) -> DataFrame:
+    """J11: enrich PROMOTER gene names via the alias DB by name (not by
+    range): unnest the space-separated gene_names, left-join the alias
+    table on upper-cased gene name, re-collapse per fragment keeping
+    the original token order (reference network_generator_lib.R:694-717
+    homo / :801-829 mus). Adds promoter ensembl_id/alias columns
+    (suffixed _p to coexist with the range-join annotation)."""
+    from ..functions.strings import na_to_empty
+
+    toks = nodes.filter(F.col("type") == "P").select(
+        "fragment",
+        F.posexplode(F.split(F.col("gene_names"), " ")).alias("_pos", "_tok"),
+    ).filter(F.col("_tok") != "")
+    al = alias_db.select(
+        F.upper(F.col("gene_name")).alias("_uname"),
+        F.col("ensembl_id").alias("_ens"),
+        F.col("alias").alias("_al"),
+    ).dropDuplicates(["_uname"])
+    joined = toks.join(F.broadcast(al), F.upper(F.col("_tok")) == F.col("_uname"), "left")
+    collapsed = joined.groupBy("fragment").agg(
+        *[
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_pos"), F.col(c).alias("v")))
+                    ),
+                    lambda s: F.coalesce(s["v"], F.lit("NA")),
+                ),
+                " ",
+            ).alias(out)
+            for c, out in [("_ens", "ensembl_id_p"), ("_al", "alias_p")]
+        ]
+    )
+    out = nodes.join(F.broadcast(collapsed), "fragment", "left")
+    for c in ["ensembl_id_p", "alias_p"]:
+        out = out.withColumn(c, na_to_empty(F.col(c)))
+    return out
+
+
 def annotate_intronic(nodes: DataFrame, intronic: DataFrame) -> DataFrame:
     """J5: boolean intronic_regions flag, true only for other-end nodes
     overlapping an intronic interval (reference
