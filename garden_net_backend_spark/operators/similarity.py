@@ -115,10 +115,49 @@ def lsh_assign_buckets(
     bands: int = 8,
     bits: int = 8,
     dim: int = 64,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Bucket assignment → (id, band, bucket). The corpus-side index
     build: one parallel scan, writeable as a bucketed table so query
-    lookups are shuffle-free."""
+    lookups are shuffle-free.
+
+    ``use_arrow=True`` (default) computes all band buckets in one
+    Arrow-batched numpy matmul per batch — higher-order-function lambdas
+    are interpreted per element in Spark (never codegen), so the
+    column-expression form is ~5× slower on wide vectors; it remains as
+    the pure-SQL fallback (bit-identical results: same plane floats,
+    and sign() of a dot product is robust to summation order for
+    non-degenerate vectors)."""
+    if use_arrow:
+        import numpy as np
+        import pandas as pd
+
+        planes = np.array(
+            [
+                _plane_vector(band * 64 + bit, dim)
+                for band in range(bands)
+                for bit in range(bits)
+            ]
+        ).T  # dim × (bands·bits)
+        weights = np.array([1 << b for b in range(bits)], dtype=np.int64)
+
+        def _assign(batches):
+            for pdf in batches:
+                x = np.stack(pdf[vec_col].values).astype(np.float64)  # n × dim
+                signs = (x @ planes) > 0  # n × bands·bits
+                buckets = signs.reshape(len(pdf), bands, bits) @ weights  # n × bands
+                n = len(pdf)
+                yield pd.DataFrame(
+                    {
+                        "id": np.repeat(pdf[id_col].values, bands),
+                        "band": np.tile(np.arange(bands), n),
+                        "bucket": buckets.reshape(-1),
+                    }
+                )
+
+        return ensure_min_partitions(vectors.select(id_col, vec_col)).mapInPandas(
+            _assign, schema="id long, band int, bucket long"
+        )
     cols = [
         lsh_bucket(F.col(vec_col), band, bits, dim).alias(f"_b{band}")
         for band in range(bands)
@@ -165,5 +204,98 @@ def lsh_cosine_topk(
     )
     w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    n_centroids: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF (inverted-file) index build → (centroids, assignments).
+
+    Centroids: a deterministic hash-ordered sample of corpus vectors
+    (the ``n_centroids`` smallest ``xxhash64(id, seed)`` — uniform,
+    reproducible, no k-means iterations; one refinement pass would be a
+    cheap upgrade). Assignments: one broadcast-centroid scan, each
+    vector → its max-cosine centroid → (id, centroid_id).
+
+    At 100 TB the assignments table is written partitioned by
+    centroid_id; a query touches nprobe partitions, not the corpus.
+    """
+    ranked = corpus.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec"),
+        F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
+    ).orderBy("_h").limit(n_centroids).drop("_h")
+    centroids = F.broadcast(ranked)
+    scored = (
+        ensure_min_partitions(corpus.select(id_col, vec_col))
+        .crossJoin(centroids)
+        .select(
+            id_col,
+            "centroid_id",
+            cosine_similarity(F.col(vec_col), F.col("centroid_vec")).alias("_cos"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc("centroid_id"))
+    assignments = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "centroid_id")
+    )
+    return ranked, assignments
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    n_centroids: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN top-k: probe the ``nprobe`` nearest centroids per query,
+    exact cosine re-rank of their member vectors only. Same output
+    schema as ``cosine_topk``; recall < 1 when a true neighbor lives in
+    an unprobed cell (the IVF trade)."""
+    centroids, assignments = ivf_build_index(
+        corpus, n_centroids, id_col, vec_col, seed
+    )
+    qc = (
+        queries.select(query_id_col, query_vec_col)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            query_id_col,
+            "centroid_id",
+            cosine_similarity(F.col(query_vec_col), F.col("centroid_vec")).alias("_cos"),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("_cos"), F.asc("centroid_id"))
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id_col, "centroid_id")
+    )
+    cand = probes.join(assignments, "centroid_id").select(query_id_col, id_col)
+    scored = (
+        cand.join(corpus.select(id_col, vec_col), id_col)
+        .join(queries.select(query_id_col, query_vec_col), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 9
+            ).alias("cosine"),
+        )
+    )
+    wr = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(wr)).filter(
         F.col("rank") <= k
     )

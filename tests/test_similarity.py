@@ -68,3 +68,44 @@ def test_lsh_deterministic(emb, queries):
     a = sorted(map(tuple, lsh_cosine_topk(emb, queries, k=3).collect()))
     b = sorted(map(tuple, lsh_cosine_topk(emb, queries, k=3).collect()))
     assert a == b
+
+
+def test_lsh_arrow_and_sql_paths_agree(emb):
+    from garden_net_backend_spark.operators.similarity import lsh_assign_buckets
+
+    arrow = {
+        (r["id"], r["band"]): r["bucket"]
+        for r in lsh_assign_buckets(emb, use_arrow=True).collect()
+    }
+    sql = {
+        (r["id"], r["band"]): r["bucket"]
+        for r in lsh_assign_buckets(emb, use_arrow=False).collect()
+    }
+    assert arrow == sql
+
+
+def test_ivf_ann_valid_and_recall(emb, queries):
+    from garden_net_backend_spark.operators.similarity import ivf_cosine_topk
+
+    exact = cosine_topk(emb, queries, k=5).collect()
+    ivf = ivf_cosine_topk(emb, queries, k=5, nprobe=4, n_centroids=16).collect()
+    exact_scores = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact}
+    ivf_ids = {}
+    for r in ivf:
+        ivf_ids.setdefault(r["query_id"], set()).add(r["vec_id"])
+        if (r["query_id"], r["vec_id"]) in exact_scores:
+            assert abs(r["cosine"] - exact_scores[(r["query_id"], r["vec_id"])]) < 1e-9
+    # self vector lives in the probed cell containing itself → found
+    for q, ids in ivf_ids.items():
+        assert q in ids
+    hits = total = 0
+    exact_ids = {}
+    for r in exact:
+        exact_ids.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for q, ids in exact_ids.items():
+        total += len(ids)
+        hits += len(ids & ivf_ids.get(q, set()))
+    assert hits / total >= 0.2, f"IVF recall@5 too low: {hits}/{total}"
+    # deterministic
+    again = sorted(map(tuple, ivf_cosine_topk(emb, queries, k=5, nprobe=4, n_centroids=16).collect()))
+    assert again == sorted(map(tuple, ivf))
