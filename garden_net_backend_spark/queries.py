@@ -1488,6 +1488,32 @@ def q54_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q55_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(o_totalprice - LAG(o_totalprice) OVER w AS DOUBLE) AS delta_prev,
+           LEAD(o_orderkey) OVER w AS next_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="LAG/LEAD over a total-ordered per-customer window — sequential "
+    "deltas without self-joins (IEEE subtraction of the same two doubles "
+    "is engine-identical, no decimal needed).",
+)
+def q55_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w))
+        .cast("double")
+        .alias("delta_prev"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    )
+
+
+@register(
     "q50_percentiles",
     """
     SELECT l_returnflag,
