@@ -82,6 +82,59 @@ def load_serving_session(
     return out
 
 
+def write_bucketed_search_tables(
+    nodes: DataFrame,
+    token_index: DataFrame | None = None,
+    n_buckets: int = 16,
+    prefix: str = "gn",
+) -> dict[str, str]:
+    """Bucketed serving tables: ``bucketBy(fragment)`` for nodes and
+    ``bucketBy(token)`` for the inverted index, so search equi-joins
+    co-locate WITHOUT a shuffle on the big side (SortMergeJoin with no
+    Exchange under the bucketed scan — verified in tests).
+
+    Uses ``saveAsTable`` into the session's spark_catalog warehouse
+    (bucket metadata needs a table catalog; plain parquet paths can't
+    carry it). At 100 TB this is the difference between re-shuffling
+    the node table per query and reading exactly the matching buckets.
+    Returns {logical_name: catalog_table_name}.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = nodes.sparkSession
+
+    def _clean(table: str) -> None:
+        # a previous session may have left the managed-table directory
+        # without a catalog entry in THIS session (in-memory catalog) —
+        # saveAsTable then fails with LOCATION_ALREADY_EXISTS
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        path = os.path.join(wh, table)
+        if os.path.exists(path):
+            shutil.rmtree(path, ignore_errors=True)
+
+    def _save(df: DataFrame, table: str, key: str) -> None:
+        _clean(table)
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(table)
+        )
+
+    out = {}
+    t_nodes = f"{prefix}_nodes_bucketed"
+    _save(nodes, t_nodes, "fragment")
+    out["nodes"] = t_nodes
+    if token_index is not None:
+        t_tok = f"{prefix}_token_index_bucketed"
+        _save(token_index, t_tok, "token")
+        out["token_index"] = t_tok
+    return out
+
+
 def write_artifacts(
     nodes: DataFrame,
     edges: DataFrame,
