@@ -120,16 +120,19 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation →
-    (node, component) where component = min node id in the component
-    (SURVEY G5; reference components(net), network_generator_lib.R:415-417).
+    """Connected components by min-label propagation WITH pointer
+    jumping → (node, component), component = min node id in the
+    component (SURVEY G5; reference components(net),
+    network_generator_lib.R:415-417).
 
-    Each round every node takes the min label over itself and its
-    neighbors; converges in O(diameter) rounds. ``localCheckpoint``
-    truncates lineage per round (join loops otherwise stack plans).
-    GraphFrames would do the same with large-star/small-star; PCHiC
-    graphs have small diameters (fragment chains), so plain propagation
-    is the right cost.
+    Each round: (1) every node takes the min label over itself and its
+    neighbors (one join+agg); (2) pointer jump — every node replaces
+    its label by its label's label (one self-join). Propagation alone
+    converges in O(diameter) rounds — a 10k-fragment chromatin chain
+    would need 10k shuffles; jumping compresses label chains
+    geometrically, giving O(log n) rounds (the union-find path-halving
+    idea, same effect as GraphFrames' large-star/small-star).
+    ``localCheckpoint`` truncates lineage per round.
     """
     sym = symmetrize(edges, src, dst).localCheckpoint(eager=True)
     labels = nodes.select(
@@ -142,12 +145,26 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("_nmin"))
         )
+        propagated = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jump: component ← component's component (labels are
+        # node ids, so the parent lookup is a self-join)
+        parents = propagated.select(
+            F.col("node").alias("_pnode"), F.col("component").alias("_pcomp")
+        )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            propagated.join(
+                parents, propagated["component"] == parents["_pnode"], "left"
+            )
             .select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
+                    F.col("component"),
+                    F.coalesce(F.col("_pcomp"), F.col("component")),
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)

@@ -111,6 +111,21 @@ def test_connected_components(gdfs, spark):
     assert comp == want
 
 
+def test_connected_components_long_chain(spark):
+    """A 400-node path graph: pure min-label propagation needs ~400
+    rounds; with pointer jumping it must converge within the default
+    max_iter (geometric compression)."""
+    n = 400
+    nodes = spark.createDataFrame([(f"c{i:04d}",) for i in range(n)], "node string")
+    edges = spark.createDataFrame(
+        [(f"c{i:04d}", f"c{i+1:04d}") for i in range(n - 1)], "src string, dst string"
+    )
+    comp = G.connected_components(nodes, edges, max_iter=30)
+    got = {r["component"] for r in comp.collect()}
+    assert got == {"c0000"}  # single component, min-id label
+    assert comp.count() == n
+
+
 def test_diameter_exact(gdfs):
     nodes, _, edges = gdfs
     want = max(max(_bfs(n).values()) for n in NODES)
