@@ -299,3 +299,123 @@ def ivf_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(wr)).filter(
         F.col("rank") <= k
     )
+
+# --- embedding-cosine near-duplicate detection -----------------------
+#
+# The dedup face of similarity search (reference has no analogue; this
+# is a north-star training-data-pipeline operator): emit all pairs
+# (id_a < id_b) whose cosine similarity clears a threshold.
+#
+# - ``embedding_dup_pairs``: exact all-pairs — O(n²) by definition, the
+#   correctness baseline and the verifier for the blocked path. Use on
+#   a bounded slice (or small corpus); at 100 TB all-pairs is never the
+#   plan.
+# - ``embedding_dup_pairs_lsh``: the scale path — LSH band-bucket
+#   blocking (same deterministic hyperplanes as ``lsh_cosine_topk``)
+#   generates candidate pairs, exact decimal re-check keeps precision
+#   at 1.0; recall < 1 by construction and rises with ``bands``.
+#   ``max_bucket_size`` drops pathological hot buckets (a skew guard:
+#   one degenerate bucket would otherwise go quadratic in the
+#   self-join); dropping is standard LSH practice and only costs
+#   recall, never precision.
+
+
+def _norms_table(base: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, nrm) computed once per vector — pair-side reuse avoids
+    re-folding the norm 2× per candidate pair."""
+    return base.select(
+        F.col(id_col).alias("_nid"), _norm_exact(F.col(vec_col)).alias("_nrm")
+    )
+
+
+def embedding_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs → (id_a, id_b, cosine).
+
+    Broadcast nested-loop over ``id_a < id_b`` with one exact-decimal
+    dot fold per pair; norms precomputed once and broadcast-joined.
+    Scores round to 9 dp (bit-stable vs any exact-decimal engine).
+    """
+    base = corpus.select(id_col, vec_col)
+    norms = F.broadcast(_norms_table(base, id_col, vec_col))
+    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = ensure_min_partitions(a).join(
+        F.broadcast(b), F.col("id_a") < F.col("id_b")
+    )
+    scored = (
+        pairs.select(
+            "id_a", "id_b", _dot_exact(F.col("_va"), F.col("_vb")).alias("_dot")
+        )
+        .join(norms.withColumnRenamed("_nid", "id_a").withColumnRenamed("_nrm", "_na"), "id_a")
+        .join(norms.withColumnRenamed("_nid", "id_b").withColumnRenamed("_nrm", "_nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), 9).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= F.lit(threshold))
+
+
+def embedding_dup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    bits: int = 8,
+    dim: int = 64,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH-blocked near-dup pairs → (id_a, id_b, cosine); the 100 TB
+    path: one linear bucket-assignment scan, candidates only from
+    band-bucket collisions, exact re-check of candidates.
+
+    Shuffle shape: self-join keyed on (band, bucket) — candidates are
+    co-located by bucket, never an all-pairs shuffle. Pick
+    ``bits`` high for high thresholds (tight buckets), low-``bits`` /
+    high-``bands`` for permissive thresholds.
+    """
+    base = corpus.select(id_col, vec_col)
+    buckets = lsh_assign_buckets(base, id_col, vec_col, bands, bits, dim)
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("_sz"))
+        buckets = buckets.join(
+            sizes.filter(F.col("_sz") <= max_bucket_size).drop("_sz"),
+            ["band", "bucket"],
+        )
+    left = buckets.select("band", "bucket", F.col("id").alias("id_a"))
+    right = buckets.select("band", "bucket", F.col("id").alias("id_b"))
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    norms = _norms_table(base, id_col, vec_col)
+    scored = (
+        cand.join(
+            base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")),
+            "id_a",
+        )
+        .join(
+            base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b", _dot_exact(F.col("_va"), F.col("_vb")).alias("_dot")
+        )
+        .join(norms.withColumnRenamed("_nid", "id_a").withColumnRenamed("_nrm", "_na"), "id_a")
+        .join(norms.withColumnRenamed("_nid", "id_b").withColumnRenamed("_nrm", "_nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), 9).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= F.lit(threshold))

@@ -109,3 +109,96 @@ def test_ivf_ann_valid_and_recall(emb, queries):
     # deterministic
     again = sorted(map(tuple, ivf_cosine_topk(emb, queries, k=5, nprobe=4, n_centroids=16).collect()))
     assert again == sorted(map(tuple, ivf))
+
+
+# --- embedding-cosine near-dup (dedup face) --------------------------
+
+
+def _np_pairs(rows, threshold):
+    import numpy as np
+
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    n = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = n @ n.T
+    out = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if round(C[i][j], 9) >= threshold:
+                out[(min(ids[i], ids[j]), max(ids[i], ids[j]))] = C[i][j]
+    return out
+
+
+def test_embedding_dup_pairs_matches_numpy(spark, emb):
+    from garden_net_backend_spark.operators.similarity import embedding_dup_pairs
+
+    sl = emb.filter(F.col("vec_id") < 60).select("vec_id", "embedding")
+    got = embedding_dup_pairs(sl, threshold=0.25).collect()
+    want = _np_pairs(sl.collect(), 0.25)
+    got_map = {(r["id_a"], r["id_b"]): r["cosine"] for r in got}
+    assert set(got_map) == set(want)
+    for k, c in got_map.items():
+        assert abs(c - want[k]) < 1e-8
+    assert all(a < b for a, b in got_map)
+
+
+def test_embedding_dup_lsh_planted_recall_and_precision(spark, emb):
+    from garden_net_backend_spark.operators.similarity import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_lsh,
+    )
+
+    base = emb.filter(F.col("vec_id") < 80).select("vec_id", "embedding")
+    planted = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda v, i: F.when(i == 0, v * 1.1 + F.lit(0.01)).otherwise(v),
+        )
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    got = embedding_dup_pairs_lsh(corpus, threshold=0.9).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    # every planted copy collides with its source in ≥1 band
+    # (cosine ≈ 0.999 → near-certain per band; planes are fixed, so
+    # this is deterministic, not flaky)
+    assert {(v, v + 1000) for v in range(80)} <= pairs
+    # precision 1.0: exact re-check means every emitted pair truly
+    # clears the threshold — cross-check against the exact operator
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(corpus, threshold=0.9).collect()
+    }
+    assert pairs <= exact
+
+
+def test_embedding_dup_lsh_scores_match_exact(spark, emb):
+    from garden_net_backend_spark.operators.similarity import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_lsh,
+    )
+
+    sl = emb.filter(F.col("vec_id") < 60).select("vec_id", "embedding")
+    # permissive threshold: LSH recall is low here by design (wide-angle
+    # pairs rarely collide) — but whatever it returns must be a subset
+    # of the exact answer with bit-identical scores
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_dup_pairs(sl, threshold=0.25).collect()
+    }
+    lsh = embedding_dup_pairs_lsh(sl, threshold=0.25).collect()
+    for r in lsh:
+        assert exact[(r["id_a"], r["id_b"])] == r["cosine"]
+
+
+def test_embedding_dup_lsh_bucket_cap(spark, emb):
+    from garden_net_backend_spark.operators.similarity import (
+        embedding_dup_pairs_lsh,
+    )
+
+    sl = emb.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+    # cap of 1 leaves no bucket with ≥2 members → zero candidates
+    got = embedding_dup_pairs_lsh(sl, threshold=0.0, max_bucket_size=1).count()
+    assert got == 0
