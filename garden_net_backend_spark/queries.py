@@ -1670,3 +1670,120 @@ def q41_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --- embedding-cosine near-duplicate detection (dedup face of
+#     similarity search; north-star extension) ------------------------
+
+
+@register(
+    "q56_embedding_dup_pairs",
+    f"""
+    WITH {_EMB_NORMS_SQL},
+      base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+      dots AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(SUM(CAST(CAST(a.embedding[i] AS DOUBLE)
+                             * CAST(b.embedding[i] AS DOUBLE)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        FROM base a JOIN base b ON a.vec_id < b.vec_id, dims
+        GROUP BY a.vec_id, b.vec_id)
+    SELECT id_a, id_b, cosine FROM (
+      SELECT d.id_a, d.id_b,
+             ROUND(d.dot / (SQRT(na.nrm) * SQRT(nb.nrm)), 9) AS cosine
+      FROM dots d JOIN norms na ON d.id_a = na.vec_id
+                  JOIN norms nb ON d.id_b = nb.vec_id)
+    WHERE cosine >= 0.3
+    """,
+    doc="Exact embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ τ) "
+    "on a fixed 500-vector verification slice: broadcast nested-loop "
+    "pair generation, one decimal-exact dot fold per pair, norms "
+    "precomputed once. The synthetic corpus has no planted near-dups "
+    "(max pairwise cosine ≈ 0.51), so τ=0.3 exercises the operator with "
+    "a ~1k-pair result; exact all-pairs is the verification baseline — "
+    "the full-corpus scale path is q57's LSH blocking.",
+)
+def q56_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import embedding_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return embedding_dup_pairs(emb, threshold=0.3)
+
+
+@register(
+    "q57_embedding_dup_pairs_lsh",
+    None,  # LSH blocking is probabilistic-recall by design; precision is
+    # exact (candidates are re-checked with the same decimal-exact cosine
+    # as q56). Recall measured against exact pairs in
+    # tests/test_similarity.py on planted near-duplicates.
+    doc="LSH-blocked embedding near-dup over the FULL corpus plus 50 "
+    "deterministically perturbed copies (planted dups, cosine ≈ 0.999): "
+    "linear bucket-assignment scan, candidate pairs only from band-bucket "
+    "collisions (shuffle keyed on (band,bucket), never all-pairs), exact "
+    "decimal re-check at τ=0.9. Expected result: exactly the 50 planted "
+    "pairs — the corpus itself has no cosine ≥ 0.9 pair.",
+)
+def q57_embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import embedding_dup_pairs_lsh
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda v, i: F.when(i == 0, v * 1.1 + F.lit(0.01)).otherwise(v),
+        )
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    return embedding_dup_pairs_lsh(
+        emb.unionByName(planted), threshold=0.9, bands=8, bits=8
+    )
+
+
+@register(
+    "q58_capped_sessionize",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+      FROM events),
+      sess AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged),
+      chunked AS (
+        SELECT *, CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                                 ORDER BY ts, event_id) - 1)
+                             / 2) AS BIGINT) AS sub
+        FROM sess)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           {oracle_dsum('value')} AS total_value
+    FROM chunked GROUP BY user_id, sid, sub
+    """,
+    doc="Capped sessionization (30 min gap AND ≤2 events per session — "
+    "the count cut F.session_window cannot express): batch form via "
+    "gaps-and-islands + within-island chunking, shuffle keyed on user_id "
+    "only. The same semantics run as a custom stateful streaming "
+    "operator (applyInPandasWithState, event-time state timeout) in "
+    "streaming/stateful.py; batch/stream equivalence pinned in "
+    "tests/test_streaming.py.",
+)
+def q58_capped_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import capped_sessionize
+
+    ev = _events(spark, sf_dir)
+    out = capped_sessionize(ev, gap_minutes=30, max_events=2)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "total_value",
+    )

@@ -108,3 +108,50 @@ def test_watermark_drops_late_rows(spark):
         assert ("2024-01-01 00:00:00", 2) not in rows
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_capped_sessionize_stream_matches_batch(spark, events_json_dir):
+    """Custom stateful operator (applyInPandasWithState): every emitted
+    session must be exactly a batch-form session; the only sessions
+    allowed to be missing are each user's final one when it is neither
+    cap-filled nor yet timed out (still legitimately open at
+    end-of-stream)."""
+    from garden_net_backend_spark.streaming.stateful import (
+        capped_sessionize,
+        capped_sessionize_stream,
+    )
+
+    MAX_EVENTS = 2
+
+    def key(r):
+        return (
+            r["user_id"],
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            round(r["total_value"], 6),
+        )
+
+    stream = stream_events_json(spark, events_json_dir, max_files_per_trigger=1)
+    run_to_memory_sink(
+        capped_sessionize_stream(stream, max_events=MAX_EVENTS),
+        "stateful_sessions",
+        output_mode="append",
+    )
+    got = {key(r) for r in spark.sql("SELECT * FROM stateful_sessions").collect()}
+    batch_rows = capped_sessionize(_batch(spark), max_events=MAX_EVENTS).collect()
+    want = {key(r) for r in batch_rows}
+
+    assert got, "stream emitted nothing"
+    assert got <= want, f"stream emitted non-batch sessions: {sorted(got - want)[:3]}"
+    # missing ⊆ {per-user final session with n < cap}
+    last_per_user = {}
+    for r in batch_rows:
+        cur = last_per_user.get(r["user_id"])
+        if cur is None or r["session_start"] > cur["session_start"]:
+            last_per_user[r["user_id"]] = r
+    open_allowed = {
+        key(r) for r in last_per_user.values() if r["n_events"] < MAX_EVENTS
+    }
+    missing = want - got
+    assert missing <= open_allowed, f"closed sessions missing: {sorted(missing - open_allowed)[:3]}"
