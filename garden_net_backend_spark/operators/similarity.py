@@ -208,20 +208,53 @@ def lsh_cosine_topk(
     )
 
 
+def _ivf_assign(
+    corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Each vector → its max-cosine centroid (broadcast-centroid scan,
+    tie-break on centroid_id) → (id, centroid_id)."""
+    scored = (
+        ensure_min_partitions(corpus.select(id_col, vec_col))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            id_col,
+            "centroid_id",
+            cosine_similarity(F.col(vec_col), F.col("centroid_vec")).alias("_cos"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "centroid_id")
+    )
+
+
 def ivf_build_index(
     corpus: DataFrame,
     n_centroids: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    refine_iters: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF (inverted-file) index build → (centroids, assignments).
 
-    Centroids: a deterministic hash-ordered sample of corpus vectors
-    (the ``n_centroids`` smallest ``xxhash64(id, seed)`` — uniform,
-    reproducible, no k-means iterations; one refinement pass would be a
-    cheap upgrade). Assignments: one broadcast-centroid scan, each
-    vector → its max-cosine centroid → (id, centroid_id).
+    Init centroids: a deterministic hash-ordered sample of corpus
+    vectors (the ``n_centroids`` smallest ``xxhash64(id, seed)`` —
+    uniform, reproducible). ``refine_iters`` Lloyd passes then improve
+    them: assign → per-cluster element-wise mean (no normalization —
+    cosine argmax is scale-invariant in the centroid, so the spherical
+    k-means assignment is identical without it). Means use exact
+    decimal sums, so refinement is deterministic under any partitioning
+    — and Lloyd guarantees the quantization objective (mean cosine to
+    the assigned centroid) never degrades (pinned in tests).
+
+    Per iteration: one broadcast assign scan + one posexplode
+    aggregation (map-side combinable, shuffle keyed (centroid, pos) —
+    K·dim groups, tiny). Centroids collect to the driver between
+    rounds (K·dim values — driver-sized by construction, exactly like
+    MLlib KMeans) which also cuts iterative lineage.
 
     At 100 TB the assignments table is written partitioned by
     centroid_id; a query touches nprobe partitions, not the corpus.
@@ -230,23 +263,47 @@ def ivf_build_index(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec"),
         F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
     ).orderBy("_h").limit(n_centroids).drop("_h")
-    centroids = F.broadcast(ranked)
-    scored = (
-        ensure_min_partitions(corpus.select(id_col, vec_col))
-        .crossJoin(centroids)
-        .select(
-            id_col,
-            "centroid_id",
-            cosine_similarity(F.col(vec_col), F.col("centroid_vec")).alias("_cos"),
+    for _ in range(refine_iters):
+        assign = _ivf_assign(corpus, ranked, id_col, vec_col)
+        member = corpus.select(id_col, vec_col).join(assign, id_col)
+        ex = member.select(
+            "centroid_id", F.posexplode(vec_col).alias("pos", "_x")
         )
-    )
-    w = W.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc("centroid_id"))
-    assignments = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "centroid_id")
-    )
-    return ranked, assignments
+        means = (
+            ex.groupBy("centroid_id", "pos")
+            .agg(
+                F.sum(F.col("_x").cast("double").cast("decimal(32,12)")).alias("_sx"),
+                F.count("*").alias("_n"),
+            )
+            .select(
+                "centroid_id",
+                "pos",
+                (F.col("_sx").cast("double") / F.col("_n")).alias("_m"),
+            )
+        )
+        newc = means.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_m"))),
+                lambda s: s["_m"],
+            ).alias("centroid_vec")
+        )
+        # empty clusters keep their previous centroid
+        updated = {r["centroid_id"]: r["centroid_vec"] for r in newc.collect()}
+        prev = ranked.collect()
+        spark = corpus.sparkSession
+        ranked = spark.createDataFrame(
+            [
+                (
+                    r["centroid_id"],
+                    [float(x) for x in updated.get(
+                        r["centroid_id"], r["centroid_vec"]
+                    )],
+                )
+                for r in prev
+            ],
+            "centroid_id long, centroid_vec array<double>",
+        )
+    return ranked, _ivf_assign(corpus, ranked, id_col, vec_col)
 
 
 def ivf_cosine_topk(
@@ -260,13 +317,14 @@ def ivf_cosine_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     seed: int = 42,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF ANN top-k: probe the ``nprobe`` nearest centroids per query,
     exact cosine re-rank of their member vectors only. Same output
     schema as ``cosine_topk``; recall < 1 when a true neighbor lives in
     an unprobed cell (the IVF trade)."""
     centroids, assignments = ivf_build_index(
-        corpus, n_centroids, id_col, vec_col, seed
+        corpus, n_centroids, id_col, vec_col, seed, refine_iters
     )
     qc = (
         queries.select(query_id_col, query_vec_col)

@@ -1472,10 +1472,12 @@ def q49_union_merge_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q54_ivf_ann_topk",
     None,  # ANN recall < 1 by design — compared against exact q37 in
     # tests/test_similarity.py
-    doc="IVF ANN top-k: hash-sampled centroids, broadcast one-pass "
-    "assignment, nprobe=4 probing, exact re-rank of probed cells only. "
-    "At 100 TB the assignments table partitions by centroid so a query "
-    "scans nprobe partitions, not the corpus.",
+    doc="IVF ANN top-k: hash-sampled centroids sharpened by one Lloyd "
+    "k-means pass (exact-decimal means → deterministic under any "
+    "partitioning), broadcast one-pass assignment, nprobe=4 probing, "
+    "exact re-rank of probed cells only. At 100 TB the assignments "
+    "table partitions by centroid so a query scans nprobe partitions, "
+    "not the corpus.",
 )
 def q54_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_cosine_topk
@@ -1484,7 +1486,9 @@ def q54_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_cosine_topk(emb, queries, k=5, nprobe=4, n_centroids=32)
+    return ivf_cosine_topk(
+        emb, queries, k=5, nprobe=4, n_centroids=32, refine_iters=1
+    )
 
 
 @register(

@@ -202,3 +202,74 @@ def test_embedding_dup_lsh_bucket_cap(spark, emb):
     # cap of 1 leaves no bucket with ≥2 members → zero candidates
     got = embedding_dup_pairs_lsh(sl, threshold=0.0, max_bucket_size=1).count()
     assert got == 0
+
+
+# --- IVF k-means refinement ------------------------------------------
+
+
+def test_ivf_refinement_improves_quantization(spark, emb):
+    from garden_net_backend_spark.operators.similarity import (
+        cosine_similarity,
+        ivf_build_index,
+    )
+
+    corpus = emb.select("vec_id", "embedding")
+
+    def mean_cos_to_centroid(centroids, assignments):
+        joined = (
+            corpus.join(assignments, "vec_id")
+            .join(centroids, "centroid_id")
+            .select(
+                cosine_similarity(
+                    F.col("embedding"), F.col("centroid_vec")
+                ).alias("c")
+            )
+        )
+        return joined.agg(F.avg("c")).collect()[0][0]
+
+    c0, a0 = ivf_build_index(corpus, n_centroids=8, refine_iters=0)
+    c2, a2 = ivf_build_index(corpus, n_centroids=8, refine_iters=2)
+    before = mean_cos_to_centroid(c0, a0)
+    after = mean_cos_to_centroid(c2, a2)
+    # Lloyd: the quantization objective never degrades (float-eps slack)
+    assert after >= before - 1e-9
+    # and on this corpus it strictly improves
+    assert after > before
+
+
+def test_ivf_refinement_deterministic(spark, emb):
+    from garden_net_backend_spark.operators.similarity import ivf_build_index
+
+    corpus = emb.select("vec_id", "embedding").repartition(7)
+    c1, _ = ivf_build_index(corpus, n_centroids=8, refine_iters=1)
+    c2, _ = ivf_build_index(
+        corpus.repartition(3), n_centroids=8, refine_iters=1
+    )
+    r1 = {r["centroid_id"]: r["centroid_vec"] for r in c1.collect()}
+    r2 = {r["centroid_id"]: r["centroid_vec"] for r in c2.collect()}
+    assert r1.keys() == r2.keys()
+    for k in r1:
+        assert r1[k] == r2[k]  # exact-decimal means → bit-identical
+
+
+def test_ivf_refined_topk_valid(spark, emb, queries):
+    from garden_net_backend_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    exact = cosine_topk(emb, queries, k=5).collect()
+    ann = ivf_cosine_topk(
+        emb, queries, k=5, nprobe=3, n_centroids=8, refine_iters=1
+    ).collect()
+    exact_scores = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact}
+    by_q = {}
+    for r in ann:
+        by_q.setdefault(r["query_id"], []).append(r)
+        if (r["query_id"], r["vec_id"]) in exact_scores:
+            assert r["cosine"] == exact_scores[(r["query_id"], r["vec_id"])]
+    for q, rows in by_q.items():
+        # self-vector lives in the probed cell containing itself →
+        # must be found, at rank 1
+        rows.sort(key=lambda r: r["rank"])
+        assert rows[0]["vec_id"] == q
