@@ -13,8 +13,10 @@ designed for the ~100 TB regime, exercised on the `documents` table):
                 docs + candidates, never all-pairs.
 - SimHash:      64-bit fingerprint; near-dups = small Hamming distance,
                 banded for blocking.
-- embedding cosine: near-dup = cosine ≥ τ over an embedding column
-                (brute force here; LSH-bucketed variant in similarity.py).
+- embedding cosine: near-dup = cosine ≥ τ over an embedding column —
+                implemented in similarity.py (`embedding_dup_pairs`
+                exact baseline; `embedding_dup_pairs_lsh` LSH-blocked
+                scale path), sharing the ANN machinery.
 
 All hashing is ``xxhash64`` seeded — deterministic across runs,
 partitionings, and cluster sizes.
