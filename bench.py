@@ -32,6 +32,13 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query numbers measure
     # the plan, not first-touch overheads
     CATALOG["q01_pricing_summary"].spark_fn(spark, sf_dir).collect()
+    # ... and the Python/Arrow worker pool: the first mapInPandas in a
+    # session forks one worker per core, each importing pandas+numpy
+    # (~3s at 32 cores) — a session-level first-touch cost, not a
+    # per-query one
+    spark.range(
+        0, 1 << 15, 1, spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name, spec in CATALOG.items():

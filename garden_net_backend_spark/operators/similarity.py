@@ -180,8 +180,18 @@ def lsh_cosine_topk(
     dim: int = 64,
 ) -> DataFrame:
     """ANN top-k: candidates = corpus vectors sharing ≥1 band-bucket
-    with the query, exact cosine re-rank of candidates → same schema as
-    ``cosine_topk`` (rank may have < k rows when buckets are sparse)."""
+    with the query, two-phase re-rank of candidates → same schema as
+    ``cosine_topk`` (rank may have < k rows when buckets are sparse).
+
+    Phase 1 ranks ALL candidates on an Arrow-batched numpy cosine
+    (cheap); phase 2 rescoring touches only the k·|Q| survivors with
+    the exact-decimal cosine, so the reported scores are bit-identical
+    to ``cosine_topk``'s. The numpy and decimal cosines agree to
+    ~1e-13, so a phase-1 rank flip needs two candidates closer than
+    that — far below the ANN contract's recall tolerance."""
+    import numpy as np
+    import pandas as pd
+
     cb = lsh_assign_buckets(corpus, id_col, vec_col, bands, bits, dim)
     qb = lsh_assign_buckets(queries, query_id_col, query_vec_col, bands, bits, dim)
     cand = (
@@ -191,8 +201,41 @@ def lsh_cosine_topk(
         .select(F.col("_qid").alias(query_id_col), F.col("id").alias(id_col))
         .distinct()
     )
-    scored = (
-        cand.join(corpus.select(id_col, vec_col), id_col)
+    pair_vecs = cand.join(
+        corpus.select(id_col, F.col(vec_col).alias("_cv")), id_col
+    ).join(
+        queries.select(query_id_col, F.col(query_vec_col).alias("_qv")),
+        query_id_col,
+    )
+
+    def _np_score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["_cv"].values).astype(np.float64)
+            b = np.stack(pdf["_qv"].values).astype(np.float64)
+            cos = (a * b).sum(axis=1) / (
+                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    query_id_col: pdf[query_id_col].values,
+                    id_col: pdf[id_col].values,
+                    "_np_cos": cos,
+                }
+            )
+
+    approx = pair_vecs.mapInPandas(
+        _np_score, schema=f"{query_id_col} long, {id_col} long, _np_cos double"
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("_np_cos"), F.asc(id_col))
+    topk = (
+        approx.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col)
+    )
+    exact = (
+        topk.join(corpus.select(id_col, vec_col), id_col)
         .join(queries.select(query_id_col, query_vec_col), query_id_col)
         .select(
             query_id_col,
@@ -202,8 +245,8 @@ def lsh_cosine_topk(
             ).alias("cosine"),
         )
     )
-    w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
+    wf = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return exact.withColumn("rank", F.row_number().over(wf)).filter(
         F.col("rank") <= k
     )
 
