@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.partitioning import ensure_min_partitions
-from ..functions.text import char_ngrams, word_ngrams
+from ..functions.text import with_shingles
 
 # Mersenne prime 2^31-1: modulus for the MinHash universal-hash family.
 # 31-bit (not 61-bit) so x*a+b stays within a 64-bit long — Spark runs
@@ -63,14 +63,6 @@ def exact_dedup(
     )
 
 
-def _shingles(text_col: str, n: int, shingle: str):
-    if shingle == "char":
-        return char_ngrams(F.col(text_col), n)
-    if shingle == "word":
-        return word_ngrams(F.col(text_col), n)
-    raise ValueError(f"unknown shingle type: {shingle!r} (allowed: char, word)")
-
-
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -96,10 +88,9 @@ def ngram_jaccard_pairs(
     deterministically; both sides of any comparison must use the same
     cap).
     """
-    sh = ensure_min_partitions(docs).select(
-        F.col(id_col).alias("_id"),
-        F.explode(_shingles(text_col, n, shingle)).alias("_sh"),
-    )
+    sh = with_shingles(
+        ensure_min_partitions(docs), text_col, "_grams", n, shingle
+    ).select(F.col(id_col).alias("_id"), F.explode("_grams").alias("_sh"))
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("_sh")
@@ -160,9 +151,10 @@ def minhash_signatures(
         )
         for i in range(num_hashes)
     ]
-    sh = ensure_min_partitions(docs).select(
-        F.col(id_col).alias("id"),
-        F.explode(_shingles(text_col, ngram, shingle)).alias("_g"),
+    sh = with_shingles(
+        ensure_min_partitions(docs), text_col, "_grams", ngram, shingle
+    ).select(
+        F.col(id_col).alias("id"), F.explode("_grams").alias("_g")
     ).select(
         "id", F.pmod(F.xxhash64(F.col("_g"), F.lit(seed)), F.lit(_MERSENNE)).alias("_x")
     )
@@ -229,8 +221,8 @@ def minhash_dedup_pairs(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, ngram, seed, shingle)
     cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
-    shing = docs.select(
-        F.col(id_col).alias("id"), _shingles(text_col, ngram, shingle).alias("_grams")
+    shing = with_shingles(docs, text_col, "_grams", ngram, shingle).select(
+        F.col(id_col).alias("id"), "_grams"
     )
     ga = shing.withColumnsRenamed({"id": "id_a", "_grams": "_ga"})
     gb = shing.withColumnsRenamed({"id": "id_b", "_grams": "_gb"})

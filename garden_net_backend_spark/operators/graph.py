@@ -112,7 +112,137 @@ def ego_graph(
     return ns, induced_subgraph(edges, ns, node_col)
 
 
+def _forest_contract(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """One contraction pass: per-partition union-find emitting a
+    spanning forest (≤ distinct-nodes-per-partition edges, connectivity
+    preserved exactly). ``mapInPandas`` hands the generator every Arrow
+    batch of a partition in sequence, so ONE union-find covers the
+    whole partition regardless of batch splits."""
+    schema = edges.select(src, dst).schema
+
+    def gen(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        forest_s, forest_d = [], []
+        for pdf in batches:
+            for a, b in zip(pdf[src].values, pdf[dst].values):
+                a, b = a.item() if hasattr(a, "item") else a, b.item() if hasattr(b, "item") else b
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+                    forest_s.append(a)
+                    forest_d.append(b)
+        yield pd.DataFrame({src: forest_s, dst: forest_d})
+
+    return edges.select(src, dst).mapInPandas(gen, schema=schema)
+
+
 def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    collect_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Connected components → (node, component), component = min node
+    id in the component (SURVEY G5; reference components(net),
+    network_generator_lib.R:415-417).
+
+    Two-level scheme (the MapReduce-CC contraction idea — Kiveris et
+    al., "Connected Components in MapReduce and Beyond"):
+
+    1. **Contraction passes**: each pass runs a per-partition
+       union-find (``_forest_contract``) and keeps only spanning-forest
+       edges — output ≤ Σ per-partition distinct nodes, so a dense
+       graph collapses ~|E|→~|V| in one pass, and repartitioning to
+       fewer partitions makes successive passes shrink the frontier
+       geometrically. Forest edges depend on partition layout;
+       the components they encode do not.
+    2. **Bounded final solve**: once the contracted forest is under
+       ``collect_threshold`` rows it is solved with a driver-side
+       union-find (like MLlib collecting k centroids: O(|V|) driver
+       memory AFTER geometric reduction, never O(|E|)) and broadcast
+       back. If ``max_iter`` contraction passes never get there
+       (pathological), fall back to distributed min-label propagation
+       with pointer jumping (``_cc_pointer_jumping``).
+    """
+    e = edges.select(src, dst).filter(F.col(src) != F.col(dst))
+    nparts = max(1, e.rdd.getNumPartitions())
+    prev = None
+    for _ in range(max_iter):
+        e = _forest_contract(e, src, dst).localCheckpoint(eager=True)
+        n = e.count()
+        if n <= collect_threshold:
+            pdf = e.toPandas()
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for a, b in zip(pdf[src].values, pdf[dst].values):
+                a = a.item() if hasattr(a, "item") else a
+                b = b.item() if hasattr(b, "item") else b
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            mapping = [(k, find(k)) for k in parent]
+            spark = nodes.sparkSession
+            node_type = nodes.schema[node_col].dataType
+            from pyspark.sql.types import StructField, StructType
+
+            mdf = spark.createDataFrame(
+                mapping,
+                StructType(
+                    [
+                        StructField("node", node_type),
+                        StructField("_comp", node_type),
+                    ]
+                ),
+            )
+            return (
+                nodes.select(F.col(node_col).alias("node"))
+                .join(F.broadcast(mdf), "node", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("_comp"), F.col("node")).alias("component"),
+                )
+            )
+        if prev is not None and n >= prev * 0.9:
+            # forest has plateaued at ~|V| > threshold — contraction
+            # can't shrink further; finish distributed
+            break
+        prev = n
+        nparts = max(1, nparts // 8)
+        e = e.repartition(nparts)
+    return _cc_pointer_jumping(nodes, e, node_col, src, dst, max_iter)
+
+
+def _cc_pointer_jumping(
     nodes: DataFrame,
     edges: DataFrame,
     node_col: str = "node",
@@ -204,7 +334,10 @@ def bfs_distances(
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        # visited = union of per-round checkpointed frontiers: lineage
+        # stays O(rounds) shallow without re-materializing the whole
+        # visited set every round (one job saved per round)
+        visited = visited.union(nxt)
         frontier = nxt
     return visited
 
