@@ -27,6 +27,23 @@ def token_count(text: Column) -> Column:
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
+# GPT-2-style pre-tokenizer pattern, minus the lookahead (RE2 — the
+# DuckDB oracle's engine — has no lookahead; dropping `\s+(?!\S)` only
+# changes how trailing whitespace groups, not how words/numbers/
+# punctuation count). Both Java regex and RE2 use leftmost-first
+# alternation, so match COUNTS agree.
+BPE_TOKEN_PATTERN = r"'(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate LLM token count: number of matches of a BPE-ish
+    pre-tokenizer regex (contractions, letter runs, digit runs,
+    punctuation runs, whitespace runs). Per-row ``regexp_count`` —
+    JVM-side, no UDF; the real tokenizer's merge table only splits
+    these groups further, so this lower-bounds BPE token counts."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))
+
+
 def stopword_hits(text: Column, lang: str) -> Column:
     """Number of stopword occurrences for one language (word-boundary,
     case-insensitive — the same ``\\b`` trick the reference's gene search

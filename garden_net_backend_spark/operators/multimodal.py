@@ -114,6 +114,82 @@ def extract_media_features(
     return media.mapInPandas(_op, schema=FEATURE_RESULT_SCHEMA)
 
 
+def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic MEDIA_SCHEMA table derived from the ``documents``
+    table (the container ships no real media): payload = UTF-8 bytes of
+    the text, kind cycles image/audio/video by id, metadata derived
+    from ``n_chars``. Every derived field is plain column math, so the
+    downstream mapInPandas plumbing is DuckDB-oracle-checkable
+    (n_bytes = octet_length(text), duration_ms = n_chars·13, …)."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
+            (F.col("n_chars") % 1920).cast("int").alias("width"),
+            (F.col("n_chars") % 1080).cast("int").alias("height"),
+            (F.col("n_chars") * 13).cast("long").alias("duration_ms"),
+            F.lit(16_000).alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Resize plan for image rows → (media_id, width, height, payload).
+
+    The output *geometry* (letterboxed target box preserving aspect
+    ratio) is exact integer math on the metadata; the pixel resample is
+    the stubbed codec step (real: PIL/torchvision inside the same
+    mapInPandas). Geometry math runs in Python, on purpose — it must
+    live next to the decoder that consumes it, and it is still
+    oracle-checkable because it is deterministic integer arithmetic.
+    """
+
+    imgs = media.filter(F.col("kind") == "image").select(
+        "media_id",
+        F.coalesce(F.col("meta.width"), F.lit(0)).alias("_w"),
+        F.coalesce(F.col("meta.height"), F.lit(0)).alias("_h"),
+        "payload",
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_w, out_h, payloads = [], [], []
+            for w, h, p in zip(pdf["_w"], pdf["_h"], pdf["payload"]):
+                if w <= 0 or h <= 0:
+                    nw, nh = target_w, target_h
+                else:
+                    # fit inside the target box, preserve aspect ratio,
+                    # never upscale
+                    scale = min(target_w / w, target_h / h, 1.0)
+                    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                out_w.append(nw)
+                out_h.append(nh)
+                # STUB resample: real impl decodes + resamples; the fake
+                # keeps a deterministic prefix sized to the new geometry
+                payloads.append(None if p is None else bytes(p[: nw * nh % 4096]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.array(out_w, dtype="int32"),
+                    "height": pd.array(out_h, dtype="int32"),
+                    "payload": payloads,
+                }
+            )
+
+    return imgs.mapInPandas(
+        _resize, schema="media_id long, width int, height int, payload binary"
+    )
+
+
 def sample_video_frames(
     media: DataFrame, every_ms: int = 1000, max_frames: int = 16
 ) -> DataFrame:

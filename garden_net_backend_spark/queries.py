@@ -1791,3 +1791,130 @@ def q58_capped_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+# =====================================================================
+# Multimodal columns (north star): opaque binary payloads + typed
+# metadata; per-item compute is Arrow-batched mapInPandas. The codec
+# itself is stubbed (no PIL/ffmpeg in the container) but everything the
+# engine is responsible for — schema, partitioning, batch shape, the
+# derived geometry/schedule math — is real and ORACLE-GATED by deriving
+# the media table deterministically from `documents`.
+# =====================================================================
+
+_MEDIA_KIND_SQL = """
+  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       WHEN doc_id % 3 = 1 THEN 'audio'
+       ELSE 'video' END
+"""
+
+
+@register(
+    "q59_media_feature_extract",
+    f"""
+    SELECT doc_id AS media_id, {_MEDIA_KIND_SQL} AS kind,
+           octet_length(CAST(text AS BLOB)) AS n_bytes
+    FROM documents
+    """,
+    doc="Multimodal feature-extraction plumbing: documents → binary "
+    "payload media table (synthesize_media_from_documents) → Arrow-"
+    "batched mapInPandas decode/featurize (extract_media_features; "
+    "codec stubbed, batch shape and schema real). The oracle checks "
+    "the full binary round-trip: n_bytes must equal the UTF-8 byte "
+    "length DuckDB computes from the source text.",
+)
+def q59_media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import (
+        extract_media_features,
+        synthesize_media_from_documents,
+    )
+
+    media = synthesize_media_from_documents(_t(spark, sf_dir, "documents"))
+    return extract_media_features(media).select("media_id", "kind", "n_bytes")
+
+
+@register(
+    "q60_video_frame_schedule",
+    f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, {_MEDIA_KIND_SQL} AS kind,
+             n_chars * 13 AS duration_ms
+      FROM documents),
+      idx AS (SELECT CAST(i AS INT) AS i
+              FROM generate_series(0, 9999) AS g(i))
+    SELECT media_id, i AS frame_idx,
+           CAST(i * 1000 AS BIGINT) AS offset_ms
+    FROM media JOIN idx
+      ON i * 1000 <= greatest(duration_ms - 1, 0) AND i < 16
+    WHERE kind = 'video'
+    """,
+    doc="Video frame-sampling schedule: one row per sampled offset "
+    "(every 1s, ≤16 frames) — the schedule is pure column math "
+    "(sequence + posexplode) and oracle-gated; the per-offset frame "
+    "extraction is the stubbed codec step inside mapInPandas "
+    "(sample_video_frames) and is projected out here.",
+)
+def q60_video_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import (
+        sample_video_frames,
+        synthesize_media_from_documents,
+    )
+
+    media = synthesize_media_from_documents(_t(spark, sf_dir, "documents"))
+    return sample_video_frames(media, every_ms=1000, max_frames=16).select(
+        "media_id", "frame_idx", "offset_ms"
+    )
+
+
+@register(
+    "q61_image_resize_geometry",
+    """
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             CAST(n_chars % 1920 AS INT) AS w, CAST(n_chars % 1080 AS INT) AS h
+      FROM documents WHERE doc_id % 3 = 0)
+    SELECT media_id,
+           CASE WHEN w <= 0 OR h <= 0 THEN 224
+                ELSE greatest(1, CAST(trunc(w * least(224.0 / w, 224.0 / h, 1.0)) AS INT))
+           END AS width,
+           CASE WHEN w <= 0 OR h <= 0 THEN 224
+                ELSE greatest(1, CAST(trunc(h * least(224.0 / w, 224.0 / h, 1.0)) AS INT))
+           END AS height
+    FROM img
+    """,
+    doc="Image resize geometry (letterbox into 224×224, preserve aspect "
+    "ratio, never upscale): integer math lives beside the stubbed "
+    "resampler in mapInPandas (resize_images) and is oracle-gated; "
+    "the pixel payload is projected out.",
+)
+def q61_image_resize_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import (
+        resize_images,
+        synthesize_media_from_documents,
+    )
+
+    media = synthesize_media_from_documents(_t(spark, sf_dir, "documents"))
+    return resize_images(media, 224, 224).select("media_id", "width", "height")
+
+
+@register(
+    "q62_bpe_token_count",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+             '''(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+             AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="BPE-ish token counting: GPT-2-style pre-tokenizer regex "
+    "(contractions / letter runs / digit runs / punct runs / whitespace), "
+    "lookahead-free so Java regex (Spark regexp_count) and RE2 (DuckDB "
+    "oracle) count identically. Per-row, codegen, no UDF — the cheap "
+    "scalable proxy for corpus token budgeting.",
+)
+def q62_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import bpe_token_count
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens")
+    )

@@ -158,3 +158,108 @@ def capped_sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def capped_sessionize_tws(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    max_events: int = 2,
+    value_col: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Same capped-sessionization semantics on the Spark 4
+    ``transformWithStateInPandas`` API (the successor to
+    ``applyInPandasWithState``): typed ``ValueState`` + explicit
+    event-time timers instead of a single state tuple + timeout conf.
+
+    Differences that matter operationally: state is Arrow-encoded (no
+    JSON round-trip, numpy scalars fine), multiple named state
+    variables/TTL are available, and timers are first-class (register/
+    delete per key). Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``) and the python ``protobuf``
+    package (the TWS state server speaks protobuf — absent from this
+    container, so the equivalence test skips; the
+    ``applyInPandasWithState`` form above is the gate-checked one)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    cols = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+
+    def _out(closed: list[tuple]):
+        out = pd.DataFrame(closed, columns=cols)
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+        return out
+
+    class _CappedSession(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            # state schema also carries the registered timer (ms) so we
+            # can delete/re-register as the session extends
+            self._sess = handle.getValueState(
+                "sess", "start long, last long, n long, sv double, tmr long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            closed: list[tuple] = []
+            st = self._sess.get() if self._sess.exists() else None
+            cur = None if st is None else (int(st[0]), int(st[1]), int(st[2]), float(st[3]))
+            old_tmr = None if st is None else int(st[4])
+            pdfs = [p for p in rows if len(p)]
+            if pdfs:
+                allr = pd.concat(pdfs).sort_values(["ts", "event_id"])
+                ts_us = (allr["ts"].astype("int64") // 1000).to_numpy()
+                vals = allr[value_col].to_numpy()
+                for t, v in zip(ts_us, vals):
+                    t = int(t)
+                    v = float(v) if v == v else 0.0
+                    if cur is not None:
+                        start, last, n, sv = cur
+                        if t - last <= gap_us and n < max_events:
+                            cur = (start, t, n + 1, sv + v)
+                        else:
+                            closed.append((user_id, start, last, n, sv))
+                            cur = (t, t, 1, v)
+                    else:
+                        cur = (t, t, 1, v)
+                    if cur[2] == max_events:
+                        closed.append((user_id, *cur))
+                        cur = None
+            if old_tmr is not None:
+                self._handle.deleteTimer(old_tmr)
+            if cur is None:
+                if self._sess.exists():
+                    self._sess.clear()
+            else:
+                tmr = (cur[1] + gap_us) // 1000
+                self._sess.update((*cur, tmr))
+                self._handle.registerTimer(tmr)
+            if closed:
+                yield _out(closed)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (user_id,) = key
+            if self._sess.exists():
+                start, last, n, sv, _ = self._sess.get()
+                self._sess.clear()
+                yield _out([(user_id, int(start), int(last), int(n), float(sv))])
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _CappedSession(),
+            outputStructType=SESSION_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )

@@ -67,3 +67,53 @@ def test_size_aware_repartition(media):
     out = repartition_for_media(media, target_bytes_per_partition=4096)
     assert out.count() == 4
     assert set(out.columns) == set(media.columns)
+
+
+def test_resize_geometry(media):
+    from garden_net_backend_spark.operators.multimodal import resize_images
+
+    out = {r["media_id"]: r for r in resize_images(media, 224, 224).collect()}
+    # only image rows
+    assert set(out) == {1, 4}
+    # 16x16 must NOT be upscaled
+    assert (out[1]["width"], out[1]["height"]) == (16, 16)
+    # 1x1 stays 1x1 (never upscale, floor at 1)
+    assert (out[4]["width"], out[4]["height"]) == (1, 1)
+    assert out[4]["payload"] is None  # null payload passes through
+
+
+def test_resize_downscale_aspect(spark):
+    from garden_net_backend_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    rows = [
+        (10, "image", b"x" * 100, ("image/png", 1920, 1080, None, None)),
+        (11, "image", b"x" * 100, ("image/png", 0, 0, None, None)),  # no dims
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(df, 224, 224).collect()}
+    # 1920x1080: scale = min(224/1920, 224/1080, 1) = 224/1920
+    assert (out[10]["width"], out[10]["height"]) == (224, int(1080 * 224 / 1920))
+    # unknown dims → target box
+    assert (out[11]["width"], out[11]["height"]) == (224, 224)
+
+
+def test_synthesized_media_round_trip(spark):
+    from garden_net_backend_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_media_from_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "hello world", "en", "s", 11), (2, "abc", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = synthesize_media_from_documents(docs)
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert rows[0]["kind"] == "image" and rows[2]["kind"] == "video"
+    assert bytes(rows[0]["payload"]) == b"hello world"
+    assert rows[2]["meta"]["duration_ms"] == 39
+    feats = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    assert feats[0]["n_bytes"] == 11

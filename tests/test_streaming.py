@@ -155,3 +155,75 @@ def test_capped_sessionize_stream_matches_batch(spark, events_json_dir):
     }
     missing = want - got
     assert missing <= open_allowed, f"closed sessions missing: {sorted(missing - open_allowed)[:3]}"
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas drives its state server over "
+    "protobuf; the python 'protobuf' package is not installed in this "
+    "container (and installs are disallowed)",
+)
+def test_capped_sessionize_tws_matches_batch(spark, events_json_dir):
+    """transformWithStateInPandas variant (typed ValueState + explicit
+    event-time timers, RocksDB state store): same containment contract
+    as the applyInPandasWithState form — emitted ⊆ batch sessions,
+    missing ⊆ still-open finals."""
+    from garden_net_backend_spark.streaming.stateful import (
+        capped_sessionize,
+        capped_sessionize_tws,
+    )
+
+    MAX_EVENTS = 2
+
+    def key(r):
+        return (
+            r["user_id"],
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            round(r["total_value"], 6),
+        )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stream_events_json(spark, events_json_dir, max_files_per_trigger=1)
+        run_to_memory_sink(
+            capped_sessionize_tws(stream, max_events=MAX_EVENTS),
+            "tws_sessions",
+            output_mode="append",
+        )
+        got = {key(r) for r in spark.sql("SELECT * FROM tws_sessions").collect()}
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    batch_rows = capped_sessionize(_batch(spark), max_events=MAX_EVENTS).collect()
+    want = {key(r) for r in batch_rows}
+
+    assert got, "tws stream emitted nothing"
+    assert got <= want, f"tws emitted non-batch sessions: {sorted(got - want)[:3]}"
+    last_per_user = {}
+    for r in batch_rows:
+        cur = last_per_user.get(r["user_id"])
+        if cur is None or r["session_start"] > cur["session_start"]:
+            last_per_user[r["user_id"]] = r
+    open_allowed = {
+        key(r) for r in last_per_user.values() if r["n_events"] < MAX_EVENTS
+    }
+    missing = want - got
+    assert missing <= open_allowed, f"closed sessions missing: {sorted(missing - open_allowed)[:3]}"
