@@ -53,14 +53,15 @@ def main() -> None:
                 df.collect()
         finally:
             df.unpersist()
-        # release py4j refs so the ContextCleaner can drop the
-        # localCheckpoint blocks iterative operators pin (otherwise they
-        # accumulate across the run and skew later query timings)
+        timings[name] = round(time.time() - t0, 3)
+        # release py4j refs (outside the timed window) so the
+        # ContextCleaner can drop the localCheckpoint blocks iterative
+        # operators pin (otherwise they accumulate across the run and
+        # skew later query timings)
         del df
         import gc
 
         gc.collect()
-        timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
