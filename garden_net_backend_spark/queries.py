@@ -1918,3 +1918,82 @@ def q62_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         "doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens")
     )
+
+
+@register(
+    "q63_network_build_slice",
+    """
+    WITH inter AS (
+      SELECT CAST(l_orderkey % 5 + 1 AS VARCHAR) AS baitChr,
+             (l_partkey % 1000) * 100 AS baitStart,
+             (l_partkey % 1000) * 100 + 99 AS baitEnd,
+             'GENE' || CAST(l_partkey % 50 AS VARCHAR) AS baitName,
+             CAST(l_suppkey % 5 + 1 AS VARCHAR) AS oeChr,
+             (l_orderkey % 1000) * 100 AS oeStart,
+             (l_orderkey % 1000) * 100 + 99 AS oeEnd,
+             'LOC' || CAST(l_orderkey % 40 AS VARCHAR) AS oeName
+      FROM lineitem WHERE l_quantity > 30),
+      keyed AS (
+        SELECT *,
+          baitChr || '_' || CAST(baitStart AS VARCHAR) || '_' || CAST(baitEnd AS VARCHAR) AS bf,
+          oeChr || '_' || CAST(oeStart AS VARCHAR) || '_' || CAST(oeEnd AS VARCHAR) AS oef
+        FROM inter),
+      baits AS (SELECT DISTINCT bf AS bkey FROM keyed),
+      typed AS (
+        SELECT k.*, CASE WHEN b.bkey IS NOT NULL THEN 'P-P' ELSE 'P-O' END AS type
+        FROM keyed k LEFT JOIN baits b ON k.oef = b.bkey),
+      verts AS (
+        SELECT bf AS fragment, baitName AS g, baitChr AS chr,
+               baitStart AS vstart, baitEnd AS vend, 'P' AS vtype FROM typed
+        UNION ALL
+        SELECT oef, oeName, oeChr, oeStart, oeEnd, 'O' FROM typed),
+      vcol AS (
+        SELECT fragment, chr, vstart, vend,
+               max(vtype) AS vtype,
+               coalesce(max(CASE WHEN g <> '' THEN g END), '') AS gene_names
+        FROM verts GROUP BY fragment, chr, vstart, vend),
+      canon AS (
+        SELECT least(bf, oef) AS src, greatest(bf, oef) AS dst, type
+        FROM typed WHERE bf <> oef),
+      edges AS (
+        SELECT src, dst FROM (
+          SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src, dst ORDER BY type) AS rn
+          FROM canon) WHERE rn = 1),
+      deg AS (
+        SELECT node, COUNT(*) AS degree FROM (
+          SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) GROUP BY node)
+    SELECT v.fragment, v.gene_names, v.chr, v.vstart AS start, v.vend AS "end",
+           v.vtype AS type, COALESCE(d.degree, 0) AS degree
+    FROM vcol v LEFT JOIN deg d ON v.fragment = d.node
+    """,
+    doc="The SURVEY §7.1 end-to-end network-build slice — threshold "
+    "filter (positional score col 12, strict >) → canonical fragment "
+    "keys → P-P/P-O edge typing (broadcast bait semi-join) → vertex "
+    "union + deterministic collapse (P beats O, max non-empty name) → "
+    "igraph-simplify edges (canonical order, first-by-type) → per-node "
+    "degree — run by plans/network_build.build_network on a PCHiC-shaped "
+    "table derived from lineitem, oracle = full SQL replica. The same "
+    "plan runs the real PCHiC fixtures in tests/test_network_build.py.",
+)
+def q63_network_build_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.network_build import build_network
+
+    li = _t(spark, sf_dir, "lineitem")
+    interactions = li.select(
+        (F.col("l_orderkey") % 5 + 1).cast("string").alias("baitChr"),
+        ((F.col("l_partkey") % 1000) * 100).alias("baitStart"),
+        ((F.col("l_partkey") % 1000) * 100 + 99).alias("baitEnd"),
+        (F.col("l_partkey") % 1000).alias("baitID"),
+        F.concat(F.lit("GENE"), (F.col("l_partkey") % 50).cast("string")).alias("baitName"),
+        (F.col("l_suppkey") % 5 + 1).cast("string").alias("oeChr"),
+        ((F.col("l_orderkey") % 1000) * 100).alias("oeStart"),
+        ((F.col("l_orderkey") % 1000) * 100 + 99).alias("oeEnd"),
+        (F.col("l_orderkey") % 1000).alias("oeID"),
+        F.concat(F.lit("LOC"), (F.col("l_orderkey") % 40).cast("string")).alias("oeName"),
+        F.lit(0).alias("dist"),
+        F.col("l_quantity").alias("score"),
+    )
+    nodes, _edges = build_network(interactions, wt_threshold=30.0)
+    return nodes.select(
+        "fragment", "gene_names", "chr", "start", "end", "type", "degree"
+    )
