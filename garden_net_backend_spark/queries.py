@@ -1931,7 +1931,7 @@ def q62_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(l_suppkey % 5 + 1 AS VARCHAR) AS oeChr,
              (l_orderkey % 1000) * 100 AS oeStart,
              (l_orderkey % 1000) * 100 + 99 AS oeEnd,
-             'LOC' || CAST(l_orderkey % 40 AS VARCHAR) AS oeName
+             'AUX' || CAST(l_orderkey % 40 AS VARCHAR) AS oeName
       FROM lineitem WHERE l_quantity > 30),
       keyed AS (
         SELECT *,
@@ -1978,8 +1978,18 @@ def q62_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q63_network_build_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.network_build import build_network
 
+    nodes, _edges = build_network(_synthetic_pchic(spark, sf_dir), wt_threshold=30.0)
+    return nodes.select(
+        "fragment", "gene_names", "chr", "start", "end", "type", "degree"
+    )
+
+
+def _synthetic_pchic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCHiC-shaped interaction table derived deterministically from
+    lineitem (12 columns, score positionally at column 12 — the layout
+    contract the reference pins at network_generator_lib.R:304-308)."""
     li = _t(spark, sf_dir, "lineitem")
-    interactions = li.select(
+    return li.select(
         (F.col("l_orderkey") % 5 + 1).cast("string").alias("baitChr"),
         ((F.col("l_partkey") % 1000) * 100).alias("baitStart"),
         ((F.col("l_partkey") % 1000) * 100 + 99).alias("baitEnd"),
@@ -1989,11 +1999,76 @@ def q63_network_build_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("l_orderkey") % 1000) * 100).alias("oeStart"),
         ((F.col("l_orderkey") % 1000) * 100 + 99).alias("oeEnd"),
         (F.col("l_orderkey") % 1000).alias("oeID"),
-        F.concat(F.lit("LOC"), (F.col("l_orderkey") % 40).cast("string")).alias("oeName"),
+        F.concat(F.lit("AUX"), (F.col("l_orderkey") % 40).cast("string")).alias("oeName"),
         F.lit(0).alias("dist"),
         F.col("l_quantity").alias("score"),
     )
-    nodes, _edges = build_network(interactions, wt_threshold=30.0)
-    return nodes.select(
-        "fragment", "gene_names", "chr", "start", "end", "type", "degree"
-    )
+
+
+@register(
+    "q64_search_ego_subnetwork",
+    r"""
+    WITH inter AS (
+      SELECT CAST(l_orderkey % 5 + 1 AS VARCHAR) AS baitChr,
+             (l_partkey % 1000) * 100 AS baitStart,
+             (l_partkey % 1000) * 100 + 99 AS baitEnd,
+             'GENE' || CAST(l_partkey % 50 AS VARCHAR) AS baitName,
+             CAST(l_suppkey % 5 + 1 AS VARCHAR) AS oeChr,
+             (l_orderkey % 1000) * 100 AS oeStart,
+             (l_orderkey % 1000) * 100 + 99 AS oeEnd,
+             'AUX' || CAST(l_orderkey % 40 AS VARCHAR) AS oeName
+      FROM lineitem WHERE l_quantity > 30),
+      keyed AS (
+        SELECT *,
+          baitChr || '_' || CAST(baitStart AS VARCHAR) || '_' || CAST(baitEnd AS VARCHAR) AS bf,
+          oeChr || '_' || CAST(oeStart AS VARCHAR) || '_' || CAST(oeEnd AS VARCHAR) AS oef
+        FROM inter),
+      verts AS (
+        SELECT bf AS fragment, baitName AS g, 'P' AS vtype FROM keyed
+        UNION ALL
+        SELECT oef, oeName, 'O' FROM keyed),
+      vcol AS (
+        SELECT fragment, max(vtype) AS vtype,
+               coalesce(max(CASE WHEN g <> '' THEN g END), '') AS gene_names
+        FROM verts GROUP BY fragment),
+      canon AS (
+        SELECT least(bf, oef) AS src, greatest(bf, oef) AS dst
+        FROM keyed WHERE bf <> oef),
+      edges AS (SELECT DISTINCT src, dst FROM canon),
+      seeds AS (SELECT fragment FROM vcol
+                WHERE regexp_matches(lower(gene_names), '\bgene12\b')),
+      sym AS (SELECT src AS a, dst AS b FROM edges
+              UNION ALL SELECT dst, src FROM edges),
+      hood AS (SELECT fragment AS node FROM seeds
+               UNION
+               SELECT DISTINCT sym.b FROM sym JOIN seeds ON sym.a = seeds.fragment),
+      sub_edges AS (
+        SELECT src, dst FROM edges
+        WHERE src IN (SELECT node FROM hood) AND dst IN (SELECT node FROM hood)),
+      deg AS (
+        SELECT node, COUNT(*) AS degree FROM (
+          SELECT src AS node FROM sub_edges UNION ALL SELECT dst FROM sub_edges)
+        GROUP BY node)
+    SELECT v.fragment, v.vtype AS type,
+           CASE WHEN s.fragment IS NOT NULL THEN 'true' ELSE 'false' END AS searched,
+           COALESCE(deg.degree, 0) AS degree
+    FROM vcol v
+    JOIN hood h ON v.fragment = h.node
+    LEFT JOIN seeds s ON v.fragment = s.fragment
+    LEFT JOIN deg ON v.fragment = deg.node
+    """,
+    doc="The interactive-search surface end-to-end (SURVEY §2.7 Q3+Q7: "
+    "gene-name word-boundary match → union-of-ego-graphs → induced "
+    "subgraph → searched string flag + per-subnetwork degree; reference "
+    "search_subnetwork, network_generator_lib.R:90-129,212-231) on the "
+    "q63 synthetic network, dispatched by plans/search.search_subnetwork. "
+    "Oracle replicates the full chain in SQL (\\b semantics agree "
+    "between Java regex and RE2).",
+)
+def q64_search_ego_subnetwork(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.network_build import build_network
+    from .plans.search import search_subnetwork
+
+    nodes, edges = build_network(_synthetic_pchic(spark, sf_dir), wt_threshold=30.0)
+    sub_nodes, _sub_edges = search_subnetwork(nodes, edges, "GENE12")
+    return sub_nodes.select("fragment", "type", "searched", "degree")
