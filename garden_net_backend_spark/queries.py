@@ -2072,3 +2072,121 @@ def q64_search_ego_subnetwork(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, edges = build_network(_synthetic_pchic(spark, sf_dir), wt_threshold=30.0)
     sub_nodes, _sub_edges = search_subnetwork(nodes, edges, "GENE12")
     return sub_nodes.select("fragment", "type", "searched", "degree")
+
+
+@register(
+    "q65_network_metadata_bundle",
+    """
+    WITH inter AS (
+      SELECT CAST(l_orderkey % 5 + 1 AS VARCHAR) AS baitChr,
+             (l_partkey % 1000) * 100 AS baitStart,
+             (l_partkey % 1000) * 100 + 99 AS baitEnd,
+             CAST(l_suppkey % 5 + 1 AS VARCHAR) AS oeChr,
+             (l_orderkey % 1000) * 100 AS oeStart,
+             (l_orderkey % 1000) * 100 + 99 AS oeEnd
+      FROM lineitem WHERE l_quantity > 30),
+      keyed AS (
+        SELECT
+          baitChr || '_' || CAST(baitStart AS VARCHAR) || '_' || CAST(baitEnd AS VARCHAR) AS bf,
+          oeChr || '_' || CAST(oeStart AS VARCHAR) || '_' || CAST(oeEnd AS VARCHAR) AS oef,
+          baitChr, oeChr
+        FROM inter),
+      baits AS (SELECT DISTINCT bf AS b FROM keyed),
+      verts AS (
+        SELECT fragment, max(vtype) AS vtype FROM (
+          SELECT bf AS fragment, 'P' AS vtype FROM keyed
+          UNION ALL SELECT oef, 'O' FROM keyed)
+        GROUP BY fragment),
+      edges AS (
+        SELECT DISTINCT least(bf, oef) AS src, greatest(bf, oef) AS dst
+        FROM keyed WHERE bf <> oef),
+      deg AS (SELECT node, COUNT(*) AS degree FROM (
+          SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+        GROUP BY node),
+      vstats AS (SELECT COUNT(*) AS nodes,
+                        SUM(CASE WHEN vtype = 'P' THEN 1 ELSE 0 END) AS promoters,
+                        SUM(CASE WHEN vtype = 'O' THEN 1 ELSE 0 END) AS other_ends
+                 FROM verts),
+      p_set AS (SELECT fragment FROM verts WHERE vtype = 'P'),
+      o_set AS (SELECT fragment FROM verts WHERE vtype = 'O'),
+      estats AS (
+        SELECT COUNT(*) AS n_edges,
+               SUM(CASE WHEN src IN (SELECT * FROM p_set)
+                         AND dst IN (SELECT * FROM p_set) THEN 1 ELSE 0 END) AS pp_edges,
+               SUM(CASE WHEN (src IN (SELECT * FROM p_set) AND dst IN (SELECT * FROM o_set))
+                          OR (src IN (SELECT * FROM o_set) AND dst IN (SELECT * FROM p_set))
+                        THEN 1 ELSE 0 END) AS po_edges,
+               SUM(CASE WHEN string_split(src, '_')[1] <> string_split(dst, '_')[1]
+                        THEN 1 ELSE 0 END) AS interchromosomal
+        FROM edges),
+      davg AS (SELECT ROUND(CAST(SUM(degree) AS DOUBLE) / COUNT(*), 2) AS degree_avg FROM deg),
+      tri AS (SELECT COUNT(*) AS triangles
+              FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+                            JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      tpl AS (SELECT CAST(SUM(degree * (degree - 1) / 2) AS DOUBLE) AS triples FROM deg)
+    SELECT nodes, promoters, other_ends, n_edges, pp_edges, po_edges,
+           interchromosomal, degree_avg,
+           3.0 * triangles / triples AS transitivity
+    FROM vstats, estats, davg, tri, tpl
+    """,
+    doc="The per-network metadata bundle (SURVEY G14: generate_metadata, "
+    "reference network_generator_lib.R:411-459) as one row over the q63 "
+    "synthetic network: node/promoter/other-end counts, edge counts, "
+    "PP/PO subset-net edge counts via subset_edges_by_nodesets (G13), "
+    "interchromosomal edges from fragment-key chromosome parts (G10), "
+    "rounded degree average (A5), global transitivity (G7) — every "
+    "aggregate computed distributed, one driver-sized row out.",
+)
+def q65_network_metadata_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import (
+        degrees,
+        subset_edges_by_nodesets,
+        transitivity,  # noqa: F401  (formula inlined below for one plan)
+    )
+    from .plans.network_build import build_network
+
+    nodes, edges = build_network(_synthetic_pchic(spark, sf_dir), wt_threshold=30.0)
+    e = edges.select("src", "dst")
+    baits = nodes.filter(F.col("type") == "P").select(F.col("fragment").alias("node"))
+    oes = nodes.filter(F.col("type") == "O").select(F.col("fragment").alias("node"))
+    pp = subset_edges_by_nodesets(e, baits)
+    po = subset_edges_by_nodesets(e, baits, oes)
+    vstats = nodes.agg(
+        F.count("*").alias("nodes"),
+        F.sum(F.when(F.col("type") == "P", 1).otherwise(0)).alias("promoters"),
+        F.sum(F.when(F.col("type") == "O", 1).otherwise(0)).alias("other_ends"),
+    )
+    interchrom = F.sum(
+        F.when(
+            F.split(F.col("src"), "_").getItem(0)
+            != F.split(F.col("dst"), "_").getItem(0),
+            1,
+        ).otherwise(0)
+    )
+    estats = e.agg(F.count("*").alias("n_edges"), interchrom.alias("interchromosomal"))
+    deg = degrees(e)
+    davg = deg.agg(
+        F.round(F.sum("degree").cast("double") / F.count("*"), 2).alias("degree_avg")
+    )
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"], "left_semi").agg(
+        F.count("*").alias("triangles")
+    )
+    tpl = deg.agg(
+        F.sum(F.col("degree") * (F.col("degree") - 1) / 2).cast("double").alias("triples")
+    )
+    return (
+        vstats.crossJoin(estats)
+        .crossJoin(pp.agg(F.count("*").alias("pp_edges")))
+        .crossJoin(po.agg(F.count("*").alias("po_edges")))
+        .crossJoin(davg)
+        .crossJoin(tri)
+        .crossJoin(tpl)
+        .select(
+            "nodes", "promoters", "other_ends", "n_edges", "pp_edges",
+            "po_edges", "interchromosomal", "degree_avg",
+            (3.0 * F.col("triangles") / F.col("triples")).alias("transitivity"),
+        )
+    )
