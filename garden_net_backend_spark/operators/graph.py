@@ -41,11 +41,19 @@ def simplify(
     """
     e = canonicalize_edges(edges, src, dst).filter(F.col(src) != F.col(dst))
     if order_by:
-        w = W.partitionBy(src, dst).orderBy(*order_by)
-        return (
-            e.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+        # "first by order_by" as a min(struct(order_by…, attrs…))
+        # aggregation — map-side combinable (one partial-agg shuffle of
+        # the keys), unlike a row_number window which must co-locate and
+        # sort every parallel edge. Ties on order_by break by the
+        # remaining attribute values: a deterministic refinement of the
+        # window form (which left order ties arbitrary).
+        attrs = [c for c in e.columns if c not in (src, dst)]
+        ordered = order_by + [c for c in attrs if c not in order_by]
+        picked = e.groupBy(src, dst).agg(
+            F.min(F.struct(*[F.col(c) for c in ordered])).alias("_first")
+        )
+        return picked.select(
+            src, dst, *[F.col(f"_first.{c}").alias(c) for c in attrs]
         )
     return e.dropDuplicates([src, dst])
 

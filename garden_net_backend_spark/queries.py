@@ -2190,3 +2190,107 @@ def q65_network_metadata_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
             (3.0 * F.col("triangles") / F.col("triples")).alias("transitivity"),
         )
     )
+
+
+@register(
+    "q66_feature_merge_chas",
+    f"""
+    WITH inter AS (
+      SELECT CAST(l_orderkey % 5 + 1 AS VARCHAR) AS baitChr,
+             (l_partkey % 1000) * 100 AS baitStart,
+             (l_partkey % 1000) * 100 + 99 AS baitEnd,
+             CAST(l_suppkey % 5 + 1 AS VARCHAR) AS oeChr,
+             (l_orderkey % 1000) * 100 AS oeStart,
+             (l_orderkey % 1000) * 100 + 99 AS oeEnd
+      FROM lineitem WHERE l_quantity > 30),
+      keyed AS (
+        SELECT
+          baitChr || '_' || CAST(baitStart AS VARCHAR) || '_' || CAST(baitEnd AS VARCHAR) AS bf,
+          oeChr || '_' || CAST(oeStart AS VARCHAR) || '_' || CAST(oeEnd AS VARCHAR) AS oef,
+          baitChr, baitStart, baitEnd, oeChr, oeStart, oeEnd
+        FROM inter),
+      vcol AS (
+        SELECT DISTINCT fragment, chr, vstart, vend FROM (
+          SELECT bf AS fragment, baitChr AS chr, baitStart AS vstart, baitEnd AS vend FROM keyed
+          UNION ALL SELECT oef, oeChr, oeStart, oeEnd FROM keyed)),
+      edges AS (
+        SELECT DISTINCT least(bf, oef) AS src, greatest(bf, oef) AS dst
+        FROM keyed WHERE bf <> oef),
+      deg AS (SELECT node, COUNT(*) AS degree FROM (
+          SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+        GROUP BY node),
+      feats AS (
+        SELECT CAST(p_partkey % 5 + 1 AS VARCHAR) AS fchr,
+               (p_partkey % 990) * 100 AS fs,
+               (p_partkey % 990) * 100 + 250 AS fe,
+               'F' || CAST(p_partkey % 3 AS VARCHAR) AS feature,
+               CAST(p_partkey % 7 + 1 AS DOUBLE) AS fv
+        FROM part),
+      ovl AS (
+        SELECT v.fragment, f.feature,
+               CAST(SUM(CAST(fv AS DECIMAL(38,8))) AS DOUBLE) / COUNT(fv) AS value
+        FROM vcol v JOIN feats f
+          ON v.chr = f.fchr AND v.vstart <= f.fe AND f.fs <= v.vend
+        GROUP BY v.fragment, f.feature),
+      dense AS (
+        SELECT g.fragment, g.feature, COALESCE(o.value, 0.0) AS value
+        FROM (SELECT v.fragment, ft.feature
+              FROM (SELECT DISTINCT fragment FROM vcol) v
+              CROSS JOIN (SELECT DISTINCT feature FROM feats) ft) g
+        LEFT JOIN ovl o ON g.fragment = o.fragment AND g.feature = o.feature),
+      ab AS (SELECT feature,
+                    ROUND(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE)
+                          / COUNT(value), 6) AS abundance
+             FROM dense GROUP BY feature),
+      sym AS (SELECT src AS a, dst AS b FROM edges
+              UNION ALL SELECT dst, src FROM edges),
+      pairs AS (SELECT fx.feature, fx.value AS x, fy.value AS y
+                FROM sym JOIN dense fx ON sym.a = fx.fragment
+                         JOIN dense fy ON sym.b = fy.fragment
+                                      AND fy.feature = fx.feature),
+      ch AS (SELECT feature, ((CAST(COUNT(CASE WHEN (x) IS NOT NULL AND (y) IS NOT NULL THEN 1 END) AS DOUBLE))*(CAST(SUM(CAST((x)*(y) AS DECIMAL(38,8))) AS DOUBLE)) - (CAST(SUM(CAST(CASE WHEN (y) IS NOT NULL THEN (x) END AS DECIMAL(38,8))) AS DOUBLE))*(CAST(SUM(CAST(CASE WHEN (x) IS NOT NULL THEN (y) END AS DECIMAL(38,8))) AS DOUBLE))) / (SQRT((CAST(COUNT(CASE WHEN (x) IS NOT NULL AND (y) IS NOT NULL THEN 1 END) AS DOUBLE))*(CAST(SUM(CAST(CASE WHEN (y) IS NOT NULL THEN (x)*(x) END AS DECIMAL(38,8))) AS DOUBLE)) - (CAST(SUM(CAST(CASE WHEN (y) IS NOT NULL THEN (x) END AS DECIMAL(38,8))) AS DOUBLE))*(CAST(SUM(CAST(CASE WHEN (y) IS NOT NULL THEN (x) END AS DECIMAL(38,8))) AS DOUBLE))) * SQRT((CAST(COUNT(CASE WHEN (x) IS NOT NULL AND (y) IS NOT NULL THEN 1 END) AS DOUBLE))*(CAST(SUM(CAST(CASE WHEN (x) IS NOT NULL THEN (y)*(y) END AS DECIMAL(38,8))) AS DOUBLE)) - (CAST(SUM(CAST(CASE WHEN (x) IS NOT NULL THEN (y) END AS DECIMAL(38,8))) AS DOUBLE))*(CAST(SUM(CAST(CASE WHEN (x) IS NOT NULL THEN (y) END AS DECIMAL(38,8))) AS DOUBLE)))) AS chas FROM pairs GROUP BY feature),
+      md AS (SELECT d.feature,
+                    ROUND(CAST(SUM(CAST(deg.degree AS DECIMAL(38,8))) AS DOUBLE)
+                          / COUNT(deg.degree), 6) AS mean_degree
+             FROM dense d JOIN deg ON d.fragment = deg.node
+             WHERE d.value <> 0 GROUP BY d.feature)
+    SELECT ab.feature, ab.abundance, ch.chas, md.mean_degree
+    FROM ab JOIN ch ON ab.feature = ch.feature
+            JOIN md ON ab.feature = md.feature
+    """,
+    doc="The feature-upload value path end-to-end (SURVEY §3.3 / A7+A8+"
+    "A5+G11: chaser load_features + ChAS/Abundance/MeanDegree metadata; "
+    "reference merge_features.R:68-108): overlap-aggregate part-derived "
+    "intervals onto the q63 network (binned interval join, decimal-mean, "
+    "dense missing-fill 0), then per-feature abundance, exact-corr ChAS "
+    "over symmetrized edges, and mean degree of feature-positive nodes "
+    "— all three metrics hash-matched against the SQL replica.",
+)
+def q66_feature_merge_chas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.chas import chas, feature_abundance, feature_mean_degree
+    from .operators.graph import degrees
+    from .plans.feature_metrics import merge_features
+    from .plans.network_build import build_network
+
+    nodes, edges = build_network(_synthetic_pchic(spark, sf_dir), wt_threshold=30.0)
+    # nodes feeds the overlap grid + metrics, edges feeds chas + degrees
+    # — materialize the small derived network once instead of re-running
+    # the lineitem scan + build per consumer
+    nodes = nodes.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    part = _t(spark, sf_dir, "part")
+    intervals = part.select(
+        (F.col("p_partkey") % 5 + 1).cast("string").alias("chr"),
+        ((F.col("p_partkey") % 990) * 100).alias("start"),
+        ((F.col("p_partkey") % 990) * 100 + 250).alias("end"),
+        F.concat(F.lit("F"), (F.col("p_partkey") % 3).cast("string")).alias("feature"),
+        (F.col("p_partkey") % 7 + 1).cast("double").alias("value"),
+    )
+    dense = merge_features(nodes, intervals, agg="mean")
+    e = edges.select("src", "dst")
+    ab = feature_abundance(dense)
+    ch = chas(e, dense)
+    md = feature_mean_degree(dense, degrees(e))
+    return ab.join(ch, "feature").join(md, "feature").select(
+        "feature", "abundance", "chas", "mean_degree"
+    )
