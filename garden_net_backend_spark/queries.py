@@ -2294,3 +2294,88 @@ def q66_feature_merge_chas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab.join(ch, "feature").join(md, "feature").select(
         "feature", "abundance", "chas", "mean_degree"
     )
+
+
+@register(
+    "q67_alias_overlap_annotation",
+    """
+    WITH inter AS (
+      SELECT CAST(l_orderkey % 5 + 1 AS VARCHAR) AS baitChr,
+             (l_partkey % 1000) * 100 AS baitStart,
+             (l_partkey % 1000) * 100 + 99 AS baitEnd,
+             'GENE' || CAST(l_partkey % 50 AS VARCHAR) AS baitName,
+             CAST(l_suppkey % 5 + 1 AS VARCHAR) AS oeChr,
+             (l_orderkey % 1000) * 100 AS oeStart,
+             (l_orderkey % 1000) * 100 + 99 AS oeEnd,
+             'AUX' || CAST(l_orderkey % 40 AS VARCHAR) AS oeName
+      FROM lineitem WHERE l_quantity > 30),
+      keyed AS (
+        SELECT *,
+          baitChr || '_' || CAST(baitStart AS VARCHAR) || '_' || CAST(baitEnd AS VARCHAR) AS bf,
+          oeChr || '_' || CAST(oeStart AS VARCHAR) || '_' || CAST(oeEnd AS VARCHAR) AS oef
+        FROM inter),
+      verts AS (
+        SELECT bf AS fragment, baitName AS g, baitChr AS chr,
+               baitStart AS vstart, baitEnd AS vend, 'P' AS vtype FROM keyed
+        UNION ALL
+        SELECT oef, oeName, oeChr, oeStart, oeEnd, 'O' FROM keyed),
+      vcol AS (
+        SELECT fragment, chr, vstart, vend, max(vtype) AS vtype,
+               coalesce(max(CASE WHEN g <> '' THEN g END), '') AS gene_names
+        FROM verts GROUP BY fragment, chr, vstart, vend),
+      alias_db AS (
+        SELECT CAST(s_suppkey % 5 + 1 AS VARCHAR) AS achr,
+               (s_suppkey % 995) * 100 AS astart,
+               (s_suppkey % 995) * 100 + 199 AS aend,
+               'GN' || CAST(s_suppkey % 200 AS VARCHAR) AS gene_name,
+               'ENSG' || CAST(s_suppkey AS VARCHAR) AS ensembl_id,
+               'AL' || CAST(s_suppkey % 70 AS VARCHAR) AS alias,
+               CASE WHEN s_suppkey % 2 = 0 THEN 'protein_coding' ELSE 'lincRNA' END AS gene_type
+        FROM supplier),
+      hits AS (
+        SELECT v.fragment, a.gene_name, a.ensembl_id, a.alias, a.gene_type
+        FROM vcol v JOIN alias_db a
+          ON v.chr = a.achr AND v.vstart <= a.aend AND a.astart <= v.vend
+        WHERE v.vtype = 'O'),
+      collapsed AS (
+        SELECT fragment,
+               string_agg(gene_name, ' ' ORDER BY gene_name, gene_name) AS c_gene,
+               string_agg(ensembl_id, ' ' ORDER BY gene_name, ensembl_id) AS c_ens,
+               string_agg(alias, ' ' ORDER BY gene_name, alias) AS c_alias,
+               string_agg(gene_type, ' ' ORDER BY gene_name, gene_type) AS c_type
+        FROM hits GROUP BY fragment)
+    SELECT v.fragment,
+           CASE WHEN v.vtype = 'O' AND COALESCE(c.c_gene, '') NOT IN ('', 'NA')
+                THEN c.c_gene ELSE v.gene_names END AS gene_names,
+           CASE WHEN c.c_ens IS NULL OR c.c_ens = 'NA' THEN '' ELSE c.c_ens END AS ensembl_id,
+           CASE WHEN c.c_alias IS NULL OR c.c_alias = 'NA' THEN '' ELSE c.c_alias END AS alias,
+           CASE WHEN c.c_type IS NULL OR c.c_type = 'NA' THEN '' ELSE c.c_type END AS gene_type
+    FROM vcol v LEFT JOIN collapsed c ON v.fragment = c.fragment
+    """,
+    doc="Alias-database interval annotation with order-pinned collapse "
+    "(SURVEY J4+A2+F8: mergeByOverlaps + group-collapse into space-"
+    "joined strings, reference network_generator_lib.R:645-665,728-733) "
+    "on the q63 network with a supplier-derived gene-span table: "
+    "broadcast binned overlap join, per-fragment array_sort(struct) "
+    "collapse (R's implicit overlap order pinned to an explicit "
+    "gene-name sort — SURVEY §4 determinism item 5), NA-cleanup, "
+    "other-end gene_names overwrite. Oracle uses string_agg ORDER BY.",
+)
+def q67_alias_overlap_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.network_build import annotate_alias_overlap, build_network
+
+    nodes, _edges = build_network(_synthetic_pchic(spark, sf_dir), wt_threshold=30.0)
+    sup = _t(spark, sf_dir, "supplier")
+    alias_db = sup.select(
+        (F.col("s_suppkey") % 5 + 1).cast("string").alias("chr"),
+        ((F.col("s_suppkey") % 995) * 100).alias("start"),
+        ((F.col("s_suppkey") % 995) * 100 + 199).alias("end"),
+        F.concat(F.lit("GN"), (F.col("s_suppkey") % 200).cast("string")).alias("gene_name"),
+        F.concat(F.lit("ENSG"), F.col("s_suppkey").cast("string")).alias("ensembl_id"),
+        F.concat(F.lit("AL"), (F.col("s_suppkey") % 70).cast("string")).alias("alias"),
+        F.when(F.col("s_suppkey") % 2 == 0, "protein_coding")
+        .otherwise("lincRNA")
+        .alias("gene_type"),
+    )
+    out = annotate_alias_overlap(nodes, alias_db)
+    return out.select("fragment", "gene_names", "ensembl_id", "alias", "gene_type")
