@@ -339,9 +339,9 @@ def q10_string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_conditional_counts",
     """
     SELECT l_returnflag,
-           SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-           SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-           SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_bulk
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="Conditional counts in one pass (SURVEY A4: promoter/other-end/PP/PO "
@@ -1104,10 +1104,11 @@ def q35_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH clean AS (SELECT doc_id,
                           regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS t
                    FROM documents),
-      idx AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 100000) AS g(i))
+      idx AS (SELECT CAST(unnest(generate_series(
+                       1, (SELECT COALESCE(MAX(len(t)), 1) FROM clean))) AS INT) AS i)
     SELECT c.doc_id,
-           COALESCE(SUM(ascii(substr(c.t, i.i, 1)) * (((i.i - 1) % 64) + 1)), 0)
-             % 2147483647 AS fingerprint
+           CAST(COALESCE(SUM(ascii(substr(c.t, i.i, 1)) * (((i.i - 1) % 64) + 1)), 0)
+                % 2147483647 AS BIGINT) AS fingerprint
     FROM clean c LEFT JOIN idx i ON i.i <= len(c.t)
     GROUP BY c.doc_id
     """,
@@ -2124,8 +2125,11 @@ def q64_search_ego_subnetwork(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
                             JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst),
       tpl AS (SELECT CAST(SUM(degree * (degree - 1) / 2) AS DOUBLE) AS triples FROM deg)
-    SELECT nodes, promoters, other_ends, n_edges, pp_edges, po_edges,
-           interchromosomal, degree_avg,
+    SELECT nodes, CAST(promoters AS BIGINT) AS promoters,
+           CAST(other_ends AS BIGINT) AS other_ends, n_edges,
+           CAST(pp_edges AS BIGINT) AS pp_edges,
+           CAST(po_edges AS BIGINT) AS po_edges,
+           CAST(interchromosomal AS BIGINT) AS interchromosomal, degree_avg,
            3.0 * triangles / triples AS transitivity
     FROM vstats, estats, davg, tri, tpl
     """,
