@@ -12,15 +12,25 @@ Dispatch by regex on the search string, exactly as the reference:
                                             then Q3
   Q5  multi-term split on ``[, \\t]``     → union of Q3/Q4 results
 
-Result = 1-hop ego graph(s) of the matched nodes, matched nodes flagged
-``searched`` (serialized as the string "true"/"false" — reference
-network_generator_lib.R:87-88), per-subnetwork degree recomputed
-(Q7, reference :223-226).
+Result shape follows the reference's union-of-graphs semantics
+(search_vertex_by_names: make_ego_graph per matched vertex +
+union_graphs_with_attributes, network_generator_lib.R:86-129): for
+name-matched seeds the edge set is the UNION OF PER-SEED EGO GRAPHS —
+an edge qualifies only when one seed's ego set contains both endpoints
+— while range searches take the induced subgraph over the union of the
+matched fragments' ego node sets (the reference's induced-on-union is
+range-only). Matched nodes are flagged ``searched`` (serialized as the
+string "true"/"false" — reference network_generator_lib.R:87-88) and
+per-subnetwork degree is recomputed (Q7, reference :223-226).
 
-Serving-scale design: ``nodes``/``edges`` are expected .persist()'ed by
-the serving session (the reference's search_cache.Rdata, SURVEY S9/S12);
-a production deployment would add the inverted token index
-(``build_token_index``) as a materialized table bucketed by token.
+Serving-scale design: the reference regex-scans every vertex per query
+(network_generator_lib.R:90-129). Here a gene query probes the
+inverted token index (``build_token_index``, materialized bucketed by
+``plans/materialize``) with an equi-join; the full-table regex scan
+survives only as the fallback for search terms that contain non-word
+characters (un-tokenizable, rare). Tokens are split on non-word
+characters, so token equality is exactly the reference's
+``\\bterm\\b`` word-boundary match for word-only terms.
 """
 
 from __future__ import annotations
@@ -30,60 +40,126 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.graph import degrees, ego_nodes, induced_subgraph
+from ..operators.graph import (
+    degrees,
+    ego_nodes,
+    induced_subgraph,
+    symmetrize,
+)
 from ..operators.interval import nearest_interval_join, range_query
 
 _RANGE_RE = re.compile(r"^(([12]?[0-9])|([XYxy])):(\d+)(-(\d+))?$")
 _FRAGMENT_RE = re.compile(r"^(([12]?[0-9])|([XYxy]))_\d+_\d+$", re.IGNORECASE)
 _ENSEMBL_RE = re.compile(r"^ens(mus)?g\d+", re.IGNORECASE)
+# a term made only of word characters can be answered from the token
+# index: token equality ≡ \bterm\b (word boundaries fall exactly at
+# non-word characters, which are the token delimiters)
+_WORD_TERM_RE = re.compile(r"^[a-z0-9_]+$")
+_NONWORD_SPLIT = r"[^a-z0-9_]+"
+
+
+def _name_blob(nodes: DataFrame, alias_col: str | None = "alias"):
+    cols = [F.col("gene_names")]
+    if alias_col and alias_col in nodes.columns:
+        cols.append(F.col(alias_col))
+    return F.lower(F.concat_ws(" ", *cols))
 
 
 def build_token_index(nodes: DataFrame, alias_col: str | None = "alias") -> DataFrame:
     """Inverted index (token_lower → fragment) over gene_names + alias —
     the scalable replacement for the reference's per-query regex scan of
     every vertex (network_generator_lib.R:90-129): a gene query becomes
-    an equi-join instead of a full scan."""
-    cols = [F.col("gene_names")]
-    if alias_col and alias_col in nodes.columns:
-        cols.append(F.col(alias_col))
-    blob = F.concat_ws(" ", *cols)
+    an equi-join instead of a full scan. Tokens split on non-word
+    characters so an index probe is exactly the reference's
+    word-boundary regex for word-only terms."""
     return (
         nodes.select(
             F.col("fragment"),
-            F.explode(F.split(F.lower(blob), r"[ ;,]+")).alias("token"),
+            F.explode(F.split(_name_blob(nodes, alias_col), _NONWORD_SPLIT)).alias(
+                "token"
+            ),
         )
         .filter(F.col("token") != "")
         .distinct()
     )
 
 
-def _gene_seeds(nodes: DataFrame, term: str, alias_col: str = "alias") -> DataFrame:
+def _gene_seeds(
+    nodes: DataFrame,
+    term: str,
+    alias_col: str = "alias",
+    token_index: DataFrame | None = None,
+) -> DataFrame:
     """Q3: case-insensitive word-boundary match of the term against
     gene_names (+ alias when present) — reference regex(\\bterm\\b)
-    at network_generator_lib.R:112."""
-    cols = [F.col("gene_names")]
-    if alias_col in nodes.columns:
-        cols.append(F.col(alias_col))
-    blob = F.lower(F.concat_ws(" ", *cols))
-    pat = r"\b" + re.escape(term.lower()) + r"\b"
+    at network_generator_lib.R:112. Probes the token index when one is
+    supplied and the term is word-only (equi-join, no scan); otherwise
+    falls back to the full regex scan the reference performs."""
+    t = term.lower()
+    if token_index is not None and _WORD_TERM_RE.match(t):
+        return token_index.filter(F.col("token") == t).select("fragment")
+    blob = _name_blob(nodes, alias_col)
+    pat = r"\b" + re.escape(t) + r"\b"
     return nodes.filter(blob.rlike(pat)).select("fragment")
 
 
-def _ensembl_seeds(nodes: DataFrame, term: str, ensembl2name: DataFrame) -> DataFrame:
-    """Q4: ensembl id → gene name via the broadcast ensembl2name map,
-    then Q3 (reference network_generator_lib.R:95-99)."""
+def _ensembl_seeds(
+    nodes: DataFrame,
+    term: str,
+    ensembl2name: DataFrame,
+    alias_col: str = "alias",
+    token_index: DataFrame | None = None,
+) -> DataFrame:
+    """Q4: ensembl id → gene name(s) via ensembl2name, then Q3
+    (reference network_generator_lib.R:95-99) — as ONE join plan
+    (ensembl2name ⋈ token_index), no driver round-trip: the matching
+    names are lowered and equi-joined against the token index. Gene
+    symbols are single tokens, for which the probe is exactly the
+    reference's \\bname\\b regex; a multi-token name (non-word chars
+    inside) is confirmed by a space-normalized containment check on the
+    index candidates only."""
+    if token_index is None:
+        token_index = build_token_index(nodes, alias_col)
     names = (
         ensembl2name.filter(F.lower(F.col("ensembl_id")) == term.lower())
-        .select("gene_name")
-        .collect()
+        .select(
+            F.trim(
+                F.regexp_replace(F.lower(F.col("gene_name")), _NONWORD_SPLIT, " ")
+            ).alias("name")
+        )
+        .filter(F.col("name") != "")
+        .distinct()
     )
-    if not names:
-        return nodes.select("fragment").limit(0)
-    out = None
-    for r in names:
-        s = _gene_seeds(nodes, r["gene_name"])
-        out = s if out is None else out.union(s)
-    return out.distinct()
+    ntok = names.select(
+        "name", F.explode(F.split("name", " ")).alias("token")
+    ).distinct()
+    need = ntok.groupBy("name").agg(F.count("*").alias("need"))
+    # candidates: fragments containing ALL tokens of a name
+    cand = (
+        token_index.join(F.broadcast(ntok), "token")
+        .groupBy("fragment", "name")
+        .agg(F.count("*").alias("got"))
+        .join(F.broadcast(need), "name")
+        .filter(F.col("got") == F.col("need"))
+    )
+    # adjacency confirm for multi-token names, on candidates only:
+    # normalize the blob's delimiters to single spaces, then the
+    # word-boundary match is plain containment of ' name '
+    norm = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(_name_blob(nodes, alias_col), _NONWORD_SPLIT, " ")),
+        F.lit(" "),
+    )
+    confirmed = (
+        cand.join(nodes.select("fragment", norm.alias("nblob")), "fragment")
+        .filter(
+            F.instr(F.col("nblob"), F.concat(F.lit(" "), F.col("name"), F.lit(" ")))
+            > 0
+        )
+        .select("fragment")
+        .distinct()
+    )
+    return confirmed
 
 
 def _range_seeds(
@@ -112,6 +188,33 @@ def _range_seeds(
     return hits
 
 
+def _per_seed_ego_edges(e: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Union of per-seed induced ego edge sets (reference
+    make_ego_graph per matched vertex + union_graphs_with_attributes,
+    network_generator_lib.R:86,122): an edge (u,v) qualifies iff SOME
+    seed s has both u and v inside {s} ∪ N(s). Distinct from the
+    induced subgraph over the union, which would also admit edges
+    between neighbors of different seeds. Implemented as two
+    broadcast equi-joins against the seed adjacency (seed-degree-sized
+    — interactive queries keep it driver-broadcastable)."""
+    s = seeds.select(F.col("fragment").alias("s"))
+    sym = symmetrize(e.select("src", "dst"))
+    adj = (
+        sym.join(F.broadcast(s), sym["src"] == F.col("s"))
+        .select("s", F.col("dst").alias("x"))
+        .union(s.select("s", F.col("s").alias("x")))
+        .distinct()
+    )
+    cand = e.join(F.broadcast(adj.withColumnRenamed("x", "src")), "src")
+    return (
+        cand.join(
+            F.broadcast(adj.withColumnRenamed("x", "dst")), ["s", "dst"], "left_semi"
+        )
+        .select(*e.columns)
+        .distinct()
+    )
+
+
 def search_subnetwork(
     nodes: DataFrame,
     edges: DataFrame,
@@ -119,32 +222,53 @@ def search_subnetwork(
     ensembl2name: DataFrame | None = None,
     expand: int = 0,
     nearest: bool = False,
+    token_index: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Dispatch → seeds → union-of-ego-graphs → induced edges →
-    per-subnet degree. Returns (sub_nodes with ``searched`` string flag
-    and recomputed ``degree``, sub_edges). Empty seeds → empty frames
-    (the "{}" sentinel belongs to the serialization layer)."""
+    """Dispatch → seeds → union of per-seed ego graphs (name terms) /
+    induced-on-union (range terms) → per-subnet degree. Returns
+    (sub_nodes with ``searched`` string flag and recomputed ``degree``,
+    sub_edges). Empty seeds → empty frames (the "{}" sentinel belongs
+    to the serialization layer). Pass ``token_index`` (materialized by
+    plans/materialize) to answer gene queries with an index probe
+    instead of a full-table regex scan."""
     terms = [t for t in re.split(r"[,\s\t]+", search.strip()) if t]
-    seed_frames = []
+    name_frames: list[DataFrame] = []
+    range_frames: list[DataFrame] = []
     for term in terms:
         if _RANGE_RE.match(term):
-            seed_frames.append(_range_seeds(nodes, term, expand, nearest))
+            range_frames.append(_range_seeds(nodes, term, expand, nearest))
         elif _FRAGMENT_RE.match(term):
-            seed_frames.append(
+            name_frames.append(
                 nodes.filter(F.col("fragment") == term.upper()).select("fragment")
             )
         elif _ENSEMBL_RE.match(term) and ensembl2name is not None:
-            seed_frames.append(_ensembl_seeds(nodes, term, ensembl2name))
+            name_frames.append(
+                _ensembl_seeds(nodes, term, ensembl2name, token_index=token_index)
+            )
         else:
-            seed_frames.append(_gene_seeds(nodes, term))
-    seeds = seed_frames[0]
-    for s in seed_frames[1:]:
-        seeds = seeds.union(s)
-    seeds = seeds.distinct()
+            name_frames.append(_gene_seeds(nodes, term, token_index=token_index))
+
+    def _union(frames: list[DataFrame]) -> DataFrame:
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.union(f)
+        return out.distinct()
+
+    seeds = _union(name_frames + range_frames)
 
     e = edges.select("src", "dst", "type")
     hood = ego_nodes(e, seeds.withColumnRenamed("fragment", "node"))
-    sub_edges = induced_subgraph(e, hood)
+    edge_parts: list[DataFrame] = []
+    if name_frames:
+        edge_parts.append(_per_seed_ego_edges(e, _union(name_frames)))
+    if range_frames:
+        rhood = ego_nodes(
+            e, _union(range_frames).withColumnRenamed("fragment", "node")
+        )
+        edge_parts.append(induced_subgraph(e, rhood))
+    sub_edges = edge_parts[0]
+    for p in edge_parts[1:]:
+        sub_edges = sub_edges.union(p).distinct()
     sub_nodes = nodes.join(
         hood.withColumnRenamed("node", "fragment"), "fragment", "left_semi"
     )

@@ -2043,9 +2043,14 @@ def _synthetic_pchic(spark: SparkSession, sf_dir: str) -> DataFrame:
       hood AS (SELECT fragment AS node FROM seeds
                UNION
                SELECT DISTINCT sym.b FROM sym JOIN seeds ON sym.a = seeds.fragment),
+      adj AS (SELECT seeds.fragment AS s, sym.b AS x
+              FROM sym JOIN seeds ON sym.a = seeds.fragment
+              UNION
+              SELECT fragment, fragment FROM seeds),
       sub_edges AS (
-        SELECT src, dst FROM edges
-        WHERE src IN (SELECT node FROM hood) AND dst IN (SELECT node FROM hood)),
+        SELECT DISTINCT e.src, e.dst
+        FROM edges e JOIN adj a1 ON a1.x = e.src
+                     JOIN adj a2 ON a2.x = e.dst AND a2.s = a1.s),
       deg AS (
         SELECT node, COUNT(*) AS degree FROM (
           SELECT src AS node FROM sub_edges UNION ALL SELECT dst FROM sub_edges)
@@ -2059,19 +2064,23 @@ def _synthetic_pchic(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN deg ON v.fragment = deg.node
     """,
     doc="The interactive-search surface end-to-end (SURVEY §2.7 Q3+Q7: "
-    "gene-name word-boundary match → union-of-ego-graphs → induced "
-    "subgraph → searched string flag + per-subnetwork degree; reference "
-    "search_subnetwork, network_generator_lib.R:90-129,212-231) on the "
-    "q63 synthetic network, dispatched by plans/search.search_subnetwork. "
-    "Oracle replicates the full chain in SQL (\\b semantics agree "
-    "between Java regex and RE2).",
+    "gene-name match via inverted-token-index probe → union of PER-SEED "
+    "ego graphs (edge iff one seed's ego set holds both endpoints — "
+    "reference make_ego_graph + union_graphs_with_attributes, "
+    "network_generator_lib.R:86-129,212-231) → searched string flag + "
+    "per-subnetwork degree, on the q63 synthetic network dispatched by "
+    "plans/search.search_subnetwork. The Spark side probes the token "
+    "index (equi-join, no full-table regex scan); the oracle keeps the "
+    "reference's \\b regex — the gate proves the equivalence.",
 )
 def q64_search_ego_subnetwork(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.network_build import build_network
-    from .plans.search import search_subnetwork
+    from .plans.search import build_token_index, search_subnetwork
 
     nodes, edges = build_network(_synthetic_pchic(spark, sf_dir), wt_threshold=30.0)
-    sub_nodes, _sub_edges = search_subnetwork(nodes, edges, "GENE12")
+    sub_nodes, _sub_edges = search_subnetwork(
+        nodes, edges, "GENE12", token_index=build_token_index(nodes)
+    )
     return sub_nodes.select("fragment", "type", "searched", "degree")
 
 
