@@ -104,12 +104,16 @@ def randomize_edges_distance_matched(
     src: str = "src",
     dst: str = "dst",
     dist_bins_per_decade: int = 4,
+    dist_match: bool = True,
 ) -> DataFrame:
     """Distance-matched edge randomization (chaser ``randomize(...,
     dist.match=TRUE)``; reference network_generator_lib.R:533-556;
     SURVEY G12): generate ``n_random`` null edge lists preserving each
     edge's genomic-distance stratum, so random-ChAS intervals are
-    comparable to the observed ChAS.
+    comparable to the observed ChAS. ``dist_match=False`` is chaser's
+    ``dist.match=FALSE`` (used by the reference for the po subnetwork,
+    merge_features.R:103): one global stratum — dst endpoints permute
+    freely across all edges.
 
     Method (distributed, seeded, reproducible):
       - compute each edge's genomic distance |src.start − dst.start|
@@ -148,9 +152,12 @@ def randomize_edges_distance_matched(
         .withColumnRenamed("_start", "_dstart")
     )
     dist = F.abs(F.col("_sstart") - F.col("_dstart"))
-    bucket = F.when(F.col("_schr") != F.col("_dchr"), F.lit(-1)).otherwise(
-        F.floor(F.log10(F.greatest(dist, F.lit(1))) * dist_bins_per_decade)
-    )
+    if dist_match:
+        bucket = F.when(F.col("_schr") != F.col("_dchr"), F.lit(-1)).otherwise(
+            F.floor(F.log10(F.greatest(dist, F.lit(1))) * dist_bins_per_decade)
+        )
+    else:
+        bucket = F.lit(0)
     e = e.select(src, dst, bucket.alias("_bucket"))
     runs = e.sparkSession.range(n_random).withColumnRenamed("id", "run")
     fan = e.crossJoin(F.broadcast(runs))

@@ -14,8 +14,13 @@ Scale notes: the stream moves only file *names* into the driver (the
 batch contents are re-read by the typed per-format readers — predicate
 pushdown and declared schemas intact); the merge itself is the binned
 interval join + groupBy, fully distributed. State is Spark's file-source
-checkpoint (exactly-once per upload); a crashed watcher resumes from the
-checkpoint without reprocessing finished uploads.
+checkpoint; foreachBatch side effects are AT-LEAST-ONCE — a crash after
+``process_upload`` succeeds but before the checkpoint commits replays
+that upload on restart. Results converge because every write is an
+idempotent overwrite (parquet mode=overwrite, atomic status-file
+replace), and the dispatcher additionally skips uploads whose status
+file already reads SUCCESS, so a replayed batch neither recomputes nor
+regresses a finished upload's status.
 
 Format dispatch mirrors backend.py:117-195 (user-declared format +
 column count). Without an HTTP request to carry the format, it is
@@ -105,6 +110,7 @@ def process_upload(
     out_dir: str,
     agg: str = "mean",
     n_random: int = 1,
+    n_random_po: int = 50,
     skip_pp_po: bool = False,
 ) -> dict:
     """The per-upload batch job (one Celery task worth of work):
@@ -146,7 +152,8 @@ def process_upload(
             dense = merge_features(nodes, intervals, agg=agg)
         status.write("PROGRESS", 70, "computing ChAS metadata")
         meta = feature_metadata(
-            nodes, edges, dense, n_random=n_random, skip_pp_po=skip_pp_po
+            nodes, edges, dense, n_random=n_random,
+            n_random_po=n_random_po, skip_pp_po=skip_pp_po,
         )
         dest = os.path.join(out_dir, upload)
         dense.write.mode("overwrite").parquet(
@@ -190,6 +197,18 @@ def watch_feature_uploads(
         ]
         for uri in sorted(files):
             local = uri.removeprefix("file://") or uri
+            # at-least-once guard: a replayed batch (crash between
+            # process_upload and the checkpoint commit) skips uploads
+            # already finished, instead of briefly regressing their
+            # status SUCCESS → PROGRESS
+            upload = os.path.basename(local).split(".")[0]
+            st_path = os.path.join(out_dir, "_status", f"{upload}.status.json")
+            try:
+                with open(st_path) as fh:
+                    if json.load(fh).get("state") == "SUCCESS":
+                        continue
+            except (OSError, ValueError):
+                pass
             process_upload(
                 spark, local, nodes, edges, out_dir,
                 agg=agg, n_random=n_random,

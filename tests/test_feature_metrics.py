@@ -109,19 +109,31 @@ def test_feature_metadata_bundle(spark, network):
         ],
         "fragment string, feature string, value double",
     )
-    meta = feature_metadata(nodes, edges, feats_long, n_random=3, seed=1)
-    assert set(meta) == {"net", "pp", "po", "random_chas"}
+    meta = feature_metadata(
+        nodes, edges, feats_long, n_random=3, n_random_po=3, seed=1
+    )
+    assert set(meta) == {"net", "pp", "po"}
     assert meta["net"]["Abundance"]["EZH2"] == 1.5  # mean(1,2,3,0)
-    # mean degree of feature-positive nodes: degrees 2,1,2 → 5/3
-    assert abs(meta["net"]["MeanDegree"]["EZH2"] - round(5 / 3, 6)) < 1e-9
+    # mean degree of feature-positive nodes: degrees 2,1,2 → 5/3,
+    # reference rounds to 2 decimals (network_generator_lib.R:560)
+    assert meta["net"]["Mean degree"]["EZH2"] == round(5 / 3, 2)
     # ChAS is a valid correlation
     assert -1.0 <= meta["net"]["ChAs"]["EZH2"] <= 1.0
-    # pp subset: single edge between the two P nodes
-    assert meta["pp"]["ChAs"]["EZH2"] is None or isinstance(
-        meta["pp"]["ChAs"]["EZH2"], float
-    )
-    lo, hi = meta["random_chas"]["EZH2"]
+    # pp subset metrics are computed ON the subset network: the single
+    # P-P edge spans 1_100_200 (1.0) and 1_500_600 (3.0) → abundance
+    # mean(1,3)=2, both endpoints degree 1
+    assert meta["pp"]["Abundance"]["EZH2"] == 2.0
+    assert meta["pp"]["Mean degree"]["EZH2"] == 1.0
+    # po subset: both P-O edges, endpoints = all 4 nodes
+    assert meta["po"]["Abundance"]["EZH2"] == 1.5
+    # per-subnetwork random-ChAS interval, reference 'min,max' string
+    # encoding rounded to 3 (network_generator_lib.R:554)
+    interval = meta["net"]["Random ChAs interval"]["EZH2"]
+    lo, hi = (float(x) for x in interval.split(","))
     assert lo <= hi
+    assert "Random ChAs interval" in meta["po"]
     # deterministic across invocations
-    meta2 = feature_metadata(nodes, edges, feats_long, n_random=3, seed=1)
+    meta2 = feature_metadata(
+        nodes, edges, feats_long, n_random=3, n_random_po=3, seed=1
+    )
     assert meta == meta2

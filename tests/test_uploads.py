@@ -63,8 +63,9 @@ def test_process_upload_writes_results_and_status(spark, network, tmp_path):
     nodes, edges = network
     out = str(tmp_path / "out")
     p = _mkfile(str(tmp_path), "h3k27.bed", ["chr1\t150\t350\t2.0", "chr1\t380\t550\t4.0"])
-    meta = process_upload(spark, p, nodes, edges, out, n_random=1)
-    assert set(meta) >= {"net", "pp", "po", "random_chas"}
+    meta = process_upload(spark, p, nodes, edges, out, n_random=1, n_random_po=2)
+    assert set(meta) == {"net", "pp", "po"}
+    assert "Random ChAs interval" in meta["net"]
     vals = {
         (r["fragment"], r["feature"]): r["value"]
         for r in spark.read.parquet(os.path.join(out, "h3k27", "features.parquet")).collect()
