@@ -984,12 +984,28 @@ def q30_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q31_minhash_lsh_dedup",
-    None,  # probabilistic recall (LSH S-curve) — not SQL-expressible;
-    # precision + determinism are pinned by tests/test_dedup.py
+    f"""
+    WITH {_SHINGLES_SQL},
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(c * 1.0 / (x.n + y.n - c), 9) AS jaccard
+    FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+    WHERE c * 1.0 / (x.n + y.n - c) >= 0.5
+    """,
     doc="MinHash(64 hashes over word-trigram shingles) + LSH banding (16×4) "
     "candidates + exact Jaccard verification τ=0.5. The 100 TB dedup path: "
     "map-side-combinable signature aggregation, banded equi-join "
-    "candidates, verification only on candidates.",
+    "candidates, verification only on candidates. Oracle = the EXACT "
+    "inverted-index Jaccard pairs (q30's ground truth): candidate "
+    "verification makes precision exact, so Spark ⊆ oracle always; the "
+    "hash gate then asserts recall is complete on this corpus — its "
+    "near-dup pairs sit far above τ on the LSH S-curve, and the seeded "
+    "pipeline is fully deterministic, so this is a stable equality, not "
+    "a flaky probabilistic assertion (recall-vs-τ behavior is "
+    "additionally pinned by tests/test_dedup.py).",
 )
 def q31_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_dedup_pairs
@@ -1715,18 +1731,44 @@ def q56_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs(emb, threshold=0.3)
 
 
+_Q57_PERT_SQL = """
+  CASE WHEN d.i = 1
+       THEN CAST(CAST(b.embedding[1] AS DOUBLE) * 1.1 + 0.01 AS FLOAT)
+       ELSE b.embedding[d.i] END
+"""
+
+
 @register(
     "q57_embedding_dup_pairs_lsh",
-    None,  # LSH blocking is probabilistic-recall by design; precision is
-    # exact (candidates are re-checked with the same decimal-exact cosine
-    # as q56). Recall measured against exact pairs in
-    # tests/test_similarity.py on planted near-duplicates.
+    f"""
+    WITH dims AS (SELECT CAST(unnest(generate_series(1, 64)) AS INT) AS i),
+      base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+      scored AS (
+        SELECT b.vec_id AS id_a, b.vec_id + 1000000 AS id_b,
+               CAST(SUM(CAST(CAST(b.embedding[d.i] AS DOUBLE)
+                             * CAST(({_Q57_PERT_SQL}) AS DOUBLE)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+               CAST(SUM(CAST(CAST(b.embedding[d.i] AS DOUBLE)
+                             * CAST(b.embedding[d.i] AS DOUBLE)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS na,
+               CAST(SUM(CAST(CAST(({_Q57_PERT_SQL}) AS DOUBLE)
+                             * CAST(({_Q57_PERT_SQL}) AS DOUBLE)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS nb
+        FROM base b, dims d GROUP BY b.vec_id)
+    SELECT id_a, id_b, ROUND(dot / (SQRT(na) * SQRT(nb)), 9) AS cosine
+    FROM scored WHERE ROUND(dot / (SQRT(na) * SQRT(nb)), 9) >= 0.9
+    """,
     doc="LSH-blocked embedding near-dup over the FULL corpus plus 50 "
     "deterministically perturbed copies (planted dups, cosine ≈ 0.999): "
     "linear bucket-assignment scan, candidate pairs only from band-bucket "
     "collisions (shuffle keyed on (band,bucket), never all-pairs), exact "
-    "decimal re-check at τ=0.9. Expected result: exactly the 50 planted "
-    "pairs — the corpus itself has no cosine ≥ 0.9 pair.",
+    "decimal re-check at τ=0.9. Oracle = the 50 planted pairs with their "
+    "exact-decimal cosines (the corpus itself has no cosine ≥ 0.9 pair, "
+    "and a 0.999-cosine pair misses all 8 seeded bands with probability "
+    "~2e-8 — deterministically zero here since the hash planes are "
+    "seeded): the hash gate asserts planted recall 50/50 AND exact "
+    "precision/score parity, replicating the float32 perturbation "
+    "bit-exactly in SQL.",
 )
 def q57_embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import embedding_dup_pairs_lsh
