@@ -197,50 +197,44 @@ def q05_fact_fact_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q06_semi_join",
+    "q06_semi_anti_join",
     """
-    SELECT c.c_mktsegment AS segment, COUNT(*) AS n_customers
+    SELECT 'semi' AS gate, c.c_mktsegment AS grp, COUNT(*) AS n
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')
     GROUP BY c.c_mktsegment
-    """,
-    doc="Left-semi membership join (SURVEY J8: oe ∈ baits edge typing, "
-    "reference network_generator_lib.R:465-473).",
-)
-def q06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-        .groupBy(F.col("c_mktsegment").alias("segment"))
-        .count()
-        .withColumnRenamed("count", "n_customers")
-    )
-
-
-@register(
-    "q07_anti_join",
-    """
-    SELECT p.p_brand AS brand, COUNT(*) AS n_parts
+    UNION ALL
+    SELECT 'anti', p.p_brand, COUNT(*)
     FROM part p
     WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                       WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 40)
     GROUP BY p.p_brand
     """,
-    doc="Left-anti set difference (SURVEY J9/U3: oes = nodes − baits, "
-    "reference network_generator.R:262-263).",
+    doc="Left-semi membership join (SURVEY J8: oe ∈ baits edge typing, "
+    "reference network_generator_lib.R:465-473) + left-anti set "
+    "difference (SURVEY J9/U3: oes = nodes − baits, reference "
+    "network_generator.R:262-263), tagged union (former q06/q07 gates).",
 )
-def q07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q06_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("grp"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("semi").alias("gate"), "grp", "n")
+    )
     p = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40)
-    return (
+    anti = (
         p.join(li, p.p_partkey == li.l_partkey, "left_anti")
-        .groupBy(F.col("p_brand").alias("brand"))
-        .count()
-        .withColumnRenamed("count", "n_parts")
+        .groupBy(F.col("p_brand").alias("grp"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("anti").alias("gate"), "grp", "n")
     )
+    return semi.unionByName(anti)
 
 
 @register(
@@ -380,33 +374,40 @@ def q12_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q13_window_running_sum",
+    "q13_window_suite",
     """
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8)))
                 OVER (PARTITION BY o_custkey
                       ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS running_spend
+             AS running_spend,
+           CAST(o_totalprice - LAG(o_totalprice) OVER w AS DOUBLE) AS delta_prev,
+           LEAD(o_orderkey) OVER w AS next_order
     FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
-    doc="Running aggregate over a total-ordered window (decimal-exact so the "
-    "running sum is order-of-evaluation independent).",
+    doc="Window-function suite over one total-ordered per-customer window "
+    "(former q13/q55 gates): decimal-exact running sum (order-of-"
+    "evaluation independent) + LAG delta / LEAD successor (IEEE "
+    "subtraction of the same two doubles is engine-identical). One "
+    "shuffle on o_custkey serves all three frames.",
 )
-def q13_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q13_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return o.select(
         "o_custkey",
         "o_orderkey",
         F.sum(F.col("o_totalprice").cast("decimal(38,8)"))
-        .over(w)
+        .over(wsum)
         .cast("double")
         .alias("running_spend"),
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w))
+        .cast("double")
+        .alias("delta_prev"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
     )
 
 
@@ -461,31 +462,53 @@ def q15_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q16_grouping_sets",
+    "q16_grouping_lattice",
     f"""
-    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+    SELECT 'gsets' AS gate, COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
-           COUNT(*) AS n, {oracle_dsum('l_quantity')} AS sum_qty
+           COUNT(*) AS n, {oracle_dsum('l_quantity')} AS sum_val
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    UNION ALL
+    SELECT 'cube', COALESCE(l_returnflag, 'ALL'),
+           COALESCE(l_linestatus, 'ALL'),
+           COUNT(*), {oracle_dsum('l_extendedprice')}
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
-    doc="GROUPING SETS — the Spark-native form of the reference's net/pp/po "
-    "triple-subset aggregation (SURVEY §2.4 note, reference "
-    "network_generator.R:255-266): one pass instead of three.",
+    doc="Grouping-lattice suite (former q16/q48 gates): GROUPING SETS — "
+    "the Spark-native form of the reference's net/pp/po triple-subset "
+    "aggregation (SURVEY §2.4 note, reference network_generator.R:"
+    "255-266), one pass instead of three — plus the full CUBE lattice "
+    "over two categoricals, tagged union.",
 )
-def q16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q16_grouping_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("lineitem_gs")
-    return spark.sql(
+    gs = spark.sql(
         f"""
-        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        SELECT 'gsets' AS gate, COALESCE(l_returnflag, 'ALL') AS returnflag,
                COALESCE(l_linestatus, 'ALL') AS linestatus,
                COUNT(*) AS n,
-               {exact_dsum_sql('l_quantity')} AS sum_qty
+               {exact_dsum_sql('l_quantity')} AS sum_val
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+    cube = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            exact.dsum(F.col("l_extendedprice")).alias("sum_val"),
+        )
+        .select(
+            F.lit("cube").alias("gate"),
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_val",
+        )
+    )
+    return gs.unionByName(cube)
 
 
 def exact_dsum_sql(expr: str) -> str:
@@ -742,21 +765,55 @@ def q22_graph_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q23_degrees",
+    "q23_node_metrics",
     f"""
-    WITH e AS ({_GRAPH_EDGES_SQL})
-    SELECT node, COUNT(*) AS degree FROM (
-      SELECT src AS node FROM e UNION ALL SELECT dst FROM e
-    ) GROUP BY node
+    WITH RECURSIVE e AS ({_GRAPH_EDGES_SQL}),
+      deg AS (SELECT node, COUNT(*) AS degree FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      ) GROUP BY node),
+      sym AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+      nodes AS (SELECT DISTINCT a AS node FROM sym),
+      reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+      ),
+      comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+      walk(node, d) AS (
+        SELECT CAST(1 AS BIGINT), 0
+        UNION
+        SELECT sym.b, walk.d + 1 FROM walk JOIN sym ON walk.node = sym.a
+        WHERE walk.d < 40
+      ),
+      bfs AS (SELECT node, MIN(d) AS dist FROM walk GROUP BY node)
+    SELECT d.node, d.degree, c.component, b.dist
+    FROM deg d JOIN comp c USING (node) LEFT JOIN bfs b USING (node)
     """,
-    doc="Per-node degree (SURVEY A3/G8: degree(net), reference "
-    "network_generator.R:151) — union of endpoints + count, map-side "
-    "partial agg.",
+    doc="Per-node graph metrics in one result (former q23/q25/q27 gates): "
+    "degree (SURVEY A3/G8, union of endpoints + map-side partial agg; "
+    "reference degree(net), network_generator.R:151), connected "
+    "component by two-level contraction (SURVEY G5: components(net), "
+    "reference network_generator_lib.R:415-417; oracle = recursive-CTE "
+    "transitive closure), and single-source BFS distance by distributed "
+    "frontier expansion (SURVEY G6 building block; NULL for nodes "
+    "unreachable from the seed).",
 )
-def q23_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.graph import degrees
+def q23_node_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import bfs_distances, connected_components, degrees
 
-    return degrees(_graph_edges(spark, sf_dir))
+    edges = _graph_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    deg = degrees(edges)
+    comp = connected_components(nodes, edges)
+    seeds = edges.sparkSession.createDataFrame([(1,)], "node long")
+    bfs = bfs_distances(edges, seeds).select(
+        "node", F.col("dist").cast("int").alias("dist")
+    )
+    return deg.join(comp, "node").join(bfs, "node", "left")
 
 
 @register(
@@ -785,37 +842,7 @@ def q24_ego_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q25_connected_components",
-    f"""
-    WITH RECURSIVE e AS ({_GRAPH_EDGES_SQL}),
-      sym AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
-      nodes AS (SELECT DISTINCT a AS node FROM sym),
-      reach(node, r) AS (
-        SELECT node, node FROM nodes
-        UNION
-        SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
-      )
-    SELECT node, MIN(r) AS component FROM reach GROUP BY node
-    """,
-    doc="Connected components by iterative min-label propagation with "
-    "lineage checkpointing (SURVEY G5: components(net), reference "
-    "network_generator_lib.R:415-417). Oracle = recursive-CTE transitive "
-    "closure — checkable exactly, not rows-only.",
-)
-def q25_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.graph import connected_components
-
-    edges = _graph_edges(spark, sf_dir)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select("dst"))
-        .distinct()
-    )
-    return connected_components(nodes, edges)
-
-
-@register(
-    "q26_transitivity",
+    "q26_graph_scalars",
     f"""
     WITH e AS ({_GRAPH_EDGES_SQL}),
       tri AS (SELECT COUNT(*) AS triangles
@@ -823,17 +850,34 @@ def q25_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                         JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
       deg AS (SELECT node, COUNT(*) AS degree FROM (
                 SELECT src AS node FROM e UNION ALL SELECT dst FROM e) GROUP BY node),
-      tpl AS (SELECT CAST(SUM(degree * (degree - 1) / 2) AS DOUBLE) AS triples FROM deg)
+      tpl AS (SELECT CAST(SUM(degree * (degree - 1) / 2) AS DOUBLE) AS triples FROM deg),
+      pairs AS (
+        SELECT CAST((src * 37) % 101 AS DOUBLE) AS x,
+               CAST((dst * 37) % 101 AS DOUBLE) AS y FROM e
+        UNION ALL
+        SELECT CAST((dst * 37) % 101 AS DOUBLE), CAST((src * 37) % 101 AS DOUBLE) FROM e
+      ),
+      ch AS (SELECT {oracle_corr('x', 'y')} AS chas FROM pairs)
     SELECT triangles, triples,
-           3.0 * triangles / triples AS transitivity
-    FROM tri, tpl
+           3.0 * triangles / triples AS transitivity, chas
+    FROM tri, tpl, ch
     """,
-    doc="Global clustering coefficient: triangles via 3-way self-join of "
+    doc="Whole-graph scalar metrics in one row (former q26/q28 gates): "
+    "global clustering coefficient — triangles via 3-way self-join of "
     "canonical a<b edges + triples from degrees (SURVEY G7: "
-    "transitivity(net), reference network_generator_lib.R:436).",
+    "transitivity(net), reference network_generator_lib.R:436) — and "
+    "ChAS, the per-feature Pearson assortativity of node values across "
+    "symmetrized edge endpoints (SURVEY G11: chaser::chas, Pancaldi et "
+    "al. Genome Biol 2016; reference network_generator_lib.R:535,541), "
+    "exact moment sums so the corr is order-independent.",
 )
-def q26_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _graph_edges(spark, sf_dir)
+def q26_graph_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.chas import chas
+    from .operators.graph import degrees
+
+    # the derived edge table feeds five scans (triangle join legs, degree
+    # union, both chas directions) — materialize it once
+    edges = _graph_edges(spark, sf_dir).localCheckpoint(eager=True)
     e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
@@ -842,70 +886,11 @@ def q26_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e3, ["a", "c"], "left_semi")
         .agg(F.count("*").alias("triangles"))
     )
-    from .operators.graph import degrees
-
     tpl = degrees(edges).agg(
         F.sum(F.col("degree") * (F.col("degree") - 1) / 2)
         .cast("double")
         .alias("triples")
     )
-    return tri.crossJoin(tpl).select(
-        "triangles",
-        "triples",
-        (3.0 * F.col("triangles") / F.col("triples")).alias("transitivity"),
-    )
-
-
-@register(
-    "q27_bfs_distances",
-    f"""
-    WITH RECURSIVE e AS ({_GRAPH_EDGES_SQL}),
-      sym AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
-      walk(node, d) AS (
-        SELECT CAST(1 AS BIGINT), 0
-        UNION
-        SELECT sym.b, walk.d + 1 FROM walk JOIN sym ON walk.node = sym.a
-        WHERE walk.d < 40
-      )
-    SELECT node, MIN(d) AS dist FROM walk GROUP BY node
-    """,
-    doc="Single-source BFS distances by distributed frontier expansion "
-    "(SURVEY G6 building block: diameter/shortest paths). Oracle = bounded "
-    "recursive walk + MIN.",
-)
-def q27_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.graph import bfs_distances
-
-    edges = _graph_edges(spark, sf_dir)
-    seeds = spark.createDataFrame([(1,)], "node long")
-    return bfs_distances(edges, seeds).select("node", F.col("dist").cast("int").alias("dist"))
-
-
-@register(
-    "q28_assortativity_chas",
-    f"""
-    WITH e AS ({_GRAPH_EDGES_SQL}),
-      pairs AS (
-        SELECT CAST((src * 37) % 101 AS DOUBLE) AS x,
-               CAST((dst * 37) % 101 AS DOUBLE) AS y FROM e
-        UNION ALL
-        SELECT CAST((dst * 37) % 101 AS DOUBLE), CAST((src * 37) % 101 AS DOUBLE) FROM e
-      )
-    SELECT 'f1' AS feature, {oracle_corr('x', 'y')} AS chas
-    FROM pairs
-    """,
-    doc="ChAS: per-feature Pearson assortativity of node values across "
-    "symmetrized edge endpoints (SURVEY G11: chaser::chas, Pancaldi et al. "
-    "Genome Biol 2016; reference network_generator_lib.R:535,541) — exact "
-    "moment sums so the corr is order-independent.",
-)
-def q28_assortativity_chas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.chas import chas
-
-    # chas() scans the edge list three times (both symmetrized directions
-    # + the node-value derivation) — materialize the small derived edge
-    # table once instead of re-running the lineitem scan + dedup per use
-    edges = _graph_edges(spark, sf_dir).localCheckpoint(eager=True)
     feats = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select("dst"))
@@ -916,7 +901,17 @@ def q28_assortativity_chas(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("node") * 37) % 101).cast("double").alias("value"),
         )
     )
-    return chas(edges, feats)
+    ch = chas(edges, feats).select("chas")
+    return (
+        tri.crossJoin(tpl)
+        .crossJoin(ch)
+        .select(
+            "triangles",
+            "triples",
+            (3.0 * F.col("triangles") / F.col("triples")).alias("transitivity"),
+            "chas",
+        )
+    )
 
 
 # =====================================================================
@@ -1035,108 +1030,86 @@ def q32_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q33_token_count",
+    "q33_text_metrics",
     r"""
-    SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-           len(text) AS n_chars
-    FROM documents
+    WITH lang AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein)\b')) AS c_de,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS c_en,
+             len(regexp_extract_all(lower(text), '\b(el|la|los|y|es|una|que)\b')) AS c_es,
+             len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|que)\b')) AS c_fr
+      FROM documents),
+      qm AS (
+        SELECT doc_id, text, len(text) AS n,
+               len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+               len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS alpha,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
+        FROM documents),
+      clean AS (SELECT doc_id,
+                       regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS t
+                FROM documents),
+      idx AS (SELECT CAST(unnest(generate_series(
+                       1, (SELECT COALESCE(MAX(len(t)), 1) FROM clean))) AS INT) AS i),
+      fp AS (SELECT c.doc_id,
+                    CAST(COALESCE(SUM(ascii(substr(c.t, i.i, 1))
+                                      * (((i.i - 1) % 64) + 1)), 0)
+                         % 2147483647 AS BIGINT) AS fingerprint
+             FROM clean c LEFT JOIN idx i ON i.i <= len(c.t)
+             GROUP BY c.doc_id)
+    SELECT d.doc_id,
+           CASE WHEN trim(d.text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END AS n_tokens,
+           len(d.text) AS n_chars,
+           CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+                WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                WHEN c_es >= c_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           CASE WHEN qm.text IS NULL OR qm.n = 0 OR qm.ntok = 0 THEN 0.0 ELSE ROUND(
+             0.25 * (CASE WHEN qm.n BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
+           + 0.25 * (1.0 - CAST(qm.punct AS DOUBLE) / qm.n)
+           + 0.25 * CAST(qm.alpha AS DOUBLE) / qm.n
+           + 0.25 * (CASE WHEN CAST(qm.n - qm.ntok + 1 AS DOUBLE) / greatest(qm.ntok, 1)
+                          BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END), 6) END AS quality,
+           fp.fingerprint,
+           len(regexp_extract_all(d.text,
+             '''(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+             AS n_bpe_tokens
+    FROM documents d
+    JOIN lang USING (doc_id) JOIN qm USING (doc_id) JOIN fp USING (doc_id)
     """,
-    doc="Whitespace token counting — per-row, codegen-friendly, no UDF.",
+    doc="Text-analysis suite — one per-document pass computing every "
+    "§text-analysis gate (former q33/q34/q35/q36/q62): whitespace token "
+    "count + char count, stopword-hit language ID (argmax, alphabetical "
+    "tie-break, the same \\b word-boundary regex technique as the "
+    "reference's gene search, network_generator_lib.R:112), heuristic "
+    "quality score (length/punct ratio/alpha ratio/mean word length), "
+    "position-weighted rolling fingerprint mod 2^31−1 (array HOFs, no "
+    "explode/shuffle), and the GPT-2-style BPE pre-tokenizer count "
+    "(lookahead-free so Java regex and RE2 agree). All pure JVM column "
+    "expressions in ONE projection — zero UDFs, zero shuffles; the "
+    "oracle replicates each metric as a CTE joined on doc_id.",
 )
-def q33_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import token_count
+def q33_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import (
+        bpe_token_count,
+        doc_fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
 
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
         F.length("text").alias("n_chars"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        quality_score(F.col("text")).alias("quality"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
     )
-
-
-@register(
-    "q34_lang_id",
-    r"""
-    WITH hits AS (
-      SELECT doc_id,
-             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein)\b')) AS c_de,
-             len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS c_en,
-             len(regexp_extract_all(lower(text), '\b(el|la|los|y|es|una|que)\b')) AS c_es,
-             len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|que)\b')) AS c_fr
-      FROM documents)
-    SELECT doc_id,
-           CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
-                WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
-                WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
-                WHEN c_es >= c_fr THEN 'es'
-                ELSE 'fr' END AS lang_pred
-    FROM hits
-    """,
-    doc="Stopword-hit language ID heuristic, argmax with alphabetical "
-    "tie-break (word-boundary regex — the same \\b technique as the "
-    "reference's gene-name search, network_generator_lib.R:112).",
-)
-def q34_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import lang_id
-
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
-
-
-@register(
-    "q35_quality_score",
-    r"""
-    WITH m AS (
-      SELECT doc_id, text, len(text) AS n,
-             len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
-             len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS alpha,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
-      FROM documents)
-    SELECT doc_id,
-           CASE WHEN text IS NULL OR n = 0 OR ntok = 0 THEN 0.0 ELSE ROUND(
-             0.25 * (CASE WHEN n BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
-           + 0.25 * (1.0 - CAST(punct AS DOUBLE) / n)
-           + 0.25 * CAST(alpha AS DOUBLE) / n
-           + 0.25 * (CASE WHEN CAST(n - ntok + 1 AS DOUBLE) / greatest(ntok, 1)
-                          BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END), 6) END AS quality
-    FROM m
-    """,
-    doc="Heuristic document quality score (length / punctuation ratio / "
-    "alpha ratio / mean word length), pure column arithmetic.",
-)
-def q35_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import quality_score
-
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
-
-
-@register(
-    "q36_fingerprint",
-    """
-    WITH clean AS (SELECT doc_id,
-                          regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS t
-                   FROM documents),
-      idx AS (SELECT CAST(unnest(generate_series(
-                       1, (SELECT COALESCE(MAX(len(t)), 1) FROM clean))) AS INT) AS i)
-    SELECT c.doc_id,
-           CAST(COALESCE(SUM(ascii(substr(c.t, i.i, 1)) * (((i.i - 1) % 64) + 1)), 0)
-                % 2147483647 AS BIGINT) AS fingerprint
-    FROM clean c LEFT JOIN idx i ON i.i <= len(c.t)
-    GROUP BY c.doc_id
-    """,
-    doc="Position-weighted rolling document fingerprint (mod 2^31−1) — "
-    "computed per-row with array higher-order functions (no explode, no "
-    "shuffle); oracle unrolls via generate_series.",
-)
-def q36_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import doc_fingerprint
-
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
 # --- similarity search -------------------------------------------------
@@ -1211,55 +1184,53 @@ def q38_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q39_tumbling_window",
+    "q39_event_windows",
     f"""
-    SELECT strftime(to_timestamp(floor(epoch(ts) / 300) * 300),
+    SELECT 'tumbling' AS gate,
+           strftime(to_timestamp(floor(epoch(ts) / 300) * 300),
                     '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type, COUNT(*) AS n, {oracle_dsum('value')} AS sum_value
-    FROM events GROUP BY 1, 2
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding',
+           strftime(to_timestamp(wstart), '%Y-%m-%d %H:%M:%S'),
+           NULL, COUNT(*), {oracle_dsum('value')}
+    FROM (SELECT floor(epoch(ts) / 300) * 300 - 300 * s.off AS wstart, value
+          FROM events, (VALUES (0), (1)) AS s(off))
+    GROUP BY wstart
     """,
-    doc="Tumbling event-time window (5 min) per event type — F.window(); "
-    "identical expression runs under Structured Streaming with a watermark "
-    "(streaming/windows.py).",
+    doc="Event-time window suite (former q39/q40 gates), tagged union: "
+    "tumbling 5-min window per event type (F.window()) + sliding window "
+    "(10 min size, 5 min slide — each event lands in 2 windows; oracle "
+    "= union of shifted buckets). The identical expressions run under "
+    "Structured Streaming with a watermark (streaming/windows.py; "
+    "batch/stream equivalence pinned in tests/test_streaming.py).",
 )
-def q39_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q39_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    return (
+    tumbling = (
         ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), exact.dsum(F.col("value")).alias("sum_value"))
         .select(
+            F.lit("tumbling").alias("gate"),
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
             "n",
             "sum_value",
         )
     )
-
-
-@register(
-    "q40_sliding_window",
-    f"""
-    WITH buckets AS (
-      SELECT floor(epoch(ts) / 300) * 300 - 300 * s.off AS wstart, value
-      FROM events, (VALUES (0), (1)) AS s(off))
-    SELECT strftime(to_timestamp(wstart), '%Y-%m-%d %H:%M:%S') AS window_start,
-           COUNT(*) AS n, {oracle_dsum('value')} AS sum_value
-    FROM buckets GROUP BY wstart
-    """,
-    doc="Sliding window (10 min size, 5 min slide): each event lands in 2 "
-    "windows — F.window(size, slide); oracle = union of shifted buckets.",
-)
-def q40_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    return (
+    sliding = (
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(F.count("*").alias("n"), exact.dsum(F.col("value")).alias("sum_value"))
         .select(
+            F.lit("sliding").alias("gate"),
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.lit(None).cast("string").alias("event_type"),
             "n",
             "sum_value",
         )
     )
+    return tumbling.unionByName(sliding)
 
 
 @register(
@@ -1366,95 +1337,74 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q45_array_ops",
-    """
-    SELECT token, ROW_NUMBER() OVER (ORDER BY token) AS rank FROM (
-      SELECT DISTINCT unnest(string_split(p_name, ' ')) AS token
-      FROM part) WHERE token <> ''
+    "q45_scalar_misc",
+    f"""
+    SELECT 'array_rank' AS gate, token AS k, CAST(rank AS DOUBLE) AS val
+    FROM (SELECT token, ROW_NUMBER() OVER (ORDER BY token) AS rank FROM (
+            SELECT DISTINCT unnest(string_split(p_name, ' ')) AS token
+            FROM part) WHERE token <> '')
+    UNION ALL
+    SELECT 'cd_' || metric, segment, CAST(v AS DOUBLE) FROM (
+      SELECT c_mktsegment AS segment,
+             COUNT(DISTINCT c_nationkey) AS n_nations,
+             COUNT(DISTINCT c_custkey % 100) AS n_buckets,
+             COUNT(*) AS n_rows
+      FROM customer GROUP BY c_mktsegment)
+    UNPIVOT (v FOR metric IN (n_nations, n_buckets, n_rows))
+    UNION ALL
+    SELECT 'json_' || metric, event_type, v FROM (
+      SELECT event_type,
+             {oracle_dsum("CAST(json_extract_string(props, '$.k') AS INT)")} AS sum_k,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY event_type)
+    UNPIVOT (v FOR metric IN (sum_k, n))
     """,
-    doc="Array pipeline: split → explode → distinct → sorted with rank "
-    "(SURVEY A9/W4: suggestions list, reference "
-    "network_generator_lib.R:397-405; §2.8 unnest).",
+    doc="Scalar-kernel suite as a (gate, key, value) long form (former "
+    "q45/q46/q47 gates): split → explode → distinct → sorted-with-rank "
+    "array pipeline (SURVEY A9/W4: suggestions list, reference "
+    "network_generator_lib.R:397-405), multi count-distinct in one agg "
+    "(SURVEY A9; approx_count_distinct is the at-scale variant, gated "
+    "rows-only in q51), and JSON field extraction + aggregate "
+    "(get_json_object — the nested-output boundary of SURVEY S11 in "
+    "reverse).",
 )
-def q45_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     toks = (
         p.select(F.explode(F.split(F.col("p_name"), " ")).alias("token"))
         .filter(F.col("token") != "")
         .distinct()
     )
-    return toks.select("token", F.row_number().over(W.orderBy("token")).alias("rank"))
-
-
-@register(
-    "q46_count_distinct",
-    """
-    SELECT c_mktsegment AS segment,
-           COUNT(DISTINCT c_nationkey) AS n_nations,
-           COUNT(DISTINCT c_custkey % 100) AS n_buckets,
-           COUNT(*) AS n_rows
-    FROM customer GROUP BY c_mktsegment
-    """,
-    doc="Multi count-distinct in one agg (SURVEY A9: unique gene names / "
-    "chromosomes). approx_count_distinct is the at-scale variant (not "
-    "oracle-matchable — HLL sketches are engine-specific).",
-)
-def q46_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arr = toks.select(
+        F.lit("array_rank").alias("gate"),
+        F.col("token").alias("k"),
+        F.row_number().over(W.orderBy("token")).cast("double").alias("val"),
+    )
     c = _t(spark, sf_dir, "customer")
-    return c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+    cd = c.groupBy(F.col("c_mktsegment").alias("k")).agg(
         F.countDistinct("c_nationkey").alias("n_nations"),
         F.countDistinct(F.col("c_custkey") % 100).alias("n_buckets"),
         F.count("*").alias("n_rows"),
     )
-
-
-@register(
-    "q47_json_extract",
-    f"""
-    SELECT event_type,
-           {oracle_dsum("CAST(json_extract_string(props, '$.k') AS INT)")} AS sum_k,
-           COUNT(*) AS n
-    FROM events GROUP BY event_type
-    """,
-    doc="JSON field extraction from a string column (get_json_object) + "
-    "aggregate — the nested-output boundary of SURVEY S11 exercised in "
-    "reverse.",
-)
-def q47_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cd_long = cd.unpivot(
+        ["k"], ["n_nations", "n_buckets", "n_rows"], "metric", "v"
+    ).select(
+        F.concat(F.lit("cd_"), F.col("metric")).alias("gate"),
+        "k",
+        F.col("v").cast("double").alias("val"),
+    )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("int")
-    return ev.groupBy("event_type").agg(
-        exact.dsum(k).alias("sum_k"), F.count("*").alias("n")
+    kx = F.get_json_object(F.col("props"), "$.k").cast("int")
+    js = ev.groupBy(F.col("event_type").alias("k")).agg(
+        exact.dsum(kx).alias("sum_k"), F.count("*").cast("double").alias("n")
     )
-
-
-@register(
-    "q48_cube",
-    f"""
-    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
-           COALESCE(l_linestatus, 'ALL') AS linestatus,
-           COUNT(*) AS n, {oracle_dsum('l_extendedprice')} AS sum_price
-    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-    doc="CUBE over two categoricals — the full-lattice generalization of "
-    "q16's GROUPING SETS (Spark-native multidimensional rollup).",
-)
-def q48_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.count("*").alias("n"),
-            exact.dsum(F.col("l_extendedprice")).alias("sum_price"),
-        )
-        .select(
-            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
-            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
-            "n",
-            "sum_price",
-        )
+    js_long = js.unpivot(["k"], ["sum_k", "n"], "metric", "v").select(
+        F.concat(F.lit("json_"), F.col("metric")).alias("gate"),
+        "k",
+        F.col("v").alias("val"),
     )
+    return arr.unionByName(cd_long).unionByName(js_long)
 
 
 @register(
@@ -1505,32 +1455,6 @@ def q54_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ivf_cosine_topk(
         emb, queries, k=5, nprobe=4, n_centroids=32, refine_iters=1
-    )
-
-
-@register(
-    "q55_lag_lead",
-    """
-    SELECT o_custkey, o_orderkey,
-           CAST(o_totalprice - LAG(o_totalprice) OVER w AS DOUBLE) AS delta_prev,
-           LEAD(o_orderkey) OVER w AS next_order
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    """,
-    doc="LAG/LEAD over a total-ordered per-customer window — sequential "
-    "deltas without self-joins (IEEE subtraction of the same two doubles "
-    "is engine-identical, no decimal needed).",
-)
-def q55_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        (F.col("o_totalprice") - F.lag("o_totalprice").over(w))
-        .cast("double")
-        .alias("delta_prev"),
-        F.lead("o_orderkey").over(w).alias("next_order"),
     )
 
 
@@ -1657,7 +1581,7 @@ def q53_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q41_session_window",
+    "q41_sessionization",
     f"""
     WITH flagged AS (
       SELECT user_id, ts, value,
@@ -1668,29 +1592,73 @@ def q53_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts, value,
                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
                                    ROWS UNBOUNDED PRECEDING) AS sid
-        FROM flagged)
-    SELECT user_id,
+        FROM flagged),
+      cflagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+        FROM events),
+      csess AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM cflagged),
+      chunked AS (
+        SELECT *, CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                                 ORDER BY ts, event_id) - 1)
+                             / 2) AS BIGINT) AS sub
+        FROM csess)
+    SELECT 'gap' AS gate, user_id,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
-           COUNT(*) AS n_events
+           COUNT(*) AS n_events,
+           CAST(NULL AS DOUBLE) AS total_value
     FROM sess GROUP BY user_id, sid
+    UNION ALL
+    SELECT 'capped', user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S'),
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S'),
+           COUNT(*),
+           {oracle_dsum('value')}
+    FROM chunked GROUP BY user_id, sid, sub
     """,
-    doc="Session window (30 min gap) per user — F.session_window(), whose "
-    "end = last event + gap; oracle = gaps-and-islands. Streaming form with "
-    "watermark in streaming/windows.py.",
+    doc="Sessionization suite (former q41/q58 gates), tagged union. "
+    "'gap': 30-min-gap session window per user via F.session_window() "
+    "(end = last event + gap; oracle = gaps-and-islands; streaming form "
+    "with watermark in streaming/windows.py). 'capped': 30-min gap AND "
+    "≤2 events per session — the count cut F.session_window cannot "
+    "express — batch form via gaps-and-islands + within-island "
+    "chunking, shuffle keyed on user_id only; the same semantics run as "
+    "a custom stateful streaming operator (applyInPandasWithState, "
+    "event-time state timeout) in streaming/stateful.py, equivalence "
+    "pinned in tests/test_streaming.py.",
 )
-def q41_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q41_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import capped_sessionize
+
     ev = _events(spark, sf_dir)
-    return (
+    gap = (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
+            F.lit("gap").alias("gate"),
             "user_id",
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
             F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
             "n_events",
+            F.lit(None).cast("double").alias("total_value"),
         )
     )
+    capped = capped_sessionize(ev, gap_minutes=30, max_events=2).select(
+        F.lit("capped").alias("gate"),
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+    return gap.unionByName(capped)
 
 
 # --- embedding-cosine near-duplicate detection (dedup face of
@@ -1788,52 +1756,8 @@ def q57_embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q58_capped_sessionize",
-    f"""
-    WITH flagged AS (
-      SELECT user_id, ts, event_id, value,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id)
-                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
-      FROM events),
-      sess AS (
-        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS sid
-        FROM flagged),
-      chunked AS (
-        SELECT *, CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY user_id, sid
-                                                 ORDER BY ts, event_id) - 1)
-                             / 2) AS BIGINT) AS sub
-        FROM sess)
-    SELECT user_id,
-           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-           COUNT(*) AS n_events,
-           {oracle_dsum('value')} AS total_value
-    FROM chunked GROUP BY user_id, sid, sub
-    """,
-    doc="Capped sessionization (30 min gap AND ≤2 events per session — "
-    "the count cut F.session_window cannot express): batch form via "
-    "gaps-and-islands + within-island chunking, shuffle keyed on user_id "
-    "only. The same semantics run as a custom stateful streaming "
-    "operator (applyInPandasWithState, event-time state timeout) in "
-    "streaming/stateful.py; batch/stream equivalence pinned in "
-    "tests/test_streaming.py.",
-)
-def q58_capped_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .streaming.stateful import capped_sessionize
-
-    ev = _events(spark, sf_dir)
-    out = capped_sessionize(ev, gap_minutes=30, max_events=2)
-    return out.select(
-        "user_id",
-        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-        "n_events",
-        "total_value",
-    )
+# (capped sessionization is gated inside q41_sessionization; the
+# streaming form lives in streaming/stateful.py)
 
 
 # =====================================================================
@@ -1853,27 +1777,48 @@ _MEDIA_KIND_SQL = """
 
 
 @register(
-    "q59_media_feature_extract",
+    "q59_media_features_geometry",
     f"""
-    SELECT doc_id AS media_id, {_MEDIA_KIND_SQL} AS kind,
-           octet_length(CAST(text AS BLOB)) AS n_bytes
-    FROM documents
+    WITH feats AS (
+      SELECT doc_id AS media_id, {_MEDIA_KIND_SQL} AS kind,
+             octet_length(CAST(text AS BLOB)) AS n_bytes
+      FROM documents),
+      img AS (
+        SELECT doc_id AS media_id,
+               CAST(n_chars % 1920 AS INT) AS w, CAST(n_chars % 1080 AS INT) AS h
+        FROM documents WHERE doc_id % 3 = 0),
+      geo AS (
+        SELECT media_id,
+               CASE WHEN w <= 0 OR h <= 0 THEN 224
+                    ELSE greatest(1, CAST(trunc(w * least(224.0 / w, 224.0 / h, 1.0)) AS INT))
+               END AS width,
+               CASE WHEN w <= 0 OR h <= 0 THEN 224
+                    ELSE greatest(1, CAST(trunc(h * least(224.0 / w, 224.0 / h, 1.0)) AS INT))
+               END AS height
+        FROM img)
+    SELECT f.media_id, f.kind, f.n_bytes, g.width, g.height
+    FROM feats f LEFT JOIN geo g ON f.media_id = g.media_id
     """,
-    doc="Multimodal feature-extraction plumbing: documents → binary "
-    "payload media table (synthesize_media_from_documents) → Arrow-"
-    "batched mapInPandas decode/featurize (extract_media_features; "
-    "codec stubbed, batch shape and schema real). The oracle checks "
-    "the full binary round-trip: n_bytes must equal the UTF-8 byte "
-    "length DuckDB computes from the source text.",
+    doc="Multimodal plumbing suite (former q59/q61 gates): documents → "
+    "binary payload media table (synthesize_media_from_documents) → "
+    "Arrow-batched mapInPandas decode/featurize (extract_media_features"
+    "; codec stubbed, batch shape and schema real — the oracle checks "
+    "the binary round-trip: n_bytes = DuckDB's UTF-8 byte length), "
+    "left-joined with image resize geometry (letterbox into 224×224, "
+    "preserve aspect, never upscale; resize_images' integer math "
+    "beside the stubbed resampler; NULL for non-images).",
 )
-def q59_media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q59_media_features_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import (
         extract_media_features,
+        resize_images,
         synthesize_media_from_documents,
     )
 
     media = synthesize_media_from_documents(_t(spark, sf_dir, "documents"))
-    return extract_media_features(media).select("media_id", "kind", "n_bytes")
+    feats = extract_media_features(media).select("media_id", "kind", "n_bytes")
+    geo = resize_images(media, 224, 224).select("media_id", "width", "height")
+    return feats.join(geo, "media_id", "left")
 
 
 @register(
@@ -1909,58 +1854,7 @@ def q60_video_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q61_image_resize_geometry",
-    """
-    WITH img AS (
-      SELECT doc_id AS media_id,
-             CAST(n_chars % 1920 AS INT) AS w, CAST(n_chars % 1080 AS INT) AS h
-      FROM documents WHERE doc_id % 3 = 0)
-    SELECT media_id,
-           CASE WHEN w <= 0 OR h <= 0 THEN 224
-                ELSE greatest(1, CAST(trunc(w * least(224.0 / w, 224.0 / h, 1.0)) AS INT))
-           END AS width,
-           CASE WHEN w <= 0 OR h <= 0 THEN 224
-                ELSE greatest(1, CAST(trunc(h * least(224.0 / w, 224.0 / h, 1.0)) AS INT))
-           END AS height
-    FROM img
-    """,
-    doc="Image resize geometry (letterbox into 224×224, preserve aspect "
-    "ratio, never upscale): integer math lives beside the stubbed "
-    "resampler in mapInPandas (resize_images) and is oracle-gated; "
-    "the pixel payload is projected out.",
-)
-def q61_image_resize_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.multimodal import (
-        resize_images,
-        synthesize_media_from_documents,
-    )
-
-    media = synthesize_media_from_documents(_t(spark, sf_dir, "documents"))
-    return resize_images(media, 224, 224).select("media_id", "width", "height")
-
-
-@register(
-    "q62_bpe_token_count",
-    r"""
-    SELECT doc_id,
-           len(regexp_extract_all(text,
-             '''(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
-             AS n_bpe_tokens
-    FROM documents
-    """,
-    doc="BPE-ish token counting: GPT-2-style pre-tokenizer regex "
-    "(contractions / letter runs / digit runs / punct runs / whitespace), "
-    "lookahead-free so Java regex (Spark regexp_count) and RE2 (DuckDB "
-    "oracle) count identically. Per-row, codegen, no UDF — the cheap "
-    "scalable proxy for corpus token budgeting.",
-)
-def q62_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import bpe_token_count
-
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens")
-    )
+# (image resize geometry is gated inside q59_media_features_geometry)
 
 
 @register(
