@@ -52,13 +52,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects; read nanos as long and convert with exact
-    integer division (``div`` — a double division would lose sub-μs
-    precision at 1e18 nanos)."""
+    """events.parquet's ``ts`` encoding varies across driver data
+    generations: TIMESTAMP(NANOS) (which Spark's parquet reader rejects
+    — read nanos as long and convert with exact integer division;
+    ``div``, not ``/``, to keep sub-μs precision at 1e18 nanos) or
+    TIMESTAMP(MICROS) without timezone (read as TIMESTAMP_NTZ).
+    Normalize both to a session-tz TIMESTAMP (session tz is pinned UTC,
+    so the NTZ cast is wall-clock-identity)."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = ev.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
 
 
 # =====================================================================
@@ -1358,15 +1368,26 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS DOUBLE) AS n
       FROM events GROUP BY event_type)
     UNPIVOT (v FOR metric IN (sum_k, n))
+    UNION ALL
+    SELECT 'map_lookup',
+           CASE c_nationkey % 5 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+                WHEN 2 THEN 'gamma' WHEN 3 THEN 'delta' ELSE 'epsilon'
+           END,
+           CAST(c_custkey AS DOUBLE)
+    FROM customer
     """,
     doc="Scalar-kernel suite as a (gate, key, value) long form (former "
-    "q45/q46/q47 gates): split → explode → distinct → sorted-with-rank "
-    "array pipeline (SURVEY A9/W4: suggestions list, reference "
+    "q45/q46/q47/q52 gates): split → explode → distinct → sorted-with-"
+    "rank array pipeline (SURVEY A9/W4: suggestions list, reference "
     "network_generator_lib.R:397-405), multi count-distinct in one agg "
     "(SURVEY A9; approx_count_distinct is the at-scale variant, gated "
-    "rows-only in q51), and JSON field extraction + aggregate "
+    "rows-only in q51), JSON field extraction + aggregate "
     "(get_json_object — the nested-output boundary of SURVEY S11 in "
-    "reverse).",
+    "reverse), and the broadcast-map scalar lookup (SURVEY J10: "
+    "ensembl2name named-vector lookup, reference "
+    "network_generator_lib.R:95-99 — element_at on a map literal, the "
+    "degenerate broadcast join; per-row granularity preserved: each "
+    "customer row carries its looked-up code as the key).",
 )
 def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
@@ -1393,8 +1414,7 @@ def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         F.col("v").cast("double").alias("val"),
     )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events")
+    ev = _events(spark, sf_dir)
     kx = F.get_json_object(F.col("props"), "$.k").cast("int")
     js = ev.groupBy(F.col("event_type").alias("k")).agg(
         exact.dsum(kx).alias("sum_k"), F.count("*").cast("double").alias("n")
@@ -1404,7 +1424,19 @@ def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         F.col("v").alias("val"),
     )
-    return arr.unionByName(cd_long).unionByName(js_long)
+    lookup = F.create_map(
+        *[
+            x
+            for i, v in enumerate(["alpha", "beta", "gamma", "delta", "epsilon"])
+            for x in (F.lit(i), F.lit(v))
+        ]
+    )
+    map_rows = c.select(
+        F.lit("map_lookup").alias("gate"),
+        F.element_at(lookup, (F.col("c_nationkey") % 5).cast("int")).alias("k"),
+        F.col("c_custkey").cast("double").alias("val"),
+    )
+    return arr.unionByName(cd_long).unionByName(js_long).unionByName(map_rows)
 
 
 @register(
@@ -1493,36 +1525,6 @@ def q51_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-    )
-
-
-@register(
-    "q52_broadcast_map_lookup",
-    """
-    SELECT c_custkey,
-           CASE c_nationkey % 5 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
-                WHEN 2 THEN 'gamma' WHEN 3 THEN 'delta' ELSE 'epsilon'
-           END AS nation_code
-    FROM customer
-    """,
-    doc="Broadcast-map scalar lookup (SURVEY J10: ensembl2name named-vector "
-    "lookup, reference network_generator_lib.R:95-99) — element_at on a map "
-    "literal, the degenerate broadcast join.",
-)
-def q52_broadcast_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    lookup = F.create_map(
-        *[
-            x
-            for k, v in enumerate(["alpha", "beta", "gamma", "delta", "epsilon"])
-            for x in (F.lit(k), F.lit(v))
-        ]
-    )
-    return c.select(
-        "c_custkey",
-        F.element_at(lookup, (F.col("c_nationkey") % 5).cast("int")).alias(
-            "nation_code"
-        ),
     )
 
 
@@ -1777,7 +1779,7 @@ _MEDIA_KIND_SQL = """
 
 
 @register(
-    "q59_media_features_geometry",
+    "q59_multimodal_suite",
     f"""
     WITH feats AS (
       SELECT doc_id AS media_id, {_MEDIA_KIND_SQL} AS kind,
@@ -1795,66 +1797,70 @@ _MEDIA_KIND_SQL = """
                CASE WHEN w <= 0 OR h <= 0 THEN 224
                     ELSE greatest(1, CAST(trunc(h * least(224.0 / w, 224.0 / h, 1.0)) AS INT))
                END AS height
-        FROM img)
-    SELECT f.media_id, f.kind, f.n_bytes, g.width, g.height
+        FROM img),
+      vid AS (
+        SELECT doc_id AS media_id, {_MEDIA_KIND_SQL} AS kind,
+               n_chars * 13 AS duration_ms
+        FROM documents),
+      idx AS (SELECT CAST(i AS INT) AS i
+              FROM generate_series(0, 9999) AS g(i))
+    SELECT 'feat' AS gate, f.media_id, f.kind,
+           CAST(f.n_bytes AS BIGINT) AS v1,
+           CAST(g.width AS BIGINT) AS v2, CAST(g.height AS BIGINT) AS v3
     FROM feats f LEFT JOIN geo g ON f.media_id = g.media_id
+    UNION ALL
+    SELECT 'frame', media_id, CAST(NULL AS VARCHAR),
+           CAST(i AS BIGINT), CAST(i * 1000 AS BIGINT), CAST(NULL AS BIGINT)
+    FROM vid JOIN idx
+      ON i * 1000 <= greatest(duration_ms - 1, 0) AND i < 16
+    WHERE kind = 'video'
     """,
-    doc="Multimodal plumbing suite (former q59/q61 gates): documents → "
-    "binary payload media table (synthesize_media_from_documents) → "
-    "Arrow-batched mapInPandas decode/featurize (extract_media_features"
-    "; codec stubbed, batch shape and schema real — the oracle checks "
-    "the binary round-trip: n_bytes = DuckDB's UTF-8 byte length), "
-    "left-joined with image resize geometry (letterbox into 224×224, "
-    "preserve aspect, never upscale; resize_images' integer math "
-    "beside the stubbed resampler; NULL for non-images).",
+    doc="Multimodal plumbing suite as a tagged union (former q59/q60/q61 "
+    "gates). gate='feat': documents → binary payload media table "
+    "(synthesize_media_from_documents) → Arrow-batched mapInPandas "
+    "decode/featurize (extract_media_features; codec stubbed, batch "
+    "shape and schema real — the oracle checks the binary round-trip: "
+    "v1 = n_bytes = DuckDB's UTF-8 byte length), left-joined with image "
+    "resize geometry (v2/v3 = letterbox into 224×224, preserve aspect, "
+    "never upscale; resize_images' integer math beside the stubbed "
+    "resampler; NULL for non-images). gate='frame': video frame-"
+    "sampling schedule, one row per sampled offset (every 1s, ≤16 "
+    "frames; v1 = frame_idx, v2 = offset_ms) — the schedule is pure "
+    "column math (sequence + posexplode) and oracle-gated; the "
+    "per-offset frame extraction is the stubbed codec step inside "
+    "mapInPandas (sample_video_frames) and is projected out here.",
 )
-def q59_media_features_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q59_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import (
         extract_media_features,
         resize_images,
+        sample_video_frames,
         synthesize_media_from_documents,
     )
 
     media = synthesize_media_from_documents(_t(spark, sf_dir, "documents"))
     feats = extract_media_features(media).select("media_id", "kind", "n_bytes")
     geo = resize_images(media, 224, 224).select("media_id", "width", "height")
-    return feats.join(geo, "media_id", "left")
-
-
-@register(
-    "q60_video_frame_schedule",
-    f"""
-    WITH media AS (
-      SELECT doc_id AS media_id, {_MEDIA_KIND_SQL} AS kind,
-             n_chars * 13 AS duration_ms
-      FROM documents),
-      idx AS (SELECT CAST(i AS INT) AS i
-              FROM generate_series(0, 9999) AS g(i))
-    SELECT media_id, i AS frame_idx,
-           CAST(i * 1000 AS BIGINT) AS offset_ms
-    FROM media JOIN idx
-      ON i * 1000 <= greatest(duration_ms - 1, 0) AND i < 16
-    WHERE kind = 'video'
-    """,
-    doc="Video frame-sampling schedule: one row per sampled offset "
-    "(every 1s, ≤16 frames) — the schedule is pure column math "
-    "(sequence + posexplode) and oracle-gated; the per-offset frame "
-    "extraction is the stubbed codec step inside mapInPandas "
-    "(sample_video_frames) and is projected out here.",
-)
-def q60_video_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.multimodal import (
-        sample_video_frames,
-        synthesize_media_from_documents,
+    feat_rows = (
+        feats.join(geo, "media_id", "left")
+        .select(
+            F.lit("feat").alias("gate"),
+            "media_id",
+            "kind",
+            F.col("n_bytes").cast("bigint").alias("v1"),
+            F.col("width").cast("bigint").alias("v2"),
+            F.col("height").cast("bigint").alias("v3"),
+        )
     )
-
-    media = synthesize_media_from_documents(_t(spark, sf_dir, "documents"))
-    return sample_video_frames(media, every_ms=1000, max_frames=16).select(
-        "media_id", "frame_idx", "offset_ms"
+    frame_rows = sample_video_frames(media, every_ms=1000, max_frames=16).select(
+        F.lit("frame").alias("gate"),
+        "media_id",
+        F.lit(None).cast("string").alias("kind"),
+        F.col("frame_idx").cast("bigint").alias("v1"),
+        F.col("offset_ms").cast("bigint").alias("v2"),
+        F.lit(None).cast("bigint").alias("v3"),
     )
-
-
-# (image resize geometry is gated inside q59_media_features_geometry)
+    return feat_rows.unionByName(frame_rows)
 
 
 @register(
