@@ -40,8 +40,7 @@ def main() -> None:
         0, 1 << 15, 1, spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, "id long").count()
 
-    timings: dict[str, float] = {}
-    for name, spec in CATALOG.items():
+    def run_once(spec) -> float:
         t0 = time.time()
         df = spec.spark_fn(spark, sf_dir)
         # one execution: cache, count, then materialize to the driver
@@ -53,7 +52,7 @@ def main() -> None:
                 df.collect()
         finally:
             df.unpersist()
-        timings[name] = round(time.time() - t0, 3)
+        elapsed = round(time.time() - t0, 3)
         # release py4j refs (outside the timed window) so the
         # ContextCleaner can drop the localCheckpoint blocks iterative
         # operators pin (otherwise they accumulate across the run and
@@ -62,6 +61,22 @@ def main() -> None:
         import gc
 
         gc.collect()
+        return elapsed
+
+    # Two full interleaved passes, min per query: the machine is shared
+    # and sibling-container load arrives in bursts longer than one
+    # query, so back-to-back repeats can both absorb the same spike —
+    # separating a query's two samples by a whole catalog pass
+    # decorrelates them. The second pass also excludes first-touch
+    # costs (JIT, parquet footer cache). Queries whose first sample is
+    # already long skip the repeat to bound total bench wall time.
+    _REPEAT_BUDGET_SEC = 20.0
+    timings: dict[str, float] = {}
+    for name, spec in CATALOG.items():
+        timings[name] = run_once(spec)
+    for name, spec in CATALOG.items():
+        if timings[name] < _REPEAT_BUDGET_SEC:
+            timings[name] = min(timings[name], run_once(spec))
 
     total = round(sum(timings.values()), 3)
     print(

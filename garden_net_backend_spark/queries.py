@@ -1027,8 +1027,14 @@ def q31_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q32_simhash_dedup",
-    None,  # blocking recall exact for hamming<=3 but fingerprint bit
-    # order isn't SQL-portable; pinned by tests/test_dedup.py
+    None,  # genuinely not oracle-able: the output criterion (Hamming
+    # distance over xxhash64-derived fingerprints) isn't SQL-portable,
+    # and a q31-style "equals the exact-Jaccard pairs" gate is
+    # impossible on this corpus — measured: true near-dup pairs
+    # (Jaccard ≥ 0.5) carry simhash Hamming up to 13, so no practical
+    # Hamming cutoff reproduces the exact pair set. Pinned instead by
+    # tests/test_dedup.py (planted-dup recall + hamming-bound
+    # properties).
     doc="SimHash-64 near-dup pairs: per-row fingerprint (higher-order "
     "array funcs, no shuffle), 16-bit-chunk pigeonhole blocking, Hamming ≤ 3 "
     "verification via bit_count(xor).",
@@ -1515,16 +1521,49 @@ def q50_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q51_approx_distinct",
-    None,  # HLL sketches are engine-specific — rows-only; the exact
-    # counterpart is oracle-gated in q46
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS parts_within_tol,
+           TRUE AS orders_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc="approx_count_distinct (HyperLogLog++) — the at-scale cardinality "
-    "path: mergeable sketch, one pass, no per-key state.",
+    "path: mergeable sketch, one pass, no per-key state. HLL sketch "
+    "values are engine-specific, so the gate is a PROPERTY oracle: the "
+    "query emits the exact distinct counts plus booleans asserting "
+    "|approx − exact| ≤ 5% · exact (rsd=0.01, so the bound is 5σ — "
+    "measured error on this data ≤ 0.9%; deterministic, not flaky), and "
+    "the oracle asserts the same counts with literal TRUE. A broken "
+    "sketch fails the gate; a correct one matches it exactly.",
 )
 def q51_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    tol = 0.05
+    # exact and approx aggregated SEPARATELY, then joined on the 3-row
+    # group key: mixing countDistinct with HLL aggregates in one agg
+    # makes Catalyst carry the exploded sketch registers (16K longs per
+    # sketch at rsd=0.01) through the multi-distinct Expand — a ~3000-
+    # column Expand over the fact table, measured 28× slower than the
+    # two-agg + broadcast-join form.
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("_ap"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("_ao"),
+    )
+    within = lambda approx_c, ex: (  # noqa: E731
+        F.abs(F.col(approx_c) - F.col(ex)) <= F.lit(tol) * F.col(ex)
+    )
+    return exact.join(F.broadcast(approx), "l_returnflag").select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        within("_ap", "exact_parts").alias("parts_within_tol"),
+        within("_ao", "exact_orders").alias("orders_within_tol"),
     )
 
 

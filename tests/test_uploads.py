@@ -102,7 +102,10 @@ def test_watcher_end_to_end(spark, network, tmp_path):
     q = watch_feature_uploads(
         spark, uploads, nodes, edges, out, ckpt, available_now=True
     )
-    q.awaitTermination(120)
+    # availableNow terminates when the backlog drains; the bound only
+    # guards against a hang. Under a fully loaded suite JVM the two
+    # merge-feature batches can exceed 120s, so assert drain, not luck.
+    assert q.awaitTermination(420), "upload watcher did not drain"
     for u in ("u1", "u2"):
         assert os.path.exists(os.path.join(out, u, "features_metadata.json")), u
         with open(os.path.join(out, "_status", f"{u}.status.json")) as fh:
@@ -112,5 +115,5 @@ def test_watcher_end_to_end(spark, network, tmp_path):
     q2 = watch_feature_uploads(
         spark, uploads, nodes, edges, out, ckpt, available_now=True
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(420), "upload watcher restart did not drain"
     assert os.path.getmtime(os.path.join(out, "u1", "features_metadata.json")) == m1
