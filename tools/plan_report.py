@@ -46,7 +46,7 @@ CASES = [
         ["regexp_replace", "Generate", "Exchange", "Join"],
     ),
     (
-        "q25_connected_components",
+        "q23_node_metrics",
         "Connected components, final stage: after per-partition spanning-"
         "forest contraction (mapInPandas union-find, |E|→~|V| per pass) the "
         "driver-solved label mapping re-joins as a BROADCAST — no shuffle "
@@ -54,18 +54,18 @@ CASES = [
         ["BroadcastHashJoin", "BroadcastExchange", "MapInPandas"],
     ),
     (
-        "q59_media_feature_extract",
+        "q59_multimodal_suite",
         "Multimodal featurize: binary payloads flow scan → Arrow batch → "
         "MapInPandas with NO shuffle and no row-at-a-time serde; pruning "
         "keeps non-payload columns out of the scan",
         ["MapInPandas", "ReadSchema", "Exchange"],
     ),
     (
-        "q62_bpe_token_count",
-        "BPE-ish token count: single whole-stage-codegen projection over a "
-        "pruned 2-column scan — per-row regexp_count, zero exchanges "
-        "before the result",
-        ["ReadSchema", "WholeStageCodegen", "regexp_count"],
+        "q33_text_metrics",
+        "Text-metrics suite (lang-id, quality, fingerprint, BPE-ish token "
+        "count): whole-stage-codegen projections over a pruned scan — "
+        "per-row regexp work stays JVM-side, no Python in the plan",
+        ["ReadSchema", "WholeStageCodegen", "regexp_count", "MapInPandas"],
     ),
     (
         "q63_network_build_slice",
@@ -90,7 +90,22 @@ CASES = [
         ["MapInPandas", "Join", "Exchange"],
     ),
     (
-        "q58_capped_sessionize",
+        "q64_search_ego_subnetwork",
+        "Interactive search: gene-name seeds come from an equi-join probe "
+        "of the inverted token index (no full-table rlike scan in the "
+        "seed path — the regex stays only as the non-tokenizable-pattern "
+        "fallback)",
+        ["token", "BroadcastHashJoin", "rlike"],
+    ),
+    (
+        "q51_approx_distinct",
+        "HLL property gate: exact multi-distinct and HLL sketches "
+        "aggregate separately and join — keeps the 16K-register sketch "
+        "state out of the multi-distinct Expand",
+        ["Expand", "HashAggregate", "BroadcastHashJoin"],
+    ),
+    (
+        "q41_sessionization",
         "Capped sessionization (batch form): both window passes and the "
         "final agg share the user_id partitioning — gaps-and-islands costs "
         "ONE shuffle, not three",
@@ -134,6 +149,13 @@ def main() -> None:
         )
         tree_end = plan.find("\n\n")
         tree = plan[:tree_end] if tree_end > 0 else plan[:1200]
+        tree_lines = tree.splitlines()
+        if len(tree_lines) > 100:  # huge end-to-end chains: head+tail
+            tree = "\n".join(
+                tree_lines[:60]
+                + [f"   ... ({len(tree_lines) - 90} nodes elided) ..."]
+                + tree_lines[-30:]
+            )
         hits = extract(plan, keywords)
         counts = {
             "CartesianProduct": plan.count("CartesianProduct"),
