@@ -1502,20 +1502,52 @@ def q54_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            quantile_cont(l_quantity, 0.5) AS median_qty,
            quantile_cont(l_extendedprice, 0.9) AS p90_price,
-           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+           TRUE AS approx_median_within_tol,
+           TRUE AS approx_p90_within_tol
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="Exact interpolated percentiles (median/p90) per group — "
-    "F.percentile; approx_percentile is the at-scale variant (sketch-"
-    "based, engine-specific, so not oracle-gated).",
+    "F.percentile — plus a PROPERTY gate on the at-scale variant: "
+    "percentile_approx (Greenwald-Khanna sketch, accuracy=10000 ⇒ rank "
+    "error ≤ 1e-4) must land inside the exact [q−0.005, q+0.005] "
+    "interpolated quantile envelope (50× the sketch's guaranteed rank "
+    "error — deterministic on this data, and a broken sketch fails it); "
+    "the oracle asserts the same envelope membership as literal TRUE. "
+    "The GK sketch values themselves are engine-specific, which is why "
+    "the gate is the rank-envelope property, not value equality.",
 )
 def q50_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    d = 0.005  # rank tolerance of the property gate
+    agg = li.groupBy("l_returnflag").agg(
         F.percentile(F.col("l_quantity"), F.lit(0.5)).alias("median_qty"),
         F.percentile(F.col("l_extendedprice"), F.lit(0.9)).alias("p90_price"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
+        F.percentile(F.col("l_quantity"), F.lit(0.5 - d)).alias("_mlo"),
+        F.percentile(F.col("l_quantity"), F.lit(0.5 + d)).alias("_mhi"),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.9 - d)).alias("_plo"),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.9 + d)).alias("_phi"),
+        F.percentile_approx(F.col("l_quantity"), F.lit(0.5), F.lit(10000)).alias(
+            "_am"
+        ),
+        F.percentile_approx(
+            F.col("l_extendedprice"), F.lit(0.9), F.lit(10000)
+        ).alias("_ap"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "median_qty",
+        "p90_price",
+        "min_qty",
+        "max_qty",
+        F.col("_am").between(F.col("_mlo"), F.col("_mhi")).alias(
+            "approx_median_within_tol"
+        ),
+        F.col("_ap").between(F.col("_plo"), F.col("_phi")).alias(
+            "approx_p90_within_tol"
+        ),
     )
 
 
