@@ -2312,7 +2312,10 @@ def q66_feature_merge_chas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("F"), (F.col("p_partkey") % 3).cast("string")).alias("feature"),
         (F.col("p_partkey") % 7 + 1).cast("double").alias("value"),
     )
-    dense = merge_features(nodes, intervals, agg="mean")
+    # the merged grid feeds FOUR plan consumers (abundance, both sides
+    # of the chas self-join, mean-degree) — materialize it once instead
+    # of re-running the binned overlap-aggregate per consumer
+    dense = merge_features(nodes, intervals, agg="mean").localCheckpoint(eager=True)
     e = edges.select("src", "dst")
     ab = feature_abundance(dense)
     ch = chas(e, dense)
