@@ -23,8 +23,13 @@ from garden_net_backend_spark.queries import CATALOG  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (pricing summary) on /root/testdata/sf0.001."""
-    return CATALOG["q01_pricing_summary"].spark_fn(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001: the reference's §7.1
+    batch pipeline as one Spark plan — threshold filter → fragment
+    keys → P-P/P-O edge typing → vertex collapse → simplify → degree
+    (build_network, plans/network_build.py)."""
+    return CATALOG["q63_network_build_slice"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
