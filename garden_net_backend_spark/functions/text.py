@@ -206,3 +206,54 @@ def with_shingles(
             f"unknown shingle type: {shingle!r} (allowed: char, word)"
         )
     return pre.withColumn(out_col, out).drop(tmp)
+
+
+def chunk_tokens(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+    overlap: int = 16,
+):
+    """Sliding-window token chunking → one row per (doc, chunk):
+    ``(id_col, chunk_idx, chunk_text, n_chunk_tokens)``.
+
+    The training-data-pipeline chunker: documents split on whitespace,
+    windows of ``max_tokens`` tokens advancing by ``max_tokens −
+    overlap`` (so consecutive chunks share ``overlap`` tokens of
+    context), last window truncated at the tail; empty documents emit
+    no chunks. Everything is per-row JVM column math — sequence +
+    posexplode + slice + array_join, no shuffle, no Python — so the
+    operator is a linear map at any corpus size; downstream per-chunk
+    work (embedding, dedup) partitions freely since chunk rows carry
+    no cross-row dependency.
+
+    Deterministic and exactly SQL-replicable (the q45 'chunk' gate arm
+    hash-checks content + boundaries against DuckDB).
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    # chunk starts: 0, stride, 2*stride, … while start < n_tokens
+    with_toks = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col),
+        F.explode(F.array(toks)).alias("_toks"),  # Generate barrier:
+        # materialize the split once, not once per HOF element
+    )
+    idx = with_toks.select(
+        id_col,
+        "_toks",
+        F.posexplode(
+            F.sequence(F.lit(0), (F.floor((F.size("_toks") - 1) / stride)).cast("int"))
+        ).alias("chunk_idx", "_i"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_i") * stride + 1, max_tokens)
+    return idx.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_tokens"),
+    )

@@ -1381,6 +1381,15 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
            END,
            CAST(c_custkey AS DOUBLE)
     FROM customer
+    UNION ALL
+    SELECT 'chunk',
+           CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR) || '#' ||
+             array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' '),
+           CAST(len(toks[i * 48 + 1 : i * 48 + 64]) AS DOUBLE)
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents WHERE trim(text) <> ''),
+         (SELECT CAST(unnest(generate_series(0, 9999)) AS INT) AS i)
+    WHERE i <= floor((len(toks) - 1) / 48)
     """,
     doc="Scalar-kernel suite as a (gate, key, value) long form (former "
     "q45/q46/q47/q52 gates): split → explode → distinct → sorted-with-"
@@ -1393,7 +1402,10 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ensembl2name named-vector lookup, reference "
     "network_generator_lib.R:95-99 — element_at on a map literal, the "
     "degenerate broadcast join; per-row granularity preserved: each "
-    "customer row carries its looked-up code as the key).",
+    "customer row carries its looked-up code as the key), plus the "
+    "training-pipeline document chunker (functions/text.chunk_tokens: "
+    "64-token sliding windows, 16-token overlap — the key packs "
+    "doc#idx#chunk_text so content AND boundaries are hash-gated).",
 )
 def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
@@ -1442,7 +1454,26 @@ def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(lookup, (F.col("c_nationkey") % 5).cast("int")).alias("k"),
         F.col("c_custkey").cast("double").alias("val"),
     )
-    return arr.unionByName(cd_long).unionByName(js_long).unionByName(map_rows)
+    from .functions.text import chunk_tokens
+
+    chunk_rows = chunk_tokens(
+        _t(spark, sf_dir, "documents"), max_tokens=64, overlap=16
+    ).select(
+        F.lit("chunk").alias("gate"),
+        F.concat_ws(
+            "#",
+            F.col("doc_id").cast("string"),
+            F.col("chunk_idx").cast("string"),
+            F.col("chunk_text"),
+        ).alias("k"),
+        F.col("n_chunk_tokens").cast("double").alias("val"),
+    )
+    return (
+        arr.unionByName(cd_long)
+        .unionByName(js_long)
+        .unionByName(map_rows)
+        .unionByName(chunk_rows)
+    )
 
 
 @register(

@@ -84,3 +84,47 @@ def test_text_functions_edges(spark):
     assert rows[0]["t"] == 0 and rows[0]["q"] == 0.0 and rows[0]["f"] == 0
     assert rows[1]["t"] == 0
     assert rows[2]["t"] == 5 and rows[2]["l"] == "en" and rows[2]["f"] > 0
+
+
+def test_chunk_tokens_brute_force(spark):
+    """chunk_tokens matches a pure-python sliding-window reference on
+    varied shapes: empty, whitespace-only, shorter than one window,
+    exact multiples, ragged tails, messy internal whitespace."""
+    from garden_net_backend_spark.functions.text import chunk_tokens
+
+    docs = [
+        (0, ""),
+        (1, "   "),
+        (2, "one"),
+        (3, " ".join(f"t{i}" for i in range(5))),
+        (4, " ".join(f"t{i}" for i in range(8))),  # exact 2 windows
+        (5, " ".join(f"t{i}" for i in range(23))),
+        (6, "  a\tb\n c   d  "),
+    ]
+    max_tokens, overlap = 5, 2
+    stride = max_tokens - overlap
+
+    def ref(text):
+        toks = text.split()
+        out = []
+        start = 0
+        while start < len(toks):
+            w = toks[start : start + max_tokens]
+            out.append((len(out), " ".join(w), len(w)))
+            start += stride
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_tokens(df, max_tokens=max_tokens, overlap=overlap).collect()
+    }
+    want = {
+        (d, i): (t, n) for d, text in docs for i, t, n in ref(text)
+    }
+    assert got == want
+    # consecutive chunks share exactly `overlap` tokens (when full)
+    full = [v[0].split() for (d, i), v in sorted(got.items()) if d == 5]
+    for a, b in zip(full, full[1:]):
+        if len(b) == max_tokens:
+            assert a[-overlap:] == b[:overlap]
