@@ -257,3 +257,55 @@ def chunk_tokens(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).alias("n_chunk_tokens"),
     )
+
+
+def hash_split(
+    key: Column,
+    boundaries: tuple[tuple[str, int], ...] = (
+        ("train", 204),
+        ("val", 230),
+        ("test", 256),
+    ),
+) -> Column:
+    """Deterministic content-hash dataset split → label column.
+
+    The train/val/test assignment every training pipeline needs: stable
+    under reprocessing, partitioning, and engine choice. Bucket = first
+    two hex digits of ``md5(key)`` compared as strings against
+    ``n/256`` boundary prefixes — md5 is bit-identical in every engine
+    (unlike xxhash64/murmur, which differ between Spark and DuckDB), so
+    the split is exactly SQL-replicable. Boundary granularity is 1/256
+    (defaults: 204/26/26 ≈ 79.7% / 10.2% / 10.2%); boundaries must be
+    ascending with the last = 256.
+    """
+    if boundaries[-1][1] != 256:
+        raise ValueError("last boundary must be 256")
+    prefix = F.substring(F.md5(key.cast("string")), 1, 2)
+    # build the CASE inside-out so boundaries evaluate in ascending order
+    expr = F.lit(boundaries[-1][0])
+    for label, bound in reversed(boundaries[:-1]):
+        expr = F.when(prefix < F.lit(format(bound, "02x")), F.lit(label)).otherwise(
+            expr
+        )
+    return expr
+
+
+# PII patterns: lookahead-free so Java regex (Spark) and RE2 (DuckDB
+# oracle) match identically. Order of application matters: emails
+# first (their local part can contain digits), then IPv4 (dotted
+# digits), then phone (dashed/dotted digits).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails, IPv4 addresses, and NANP-style phone numbers to
+    typed placeholder tokens — the pre-training privacy pass, as chained
+    JVM ``regexp_replace`` (linear per-row map, no Python)."""
+    out = text
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out

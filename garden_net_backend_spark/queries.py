@@ -1390,6 +1390,26 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM documents WHERE trim(text) <> ''),
          (SELECT CAST(unnest(generate_series(0, 9999)) AS INT) AS i)
     WHERE i <= floor((len(toks) - 1) / 48)
+    UNION ALL
+    SELECT 'split',
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val' ELSE 'test' END,
+           CAST(doc_id AS DOUBLE)
+    FROM documents
+    UNION ALL
+    SELECT 'redact',
+           regexp_replace(regexp_replace(regexp_replace(
+             'u' || CAST(doc_id AS VARCHAR) || '@mail.example.com or ' ||
+             '555-867-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ||
+             ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 re: ' ||
+             substr(text, 1, 40),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+             '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b', '<PHONE>', 'g'),
+           CAST(doc_id AS DOUBLE)
+    FROM documents
     """,
     doc="Scalar-kernel suite as a (gate, key, value) long form (former "
     "q45/q46/q47/q52 gates): split → explode → distinct → sorted-with-"
@@ -1405,7 +1425,15 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer row carries its looked-up code as the key), plus the "
     "training-pipeline document chunker (functions/text.chunk_tokens: "
     "64-token sliding windows, 16-token overlap — the key packs "
-    "doc#idx#chunk_text so content AND boundaries are hash-gated).",
+    "doc#idx#chunk_text so content AND boundaries are hash-gated), the "
+    "deterministic content-hash train/val/test split "
+    "(functions/text.hash_split: md5-prefix buckets — md5 is "
+    "bit-identical across engines, unlike xxhash64/murmur, so the "
+    "assignment is exactly SQL-replicable; ~79.7/10.2/10.2 at 1/256 "
+    "granularity), and the PII scrub (functions/text.redact_pii: "
+    "email→IPv4→phone chained regexp_replace, lookahead-free so Java "
+    "regex and RE2 agree — gated on synthesized PII spliced with real "
+    "document prefixes).",
 )
 def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
@@ -1454,11 +1482,10 @@ def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(lookup, (F.col("c_nationkey") % 5).cast("int")).alias("k"),
         F.col("c_custkey").cast("double").alias("val"),
     )
-    from .functions.text import chunk_tokens
+    from .functions.text import chunk_tokens, hash_split, redact_pii
 
-    chunk_rows = chunk_tokens(
-        _t(spark, sf_dir, "documents"), max_tokens=64, overlap=16
-    ).select(
+    docs = _t(spark, sf_dir, "documents")
+    chunk_rows = chunk_tokens(docs, max_tokens=64, overlap=16).select(
         F.lit("chunk").alias("gate"),
         F.concat_ws(
             "#",
@@ -1468,11 +1495,33 @@ def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k"),
         F.col("n_chunk_tokens").cast("double").alias("val"),
     )
+    split_rows = docs.select(
+        F.lit("split").alias("gate"),
+        hash_split(F.col("doc_id")).alias("k"),
+        F.col("doc_id").cast("double").alias("val"),
+    )
+    pii_text = F.concat(
+        F.lit("u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-867-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 re: "),
+        F.substring(F.col("text"), 1, 40),
+    )
+    redact_rows = docs.select(
+        F.lit("redact").alias("gate"),
+        redact_pii(pii_text).alias("k"),
+        F.col("doc_id").cast("double").alias("val"),
+    )
     return (
         arr.unionByName(cd_long)
         .unionByName(js_long)
         .unionByName(map_rows)
         .unionByName(chunk_rows)
+        .unionByName(split_rows)
+        .unionByName(redact_rows)
     )
 
 

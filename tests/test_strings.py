@@ -128,3 +128,55 @@ def test_chunk_tokens_brute_force(spark):
     for a, b in zip(full, full[1:]):
         if len(b) == max_tokens:
             assert a[-overlap:] == b[:overlap]
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    """hash_split: stable across runs/partitionings, labels only from
+    the boundary set, fractions near the 204/26/26 design point, and
+    exactly reproducible from md5 prefixes computed in python."""
+    import hashlib
+
+    from garden_net_backend_spark.functions.text import hash_split
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "k")
+    got = {
+        r["k"]: r["split"]
+        for r in df.select("k", hash_split(F.col("k")).alias("split")).collect()
+    }
+
+    def ref(k):
+        b = int(hashlib.md5(str(k).encode()).hexdigest()[:2], 16)
+        return "train" if b < 204 else ("val" if b < 230 else "test")
+
+    assert got == {k: ref(k) for k in range(20000)}
+    n = len(got)
+    frac = {s: sum(1 for v in got.values() if v == s) / n for s in set(got.values())}
+    assert abs(frac["train"] - 204 / 256) < 0.02
+    assert abs(frac["val"] - 26 / 256) < 0.01
+    assert abs(frac["test"] - 26 / 256) < 0.01
+    # repartitioning must not change assignments
+    again = {
+        r["k"]: r["split"]
+        for r in df.repartition(13)
+        .select("k", hash_split(F.col("k")).alias("split"))
+        .collect()
+    }
+    assert again == got
+
+
+def test_redact_pii(spark):
+    from garden_net_backend_spark.functions.text import redact_pii
+
+    rows = [
+        ("write bob.smith+x@sub.example.co.uk now", "write <EMAIL> now"),
+        ("call 555-123-4567 or 555.123.4567", "call <PHONE> or <PHONE>"),
+        ("host 192.168.0.1 responded", "host <IP> responded"),
+        ("a@b.io via 10.0.0.7 tel 800-555-1212", "<EMAIL> via <IP> tel <PHONE>"),
+        ("no pii here 12345", "no pii here 12345"),
+        # dotted IP must not be half-eaten by the phone pattern
+        ("999.888.777.666", "<IP>"),
+    ]
+    df = spark.createDataFrame(rows, "t string, want string")
+    out = df.select(redact_pii(F.col("t")).alias("got"), "want").collect()
+    for r in out:
+        assert r["got"] == r["want"]
