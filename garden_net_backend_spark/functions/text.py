@@ -309,3 +309,60 @@ def redact_pii(text: Column) -> Column:
     for pat, token in PII_PATTERNS:
         out = F.regexp_replace(out, pat, token)
     return out
+
+
+def repetition_topgram(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+):
+    """Gopher-style repetition signal: the most frequent word ``n``-gram
+    per document → ``(id_col, top_gram, top_count, top_frac)`` where
+    ``top_frac`` = (count × gram char length) / doc char length — the
+    share of the document the single dominant n-gram accounts for.
+    High values flag boilerplate/templated text for quality filtering.
+
+    Tie-break: among max-count grams, the lexicographically smallest
+    (total order — deterministic on any engine/partitioning).
+
+    Plan: split once (Generate barrier), explode n-grams, count by
+    (doc, gram) — keys are document-scoped so the shuffle is uniform —
+    then a map-side-combinable min(struct(-count, gram)) argmax per
+    doc; no window sort. Documents with fewer than ``n`` tokens emit
+    nothing.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    base = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col),
+        F.length(text_col).alias("_nchars"),
+        F.explode(F.array(toks)).alias("_toks"),
+    )
+    grams = base.filter(F.size("_toks") >= n).select(
+        id_col,
+        "_nchars",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+                lambda i: F.array_join(F.slice(F.col("_toks"), i, n), " "),
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy(id_col, "_nchars", "gram").agg(
+        F.count("*").alias("c")
+    )
+    top = counts.groupBy(id_col, "_nchars").agg(
+        F.min(F.struct((-F.col("c")).alias("negc"), F.col("gram"))).alias("_t")
+    )
+    return top.select(
+        id_col,
+        F.col("_t.gram").alias("top_gram"),
+        (-F.col("_t.negc")).alias("top_count"),
+        F.round(
+            (-F.col("_t.negc") * F.length("_t.gram")).cast("double")
+            / F.col("_nchars"),
+            9,
+        ).alias("top_frac"),
+    )

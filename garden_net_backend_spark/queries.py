@@ -1410,6 +1410,24 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
              '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b', '<PHONE>', 'g'),
            CAST(doc_id AS DOUBLE)
     FROM documents
+    UNION ALL
+    SELECT 'rep_top2gram',
+           CAST(doc_id AS VARCHAR) || '#' || g,
+           ROUND(CAST(c * len(g) AS DOUBLE) / nchars, 9)
+    FROM (
+      SELECT doc_id, nchars, g, count(*) AS c,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY count(*) DESC, g) AS rn
+      FROM (
+        SELECT doc_id, len(text) AS nchars,
+               array_to_string(toks[i : i + 1], ' ') AS g
+        FROM (SELECT doc_id, text,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE trim(text) <> ''),
+             (SELECT CAST(unnest(generate_series(1, 9999)) AS INT) AS i)
+        WHERE i + 1 <= len(toks))
+      GROUP BY doc_id, nchars, g)
+    WHERE rn = 1
     """,
     doc="Scalar-kernel suite as a (gate, key, value) long form (former "
     "q45/q46/q47/q52 gates): split → explode → distinct → sorted-with-"
@@ -1433,7 +1451,11 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "granularity), and the PII scrub (functions/text.redact_pii: "
     "email→IPv4→phone chained regexp_replace, lookahead-free so Java "
     "regex and RE2 agree — gated on synthesized PII spliced with real "
-    "document prefixes).",
+    "document prefixes), and the Gopher-style repetition signal "
+    "(functions/text.repetition_topgram: dominant word-bigram share of "
+    "each document via a map-side-combinable min(struct) argmax, "
+    "count-desc/gram-asc tie-break — boilerplate detector for quality "
+    "filtering).",
 )
 def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
@@ -1515,6 +1537,15 @@ def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         redact_pii(pii_text).alias("k"),
         F.col("doc_id").cast("double").alias("val"),
     )
+    from .functions.text import repetition_topgram
+
+    rep_rows = repetition_topgram(docs).select(
+        F.lit("rep_top2gram").alias("gate"),
+        F.concat_ws(
+            "#", F.col("doc_id").cast("string"), F.col("top_gram")
+        ).alias("k"),
+        F.col("top_frac").alias("val"),
+    )
     return (
         arr.unionByName(cd_long)
         .unionByName(js_long)
@@ -1522,6 +1553,7 @@ def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(chunk_rows)
         .unionByName(split_rows)
         .unionByName(redact_rows)
+        .unionByName(rep_rows)
     )
 
 

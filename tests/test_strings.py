@@ -180,3 +180,37 @@ def test_redact_pii(spark):
     out = df.select(redact_pii(F.col("t")).alias("got"), "want").collect()
     for r in out:
         assert r["got"] == r["want"]
+
+
+def test_repetition_topgram_brute_force(spark):
+    from collections import Counter
+
+    from garden_net_backend_spark.functions.text import repetition_topgram
+
+    docs = [
+        (1, "a b a b a b c"),
+        (2, "x"),                  # < 2 tokens → no row
+        (3, ""),                   # empty → no row
+        (4, "q r q r s s q r"),
+        (5, "t u  t  u"),          # messy whitespace, tie 't u'/'u t'
+        (6, "z z z z"),
+    ]
+
+    def ref(text):
+        toks = text.split()
+        if len(toks) < 2:
+            return None
+        grams = Counter(
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        )
+        c = max(grams.values())
+        g = min(g for g, v in grams.items() if v == c)  # count desc, gram asc
+        return (g, c, round(c * len(g) / len(text), 9))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["top_gram"], r["top_count"], r["top_frac"])
+        for r in repetition_topgram(df).collect()
+    }
+    want = {d: ref(t) for d, t in docs if ref(t) is not None}
+    assert got == want
