@@ -71,10 +71,16 @@ def main() -> None:
     # costs (JIT, parquet footer cache). Queries whose first sample is
     # already long skip the repeat to bound total bench wall time.
     _REPEAT_BUDGET_SEC = 20.0
+    _TOTAL_BUDGET_SEC = 600.0  # skip the refinement pass if the first
+    # pass already burned the bench budget (keeps the driver's bench
+    # step bounded even under heavy sibling-host load)
+    t_start = time.time()
     timings: dict[str, float] = {}
     for name, spec in CATALOG.items():
         timings[name] = run_once(spec)
     for name, spec in CATALOG.items():
+        if time.time() - t_start > _TOTAL_BUDGET_SEC:
+            break
         if timings[name] < _REPEAT_BUDGET_SEC:
             timings[name] = min(timings[name], run_once(spec))
 

@@ -1428,6 +1428,16 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE i + 1 <= len(toks))
       GROUP BY doc_id, nchars, g)
     WHERE rn = 1
+    UNION ALL
+    SELECT 'quant8', CAST(vec_id AS VARCHAR),
+           CAST(SUM(CAST(round(e / s) AS BIGINT) * i) AS DOUBLE)
+    FROM (SELECT vec_id, unnest(embedding) AS e,
+                 generate_subscripts(embedding, 1) AS i,
+                 greatest(list_max(list_transform(embedding,
+                                                  x -> abs(x))) / 127.0,
+                          1e-30) AS s
+          FROM embeddings)
+    GROUP BY vec_id
     """,
     doc="Scalar-kernel suite as a (gate, key, value) long form (former "
     "q45/q46/q47/q52 gates): split → explode → distinct → sorted-with-"
@@ -1455,7 +1465,10 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(functions/text.repetition_topgram: dominant word-bigram share of "
     "each document via a map-side-combinable min(struct) argmax, "
     "count-desc/gram-asc tie-break — boilerplate detector for quality "
-    "filtering).",
+    "filtering), and int8 embedding quantization "
+    "(operators/similarity.quantize_embeddings_int8: symmetric "
+    "per-vector scale = max|v|/127, the 4× ANN storage trade — gated "
+    "on a position-weighted checksum of the quantized components).",
 )
 def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
@@ -1546,6 +1559,21 @@ def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k"),
         F.col("top_frac").alias("val"),
     )
+    from .operators.similarity import quantize_embeddings_int8
+
+    quant_rows = quantize_embeddings_int8(_t(spark, sf_dir, "embeddings")).select(
+        F.lit("quant8").alias("gate"),
+        F.col("vec_id").cast("string").alias("k"),
+        F.aggregate(
+            F.transform(
+                F.col("qvec"), lambda x, i: x.cast("long") * (i + 1)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        .cast("double")
+        .alias("val"),
+    )
     return (
         arr.unionByName(cd_long)
         .unionByName(js_long)
@@ -1554,6 +1582,7 @@ def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(split_rows)
         .unionByName(redact_rows)
         .unionByName(rep_rows)
+        .unionByName(quant_rows)
     )
 
 

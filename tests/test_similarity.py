@@ -273,3 +273,27 @@ def test_ivf_refined_topk_valid(spark, emb, queries):
         # must be found, at rank 1
         rows.sort(key=lambda r: r["rank"])
         assert rows[0]["vec_id"] == q
+
+
+def test_quantize_embeddings_int8(spark):
+    """int8 quantization: components in [-127,127], reconstruction
+    error ≤ scale/2 per component, exact python replica."""
+    from garden_net_backend_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = (
+        quantize_embeddings_int8(emb)
+        .join(emb, "vec_id")
+        .select("vec_id", "qvec", "scale", "embedding")
+        .collect()
+    )
+    assert len(rows) > 0
+    for r in rows[:200]:
+        assert all(-127 <= q <= 127 for q in r["qvec"])
+        s = r["scale"]
+        want_s = max(abs(float(x)) for x in r["embedding"]) / 127.0
+        assert abs(s - max(want_s, 1e-30)) < 1e-12
+        for q, v in zip(r["qvec"], r["embedding"]):
+            assert abs(q * s - float(v)) <= s / 2 + 1e-9
