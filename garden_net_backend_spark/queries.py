@@ -2232,6 +2232,12 @@ def q64_search_ego_subnetwork(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.search import build_token_index, search_subnetwork
 
     nodes, edges = build_network(_synthetic_pchic(spark, sf_dir), wt_threshold=30.0)
+    # the built network feeds many consumers (token index, seed probe,
+    # per-seed ego joins, induced subgraph, degree recompute) — in
+    # serving these are the materialized S9 tables; materialize once
+    # here the same way instead of re-running the build per consumer
+    nodes = nodes.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
     sub_nodes, _sub_edges = search_subnetwork(
         nodes, edges, "GENE12", token_index=build_token_index(nodes)
     )
@@ -2313,6 +2319,11 @@ def q65_network_metadata_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.network_build import build_network
 
     nodes, edges = build_network(_synthetic_pchic(spark, sf_dir), wt_threshold=30.0)
+    # the bundle reads the built network ~8 times (vstats, bait/oe
+    # sets, pp/po subsets, edge stats, degrees, transitivity) —
+    # materialize once, as the S9 serving tables would be
+    nodes = nodes.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
     e = edges.select("src", "dst")
     baits = nodes.filter(F.col("type") == "P").select(F.col("fragment").alias("node"))
     oes = nodes.filter(F.col("type") == "O").select(F.col("fragment").alias("node"))
