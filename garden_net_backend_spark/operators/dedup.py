@@ -315,3 +315,34 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dedup_representatives(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup CLUSTERING — the step that turns pairwise dedup output
+    into a keep/drop decision → ``(id_col, representative)`` where
+    ``representative`` = min id of the document's near-dup cluster
+    (itself when it has no near-dups).
+
+    Pairwise emitters (MinHash-LSH, SimHash, embedding blocking) leave
+    transitive chains unresolved: A~B, B~C must collapse to ONE kept
+    document even when A~C was never emitted. Composes the pairs with
+    ``operators.graph.connected_components`` (two-level contraction,
+    bounded driver solve) — the pairs graph is tiny relative to the
+    corpus (only near-dups), so this costs far less than the pair scan
+    itself. Keep-set = rows where id = representative; at 100 TB the
+    anti-join back to the corpus broadcasts the (dup → representative)
+    map, which is dup-count-sized, not corpus-sized.
+    """
+    from .graph import connected_components
+
+    nodes = docs.select(F.col(id_col).alias("node"))
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(nodes, edges)
+    return cc.select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("representative"),
+    )

@@ -1438,6 +1438,26 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
                           1e-30) AS s
           FROM embeddings)
     GROUP BY vec_id
+    UNION ALL
+    SELECT 'dedup_rep', CAST(node AS VARCHAR), CAST(MIN(r) AS DOUBLE)
+    FROM (
+      WITH RECURSIVE {_SHINGLES_SQL},
+        dsz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        dinter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+        jp AS (SELECT id_a, id_b
+               FROM dinter JOIN dsz x ON id_a = x.doc_id
+                           JOIN dsz y ON id_b = y.doc_id
+               WHERE c * 1.0 / (x.n + y.n - c) >= 0.5),
+        sym AS (SELECT id_a AS a, id_b AS b FROM jp
+                UNION SELECT id_b, id_a FROM jp),
+        reach(node, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a)
+      SELECT node, r FROM reach)
+    GROUP BY node
     """,
     doc="Scalar-kernel suite as a (gate, key, value) long form (former "
     "q45/q46/q47/q52 gates): split → explode → distinct → sorted-with-"
@@ -1465,10 +1485,15 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(functions/text.repetition_topgram: dominant word-bigram share of "
     "each document via a map-side-combinable min(struct) argmax, "
     "count-desc/gram-asc tie-break — boilerplate detector for quality "
-    "filtering), and int8 embedding quantization "
+    "filtering), int8 embedding quantization "
     "(operators/similarity.quantize_embeddings_int8: symmetric "
     "per-vector scale = max|v|/127, the 4× ANN storage trade — gated "
-    "on a position-weighted checksum of the quantized components).",
+    "on a position-weighted checksum of the quantized components), "
+    "and near-dup cluster representatives "
+    "(operators/dedup.dedup_representatives: MinHash pairs → connected "
+    "components → min-id canonical per transitive cluster, the "
+    "keep/drop decision pairwise dedup alone can't make — oracle is a "
+    "recursive-CTE transitive closure over the exact Jaccard pairs).",
 )
 def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
@@ -1559,6 +1584,16 @@ def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k"),
         F.col("top_frac").alias("val"),
     )
+    from .operators.dedup import dedup_representatives, minhash_dedup_pairs
+
+    dup_pairs = minhash_dedup_pairs(
+        docs, threshold=0.5, num_hashes=64, bands=16, ngram=3, shingle="word"
+    )
+    rep_cluster_rows = dedup_representatives(docs, dup_pairs).select(
+        F.lit("dedup_rep").alias("gate"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("representative").cast("double").alias("val"),
+    )
     from .operators.similarity import quantize_embeddings_int8
 
     quant_rows = quantize_embeddings_int8(_t(spark, sf_dir, "embeddings")).select(
@@ -1583,6 +1618,7 @@ def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(redact_rows)
         .unionByName(rep_rows)
         .unionByName(quant_rows)
+        .unionByName(rep_cluster_rows)
     )
 
 

@@ -102,3 +102,19 @@ def test_minhash_on_real_documents(spark):
     assert exact, "fixture should contain near-duplicate documents"
     missed = exact - mh
     assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_dedup_representatives_transitive(spark):
+    """A~B, B~C (A~C never emitted) must collapse to one cluster with
+    min-id representative; isolated docs represent themselves."""
+    from garden_net_backend_spark.operators.dedup import dedup_representatives
+
+    docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["representative"]
+        for r in dedup_representatives(docs, pairs).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
