@@ -70,10 +70,11 @@ def main() -> None:
     # decorrelates them. The second pass also excludes first-touch
     # costs (JIT, parquet footer cache). Queries whose first sample is
     # already long skip the repeat to bound total bench wall time.
-    _REPEAT_BUDGET_SEC = 20.0
-    _TOTAL_BUDGET_SEC = 600.0  # skip the refinement pass if the first
-    # pass already burned the bench budget (keeps the driver's bench
-    # step bounded even under heavy sibling-host load)
+    _TOTAL_BUDGET_SEC = 600.0  # stop refining once the bench budget is
+    # spent (keeps the driver's bench step bounded even under heavy
+    # sibling-host load). Every query gets a repeat while budget lasts
+    # — a per-query skip for slow first samples would pin exactly the
+    # samples a load burst inflated.
     t_start = time.time()
     timings: dict[str, float] = {}
     for name, spec in CATALOG.items():
@@ -81,8 +82,7 @@ def main() -> None:
     for name, spec in CATALOG.items():
         if time.time() - t_start > _TOTAL_BUDGET_SEC:
             break
-        if timings[name] < _REPEAT_BUDGET_SEC:
-            timings[name] = min(timings[name], run_once(spec))
+        timings[name] = min(timings[name], run_once(spec))
 
     total = round(sum(timings.values()), 3)
     print(

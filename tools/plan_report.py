@@ -105,6 +105,15 @@ CASES = [
         ["Expand", "HashAggregate", "BroadcastHashJoin"],
     ),
     (
+        "q45_scalar_misc",
+        "Pipeline-op suite: the chunker/split/redact/repetition/"
+        "quantization arms are per-row Generate + projection chains "
+        "(no shuffle except the doc-scoped repetition count and the "
+        "dedup-pairs CC), and every arm prunes its scan to the columns "
+        "it reads",
+        ["Generate", "ReadSchema", "MapInPandas", "partial_min"],
+    ),
+    (
         "q41_sessionization",
         "Capped sessionization (batch form): both window passes and the "
         "final agg share the user_id partitioning — gaps-and-islands costs "
