@@ -151,16 +151,30 @@ def build_network(
     wt_threshold: float = 5.0,
     chromosome: str | None = None,
     hic_mode: bool = False,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Full §3.1 steps 2-8: scan → threshold → typing → chromosome view
     → vertices + simplified edges with per-node degree. Returns
-    (nodes, edges)."""
+    (nodes, edges).
+
+    ``materialize=True`` localCheckpoints the typed interaction set and
+    the simplified edges — the nodes lineage EMBEDS the edges lineage
+    (degree join), so a caller that checkpoints nodes and edges
+    separately otherwise re-executes the scan→threshold→typing chain
+    ~3×. With it, the chain runs once and every downstream consumer
+    (vertex collapse, degree join, search, metrics) reads the
+    materialized block — the in-session analogue of the S9 serving
+    tables."""
     inter = filter_threshold(interactions, wt_threshold)
     inter = with_fragment_keys(inter)
     inter = type_edges(inter, hic_mode)
     inter = filter_chromosome(inter, chromosome)
+    if materialize:
+        inter = inter.localCheckpoint(eager=True)
     nodes = derive_vertices(inter, hic_mode)
     edges = derive_edges(inter)
+    if materialize:
+        edges = edges.localCheckpoint(eager=True)
     deg = degrees(edges.select("src", "dst"))
     nodes = (
         nodes.join(deg, nodes["fragment"] == deg["node"], "left")

@@ -2267,13 +2267,15 @@ def q64_search_ego_subnetwork(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.network_build import build_network
     from .plans.search import build_token_index, search_subnetwork
 
-    nodes, edges = build_network(_synthetic_pchic(spark, sf_dir), wt_threshold=30.0)
+    nodes, edges = build_network(
+        _synthetic_pchic(spark, sf_dir), wt_threshold=30.0, materialize=True
+    )
     # the built network feeds many consumers (token index, seed probe,
     # per-seed ego joins, induced subgraph, degree recompute) — in
-    # serving these are the materialized S9 tables; materialize once
-    # here the same way instead of re-running the build per consumer
+    # serving these are the materialized S9 tables; materialize=True
+    # runs the scan→typing chain once, and the nodes checkpoint below
+    # is then a cheap read of that block
     nodes = nodes.localCheckpoint(eager=True)
-    edges = edges.localCheckpoint(eager=True)
     sub_nodes, _sub_edges = search_subnetwork(
         nodes, edges, "GENE12", token_index=build_token_index(nodes)
     )
@@ -2354,12 +2356,13 @@ def q65_network_metadata_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .plans.network_build import build_network
 
-    nodes, edges = build_network(_synthetic_pchic(spark, sf_dir), wt_threshold=30.0)
+    nodes, edges = build_network(
+        _synthetic_pchic(spark, sf_dir), wt_threshold=30.0, materialize=True
+    )
     # the bundle reads the built network ~8 times (vstats, bait/oe
     # sets, pp/po subsets, edge stats, degrees, transitivity) —
     # materialize once, as the S9 serving tables would be
     nodes = nodes.localCheckpoint(eager=True)
-    edges = edges.localCheckpoint(eager=True)
     e = edges.select("src", "dst")
     baits = nodes.filter(F.col("type") == "P").select(F.col("fragment").alias("node"))
     oes = nodes.filter(F.col("type") == "O").select(F.col("fragment").alias("node"))
@@ -2486,12 +2489,13 @@ def q66_feature_merge_chas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.feature_metrics import merge_features
     from .plans.network_build import build_network
 
-    nodes, edges = build_network(_synthetic_pchic(spark, sf_dir), wt_threshold=30.0)
+    nodes, edges = build_network(
+        _synthetic_pchic(spark, sf_dir), wt_threshold=30.0, materialize=True
+    )
     # nodes feeds the overlap grid + metrics, edges feeds chas + degrees
-    # — materialize the small derived network once instead of re-running
-    # the lineitem scan + build per consumer
+    # — materialize=True runs the scan→typing chain once; nodes then
+    # checkpoints cheaply on top of it
     nodes = nodes.localCheckpoint(eager=True)
-    edges = edges.localCheckpoint(eager=True)
     part = _t(spark, sf_dir, "part")
     intervals = part.select(
         (F.col("p_partkey") % 5 + 1).cast("string").alias("chr"),
