@@ -194,7 +194,10 @@ def connected_components(
     nparts = max(1, e.rdd.getNumPartitions())
     prev = None
     for _ in range(max_iter):
-        e = _forest_contract(e, src, dst).localCheckpoint(eager=True)
+        # size check BEFORE contracting: an already-small edge set
+        # (near-dup pair graphs, post-contraction forests) goes straight
+        # to the bounded solve — the count is one cheap aggregate,
+        # versus a full mapInPandas union-find pass + checkpoint
         n = e.count()
         if n <= collect_threshold:
             pdf = e.toPandas()
@@ -245,6 +248,7 @@ def connected_components(
             # can't shrink further; finish distributed
             break
         prev = n
+        e = _forest_contract(e, src, dst).localCheckpoint(eager=True)
         nparts = max(1, nparts // 8)
         e = e.repartition(nparts)
     return _cc_pointer_jumping(nodes, e, node_col, src, dst, max_iter)
