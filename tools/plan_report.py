@@ -47,10 +47,11 @@ CASES = [
     ),
     (
         "q23_node_metrics",
-        "Connected components, final stage: after per-partition spanning-"
-        "forest contraction (mapInPandas union-find, |E|→~|V| per pass) the "
-        "driver-solved label mapping re-joins as a BROADCAST — no shuffle "
-        "of the node set",
+        "Connected components, final stage: the driver-solved label mapping "
+        "re-joins as a BROADCAST — no shuffle of the node set. (At this SF "
+        "the edge set is already under the solve threshold, so the "
+        "mapInPandas spanning-forest contraction passes are skipped "
+        "entirely; at scale they run first, |E|→~|V| per pass.)",
         ["BroadcastHashJoin", "BroadcastExchange", "MapInPandas"],
     ),
     (
