@@ -1697,15 +1697,19 @@ def q54_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q50_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     d = 0.005  # rank tolerance of the property gate
+    # one array-percentile aggregate per column (single sort pass each)
+    # instead of six scalar percentile aggregates
     agg = li.groupBy("l_returnflag").agg(
-        F.percentile(F.col("l_quantity"), F.lit(0.5)).alias("median_qty"),
-        F.percentile(F.col("l_extendedprice"), F.lit(0.9)).alias("p90_price"),
+        F.percentile(
+            F.col("l_quantity"),
+            F.array(F.lit(0.5 - d), F.lit(0.5), F.lit(0.5 + d)),
+        ).alias("_q"),
+        F.percentile(
+            F.col("l_extendedprice"),
+            F.array(F.lit(0.9 - d), F.lit(0.9), F.lit(0.9 + d)),
+        ).alias("_p"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
-        F.percentile(F.col("l_quantity"), F.lit(0.5 - d)).alias("_mlo"),
-        F.percentile(F.col("l_quantity"), F.lit(0.5 + d)).alias("_mhi"),
-        F.percentile(F.col("l_extendedprice"), F.lit(0.9 - d)).alias("_plo"),
-        F.percentile(F.col("l_extendedprice"), F.lit(0.9 + d)).alias("_phi"),
         F.percentile_approx(F.col("l_quantity"), F.lit(0.5), F.lit(10000)).alias(
             "_am"
         ),
@@ -1715,16 +1719,16 @@ def q50_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "l_returnflag",
-        "median_qty",
-        "p90_price",
+        F.col("_q").getItem(1).alias("median_qty"),
+        F.col("_p").getItem(1).alias("p90_price"),
         "min_qty",
         "max_qty",
-        F.col("_am").between(F.col("_mlo"), F.col("_mhi")).alias(
-            "approx_median_within_tol"
-        ),
-        F.col("_ap").between(F.col("_plo"), F.col("_phi")).alias(
-            "approx_p90_within_tol"
-        ),
+        F.col("_am")
+        .between(F.col("_q").getItem(0), F.col("_q").getItem(2))
+        .alias("approx_median_within_tol"),
+        F.col("_ap")
+        .between(F.col("_p").getItem(0), F.col("_p").getItem(2))
+        .alias("approx_p90_within_tol"),
     )
 
 
