@@ -237,12 +237,16 @@ def chunk_tokens(
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
-    # chunk starts: 0, stride, 2*stride, … while start < n_tokens
-    with_toks = df.filter(F.trim(F.col(text_col)) != "").select(
+    # chunk starts: 0, stride, 2*stride, … while start < n_tokens.
+    # Filter on the TOKEN count, not trim(text): F.trim strips only
+    # spaces, so a "\t"-only doc would pass a text filter with zero
+    # tokens and sequence(0, floor((0-1)/stride)) = sequence(0,-1)
+    # would emit two spurious empty chunks.
+    with_toks = df.select(
         F.col(id_col),
         F.explode(F.array(toks)).alias("_toks"),  # Generate barrier:
         # materialize the split once, not once per HOF element
-    )
+    ).filter(F.size("_toks") > 0)
     idx = with_toks.select(
         id_col,
         "_toks",

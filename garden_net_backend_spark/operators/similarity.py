@@ -572,7 +572,8 @@ def quantize_embeddings_int8(
     original is recovered to within scale/2 per component via
     ``q_i · scale``. Dot products on int8 stay exact in int32 for
     dims ≤ ~500k, so prescreen scoring can run entirely integer-side.
-    Zero vectors quantize to zeros (scale 0 guarded to 1).
+    Zero vectors quantize to zeros (scale 0 guarded to 1e-30, so the
+    emitted scale for an all-zero vector is 1e-30, not 1).
     """
     v = F.col(vec_col)
     scale = F.greatest(

@@ -1386,10 +1386,12 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR) || '#' ||
              array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' '),
            CAST(len(toks[i * 48 + 1 : i * 48 + 64]) AS DOUBLE)
-    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-          FROM documents WHERE trim(text) <> ''),
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
          (SELECT CAST(unnest(generate_series(0, 9999)) AS INT) AS i)
-    WHERE i <= floor((len(toks) - 1) / 48)
+    WHERE len(toks) > 0 AND i <= floor((len(toks) - 1) / 48)
     UNION ALL
     SELECT 'split',
            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
@@ -1422,8 +1424,9 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, len(text) AS nchars,
                array_to_string(toks[i : i + 1], ' ') AS g
         FROM (SELECT doc_id, text,
-                     regexp_split_to_array(trim(text), '\\s+') AS toks
-              FROM documents WHERE trim(text) <> ''),
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
              (SELECT CAST(unnest(generate_series(1, 9999)) AS INT) AS i)
         WHERE i + 1 <= len(toks))
       GROUP BY doc_id, nchars, g)

@@ -100,6 +100,9 @@ def test_chunk_tokens_brute_force(spark):
         (4, " ".join(f"t{i}" for i in range(8))),  # exact 2 windows
         (5, " ".join(f"t{i}" for i in range(23))),
         (6, "  a\tb\n c   d  "),
+        (7, "\t"),  # whitespace-only but NOT space-only: F.trim strips
+        (8, "\n\t \n"),  # only spaces, so these must be caught by the
+        (9, "\ta b c d e f"),  # token-count guard, not the text filter
     ]
     max_tokens, overlap = 5, 2
     stride = max_tokens - overlap
