@@ -241,11 +241,22 @@ def minhash_dedup_pairs(
 
 
 def simhash(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 42
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash over word tokens → (id, simhash long).
 
-    Per bit k: sign of Σ_tokens (bit k of xxhash64(token) ? +1 : −1).
+    Per bit k: sign of Σ_tokens (bit k of hash64(token) ? +1 : −1).
+
+    ``hash_fn``: ``"xxhash64"`` (default — single JVM intrinsic, the
+    100 TB path) or ``"md5"`` (top 64 bits of md5(seed || ':' || token)
+    parsed from the hex — md5 is the one digest bit-identical across
+    Spark and DuckDB, so an external SQL engine can recompute the
+    fingerprints from first principles; used by the q32 oracle gate).
+    Fingerprints differ between modes; pick one per corpus.
 
     Physical plan: explode tokens, hash once, one groupBy with 64
     conditional-sum aggregates (map-side combinable), then assemble the
@@ -253,12 +264,21 @@ def simhash(
     form re-evaluates the token pipeline per bit — measured ~10× slower.)
     Docs with zero tokens keep fingerprint 0 via the left join back.
     """
+    if hash_fn == "xxhash64":
+        h64 = F.xxhash64(F.col("_t"), F.lit(seed))
+    elif hash_fn == "md5":
+        hexs = F.md5(F.concat(F.lit(f"{seed}:"), F.col("_t")))
+        hi = F.conv(F.substring(hexs, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(hexs, 9, 8), 16, 10).cast("long")
+        h64 = F.shiftleft(hi, 32).bitwiseOR(lo)
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     th = ensure_min_partitions(docs).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
         ).alias("_t"),
-    ).select("id", F.xxhash64(F.col("_t"), F.lit(seed)).alias("_h"))
+    ).select("id", h64.alias("_h"))
     # sign of Σ(±1) per bit == (2·set-bit-count > n_tokens): sum raw bit
     # extractions + one count instead of 64 branched ±1 sums (branchless
     # codegen, same fingerprints)

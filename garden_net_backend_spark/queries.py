@@ -943,6 +943,55 @@ _SHINGLES_SQL = f"""
 """
 
 
+def _hex8_sql(expr: str) -> str:
+    """SQL parsing an 8-char lowercase-hex string expression → BIGINT."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr({expr}, {i}, 1)) - 1)"
+            f" * {16 ** (8 - i)}"
+            for i in range(1, 9)
+        )
+        + ")"
+    )
+
+
+# md5-SimHash recomputed from first principles: tokenize exactly as the
+# Spark op does, take the top 64 bits of md5('42:' || token) as two
+# 32-bit halves (md5 is the one digest bit-identical across engines),
+# majority-vote each bit (strict >, ties → 0), reassemble per-doc
+# fingerprints, and emit ALL pairs at Hamming ≤ 3 by brute force — the
+# Spark side's 16-bit pigeonhole blocking has provably exact recall at
+# this radius, so blocked-and-verified == all-pairs.
+_SIMHASH_ORACLE_SQL = f"""
+    WITH stoks AS (
+      SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS t
+      FROM documents),
+      sh32 AS (SELECT doc_id, md5('42:' || t) AS m FROM stoks),
+      shl AS (SELECT doc_id,
+                     {_hex8_sql("substr(m, 1, 8)")} AS hi,
+                     {_hex8_sql("substr(m, 9, 8)")} AS lo
+              FROM sh32),
+      bits AS (SELECT doc_id, COUNT(*) AS n,
+        {", ".join(f"SUM((hi >> {k}) & 1) AS ch{k}" for k in range(32))},
+        {", ".join(f"SUM((lo >> {k}) & 1) AS cl{k}" for k in range(32))}
+        FROM shl GROUP BY doc_id),
+      sfp AS (SELECT doc_id,
+        {" + ".join(f"CASE WHEN 2 * ch{k} > n THEN {2 ** k} ELSE 0 END" for k in range(32))} AS fhi,
+        {" + ".join(f"CASE WHEN 2 * cl{k} > n THEN {2 ** k} ELSE 0 END" for k in range(32))} AS flo
+        FROM bits),
+      allfp AS (SELECT d.doc_id,
+                       COALESCE(fhi, 0) AS fhi, COALESCE(flo, 0) AS flo
+                FROM documents d LEFT JOIN sfp ON d.doc_id = sfp.doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fhi, b.fhi))
+                + bit_count(xor(a.flo, b.flo)) AS INTEGER) AS hamming
+    FROM allfp a JOIN allfp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fhi, b.fhi)) + bit_count(xor(a.flo, b.flo)) <= 3
+"""
+
+
 @register(
     "q29_exact_dedup",
     f"""
@@ -1027,22 +1076,28 @@ def q31_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q32_simhash_dedup",
-    None,  # genuinely not oracle-able: the output criterion (Hamming
-    # distance over xxhash64-derived fingerprints) isn't SQL-portable,
-    # and a q31-style "equals the exact-Jaccard pairs" gate is
-    # impossible on this corpus — measured: true near-dup pairs
-    # (Jaccard ≥ 0.5) carry simhash Hamming up to 13, so no practical
-    # Hamming cutoff reproduces the exact pair set. Pinned instead by
-    # tests/test_dedup.py (planted-dup recall + hamming-bound
-    # properties).
-    doc="SimHash-64 near-dup pairs: per-row fingerprint (higher-order "
-    "array funcs, no shuffle), 16-bit-chunk pigeonhole blocking, Hamming ≤ 3 "
-    "verification via bit_count(xor).",
+    _SIMHASH_ORACLE_SQL,
+    doc="SimHash-64 near-dup pairs: per-doc fingerprint via one groupBy "
+    "with 64 map-side-combinable bit-majority aggregates, 16-bit-chunk "
+    "pigeonhole blocking (Hamming ≤ 3 with 4 chunks ⇒ some chunk equal, "
+    "so recall is EXACT — blocking is a pure cost optimization), "
+    "bit_count(xor) verification. FULL equality gate (upgraded from "
+    "rows-only in round 3): fingerprints use hash_fn='md5' — the one "
+    "digest bit-identical across Spark and DuckDB — so the oracle "
+    "recomputes every fingerprint from first principles (hex-parsed "
+    "md5 halves, per-bit majority vote) and brute-forces ALL pairs at "
+    "Hamming ≤ 3; exact blocking recall makes Spark's blocked output "
+    "equal the oracle's all-pairs output, with zero probabilistic "
+    "slack. The xxhash64 default remains the at-scale path (same plan, "
+    "one intrinsic instead of md5+conv); tests/test_dedup.py pins its "
+    "planted-dup recall and hamming-bound properties.",
 )
 def q32_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash, simhash_near_pairs
 
-    return simhash_near_pairs(simhash(_t(spark, sf_dir, "documents")))
+    return simhash_near_pairs(
+        simhash(_t(spark, sf_dir, "documents"), hash_fn="md5")
+    )
 
 
 @register(
@@ -1176,14 +1231,135 @@ def q37_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5)
 
 
+# Derived-property oracle for the ANN gates (q38 LSH, q54 IVF) — the
+# q50/q51 pattern: the Spark side computes per-query verdicts whose
+# truth DuckDB can assert independently as literals. Every property is
+# DETERMINISTIC on any corpus (no probabilistic slack, unlike a raw
+# recall threshold — gaussian synthetic embeddings have weak neighbor
+# structure, so per-query recall beyond the self-hit is corpus-dependent
+# and is pinned by tests/test_similarity.py instead):
+#   n_returned        — exactly k results per query.
+#   self_hit          — rank 1 is the query itself (queries are corpus
+#                       members; LSH buckets identical vectors together;
+#                       IVF probes the query's own cell first).
+#   scores_exact      — every returned cosine equals the exact decimal
+#                       recomputation for that (query, vec) pair: pins
+#                       the re-rank stage end-to-end.
+#   dominated_by_exact— ANN cosine at rank r ≤ exact cosine at rank r
+#                       for every r: an ANN over a candidate subset can
+#                       never beat the exact ranking (catches score
+#                       inflation / wrong-pair joins).
+#   ranking_monotone  — (cosine desc, vec_id asc) total order holds.
+#   recall_ge_02      — recall@5 vs exact ≥ 0.2 (the floor the self-hit
+#                       guarantees structurally; measured recall is
+#                       0.38-0.54 here, asserted ≥ 0.2 in tests).
+_ANN_ORACLE_SQL = """
+    SELECT vec_id AS query_id,
+           CAST(5 AS BIGINT) AS n_returned,
+           TRUE AS self_hit,
+           TRUE AS scores_exact,
+           TRUE AS dominated_by_exact,
+           TRUE AS ranking_monotone,
+           TRUE AS recall_ge_02
+    FROM embeddings WHERE vec_id < 10
+"""
+
+
+def _ann_property_gate(emb, queries, ann, k: int) -> DataFrame:
+    """Per-query verdict rows for an ANN result vs the exact baseline."""
+    from .operators.similarity import cosine_similarity, cosine_topk
+
+    # The ANN result (|Q|·k rows) is the expensive input — evaluate it
+    # ONCE: rescoring joins the corpus with the ANN side broadcast (one
+    # BroadcastHashJoin scan, no corpus shuffle), and the two exact-side
+    # comparisons (by rank for domination, by membership for recall)
+    # are broadcast lookups folded into the same row stream. Right sides
+    # carry only fresh "_e*" names — no self-join ambiguity.
+    exact = cosine_topk(emb, queries, k=k)
+    ex_rank = F.broadcast(
+        exact.select(
+            F.col("query_id").alias("_eq"),
+            F.col("rank").alias("_er"),
+            F.col("cosine").alias("_ec"),
+        )
+    )
+    ex_member = F.broadcast(
+        exact.select(
+            F.col("query_id").alias("_mq"),
+            F.col("vec_id").alias("_mv"),
+            F.lit(1).alias("_hit"),
+        )
+    )
+    ann_q = ann.join(F.broadcast(queries), "query_id")
+    rescored = emb.select(
+        F.col("vec_id").alias("_cv"), F.col("embedding").alias("_ce")
+    ).join(F.broadcast(ann_q), F.col("vec_id") == F.col("_cv")).select(
+        "query_id",
+        "vec_id",
+        "rank",
+        "cosine",
+        F.round(
+            cosine_similarity(F.col("_ce"), F.col("query_vec")), 9
+        ).alias("_recomputed"),
+    )
+    joined = rescored.join(
+        ex_rank,
+        (F.col("query_id") == F.col("_eq")) & (F.col("rank") == F.col("_er")),
+        "left",
+    ).join(
+        ex_member,
+        (F.col("query_id") == F.col("_mq")) & (F.col("vec_id") == F.col("_mv")),
+        "left",
+    )
+    wq = W.partitionBy("query_id").orderBy("rank")
+    mono = F.lag("cosine").over(wq).isNull() | (
+        (F.lag("cosine").over(wq) > F.col("cosine"))
+        | (
+            (F.lag("cosine").over(wq) == F.col("cosine"))
+            & (F.lag("vec_id").over(wq) < F.col("vec_id"))
+        )
+    )
+    return (
+        joined.withColumn("_mono", mono)
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_returned"),
+            F.max(
+                (F.col("rank") == 1) & (F.col("vec_id") == F.col("query_id"))
+            ).alias("self_hit"),
+            F.min(F.col("cosine") == F.col("_recomputed")).alias("scores_exact"),
+            F.min(F.col("cosine") <= F.col("_ec")).alias("dominated_by_exact"),
+            F.min("_mono").alias("ranking_monotone"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_hits"),
+        )
+        .withColumn("recall_ge_02", F.col("_hits") / F.lit(k) >= 0.2)
+        .select(
+            "query_id",
+            "n_returned",
+            "self_hit",
+            "scores_exact",
+            "dominated_by_exact",
+            "ranking_monotone",
+            "recall_ge_02",
+        )
+    )
+
+
 @register(
     "q38_lsh_ann_topk",
-    None,  # ANN recall < 1 by design — verified against q37 in
-    # tests/test_similarity.py (recall@5 measured, not asserted == 1)
+    _ANN_ORACLE_SQL,
     doc="Random-hyperplane LSH ANN top-k: deterministic integer pseudo-"
     "planes (8 bands × 8 bits), candidates = bucket collisions, exact "
     "re-rank of candidates only. The 100 TB path: index build is one "
-    "parallel scan; queries touch buckets, not the corpus.",
+    "parallel scan; queries touch buckets, not the corpus. Gate "
+    "(upgraded from rows-only in round 3): per-query derived-property "
+    "verdicts — exactly k results, self-retrieval at rank 1, every "
+    "returned cosine equal to its exact decimal recomputation, ANN "
+    "scores dominated rank-by-rank by the exact top-k, monotone "
+    "ranking, recall ≥ the structural floor — each deterministic, so "
+    "the oracle asserts them as literals (q50/q51 pattern). Absolute "
+    "recall (0.38-0.54 on gaussian synthetic data) stays pinned in "
+    "tests/test_similarity.py where a corpus-dependent value belongs.",
 )
 def q38_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import lsh_cosine_topk
@@ -1192,7 +1368,9 @@ def q38_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return lsh_cosine_topk(emb, queries, k=5)
+    return _ann_property_gate(
+        emb, queries, lsh_cosine_topk(emb, queries, k=5), k=5
+    )
 
 
 # --- event-time windows (batch form of the streaming ops; the same
@@ -1655,14 +1833,17 @@ def q49_union_merge_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q54_ivf_ann_topk",
-    None,  # ANN recall < 1 by design — compared against exact q37 in
-    # tests/test_similarity.py
+    _ANN_ORACLE_SQL,
     doc="IVF ANN top-k: hash-sampled centroids sharpened by one Lloyd "
     "k-means pass (exact-decimal means → deterministic under any "
     "partitioning), broadcast one-pass assignment, nprobe=4 probing, "
     "exact re-rank of probed cells only. At 100 TB the assignments "
     "table partitions by centroid so a query scans nprobe partitions, "
-    "not the corpus.",
+    "not the corpus. Gate (upgraded from rows-only in round 3): same "
+    "per-query derived-property verdict rows as q38 — see "
+    "_ANN_ORACLE_SQL; self-retrieval holds because the query's own "
+    "cell is always among the nprobe nearest centroids. Absolute "
+    "recall stays pinned in tests/test_similarity.py.",
 )
 def q54_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_cosine_topk
@@ -1671,8 +1852,11 @@ def q54_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_cosine_topk(
-        emb, queries, k=5, nprobe=4, n_centroids=32, refine_iters=1
+    return _ann_property_gate(
+        emb,
+        queries,
+        ivf_cosine_topk(emb, queries, k=5, nprobe=4, n_centroids=32, refine_iters=1),
+        k=5,
     )
 
 
