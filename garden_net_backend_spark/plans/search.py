@@ -188,15 +188,29 @@ def _range_seeds(
     return hits
 
 
-def _per_seed_ego_edges(e: DataFrame, seeds: DataFrame) -> DataFrame:
+# Above this many (seed, neighbor) adjacency rows the per-seed ego
+# joins switch from broadcast to shuffle: a hub seed (e.g. a
+# super-enhancer fragment with 10^5+ contacts at 100x scale) must not
+# be forced through a driver broadcast. Typical interactive gene
+# queries are orders of magnitude below this.
+_EGO_BROADCAST_MAX_ROWS = 1_000_000
+
+
+def _per_seed_ego_edges(
+    e: DataFrame, seeds: DataFrame, broadcast_max_rows: int = _EGO_BROADCAST_MAX_ROWS
+) -> DataFrame:
     """Union of per-seed induced ego edge sets (reference
     make_ego_graph per matched vertex + union_graphs_with_attributes,
     network_generator_lib.R:86,122): an edge (u,v) qualifies iff SOME
     seed s has both u and v inside {s} ∪ N(s). Distinct from the
     induced subgraph over the union, which would also admit edges
     between neighbors of different seeds. Implemented as two
-    broadcast equi-joins against the seed adjacency (seed-degree-sized
-    — interactive queries keep it driver-broadcastable)."""
+    equi-joins against the seed adjacency; the adjacency is broadcast
+    only while it is provably small (one count job on the
+    seed-degree-sized frame) — a hub seed whose neighborhood exceeds
+    ``broadcast_max_rows`` falls back to shuffle joins, which the
+    reference (single-node, network_generator_lib.R:86-129) never
+    needed to consider."""
     s = seeds.select(F.col("fragment").alias("s"))
     sym = symmetrize(e.select("src", "dst"))
     adj = (
@@ -205,10 +219,13 @@ def _per_seed_ego_edges(e: DataFrame, seeds: DataFrame) -> DataFrame:
         .union(s.select("s", F.col("s").alias("x")))
         .distinct()
     )
-    cand = e.join(F.broadcast(adj.withColumnRenamed("x", "src")), "src")
+    adj = adj.persist()
+    hub = adj.count() > broadcast_max_rows
+    hint = (lambda df: df) if hub else F.broadcast
+    cand = e.join(hint(adj.withColumnRenamed("x", "src")), "src")
     return (
         cand.join(
-            F.broadcast(adj.withColumnRenamed("x", "dst")), ["s", "dst"], "left_semi"
+            hint(adj.withColumnRenamed("x", "dst")), ["s", "dst"], "left_semi"
         )
         .select(*e.columns)
         .distinct()

@@ -147,6 +147,42 @@ def test_search_gene_ego(network):
     assert got["1_500_600"]["degree"] == 1  # 1 in subnet (2 globally)
 
 
+def test_search_hub_seed_shuffle_fallback(network, spark):
+    """A hub seed whose adjacency exceeds the broadcast cap must take
+    the shuffle-join path of _per_seed_ego_edges and return the same
+    edge set as the broadcast path (scale guard: a super-enhancer
+    fragment with 10^5+ contacts cannot go through a driver
+    broadcast)."""
+    from garden_net_backend_spark.plans.search import _per_seed_ego_edges
+
+    edges = spark.createDataFrame(
+        [("HUB", f"N_{i}", "P-O") for i in range(60)]
+        + [("N_1", "N_2", "P-O"), ("N_58", "N_59", "P-O"), ("N_1", "FAR", "P-O")],
+        "src string, dst string, type string",
+    )
+    seeds = spark.createDataFrame([("HUB",)], "fragment string")
+    bcast = _per_seed_ego_edges(edges, seeds)
+    # the hub path must not FORCE the adjacency onto the broadcast
+    # side: with stats-based auto-broadcast off, the plan falls back to
+    # a shuffle join — proving no hint is attached. (With auto-broadcast
+    # on, the optimizer may still pick broadcast from stats; that is the
+    # desired behavior, not a forced driver broadcast.)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuf = _per_seed_ego_edges(edges, seeds, broadcast_max_rows=10)
+        plan = shuf._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    want = {("HUB", f"N_{i}") for i in range(60)} | {
+        ("N_1", "N_2"),
+        ("N_58", "N_59"),
+    }
+    assert {(r["src"], r["dst"]) for r in bcast.collect()} == want
+    assert {(r["src"], r["dst"]) for r in shuf.collect()} == want
+
+
 def test_search_fragment_and_range_and_multi(network):
     nodes, edges = network
     sn, _ = search_subnetwork(nodes, edges, "x_2000_2100")  # case-insensitive Q2
