@@ -1683,10 +1683,36 @@ def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
         .distinct()
     )
+    # A9 suggestions need a GLOBAL alphabetical rank; a bare
+    # W.orderBy("token") would serialize the whole vocabulary through
+    # one task. Two-phase distributed rank instead: row_number within
+    # first-character partitions (parallel) + per-prefix offsets. The
+    # offset table is at most |charset| rows — scale-invariant — so it
+    # is collected driver-side and folded in as a map literal (same
+    # driver-sized-metadata discipline as the chromosome list).
+    # Prefix-partitioned order == global order because the partition
+    # key is a prefix of the sort key.
+    toks = toks.withColumn("pfx", F.substring("token", 1, 1))
+    pfx_counts = sorted(
+        (r["pfx"], r["n"])
+        for r in toks.groupBy("pfx").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, running = {}, 0
+    for pfx, n in pfx_counts:
+        offsets[pfx] = running
+        running += n
+    if offsets:
+        off_map = F.create_map(
+            *[F.lit(x) for pfx, off in offsets.items() for x in (pfx, off)]
+        )
+        off_expr = F.coalesce(F.element_at(off_map, F.col("pfx")), F.lit(0))
+    else:
+        off_expr = F.lit(0)
+    within = F.row_number().over(W.partitionBy("pfx").orderBy("token"))
     arr = toks.select(
         F.lit("array_rank").alias("gate"),
         F.col("token").alias("k"),
-        F.row_number().over(W.orderBy("token")).cast("double").alias("val"),
+        (within + off_expr).cast("double").alias("val"),
     )
     c = _t(spark, sf_dir, "customer")
     cd = c.groupBy(F.col("c_mktsegment").alias("k")).agg(
