@@ -8,11 +8,14 @@ stays embarrassingly parallel). Heavy rows are the scale hazard:
 ``repartition_for_media`` re-packs by payload size so one straggler
 partition doesn't hold a 4 GB video while others hold thumbnails.
 
-The actual codec calls (PIL/libav/ffmpeg) are NOT available in this
-environment — ``decode_fn`` defaults to a clearly-marked deterministic
-fake so the plumbing (schemas, batch shapes, partitioning) is real and
-tested; swap in a real decoder in production (the signature is the
-contract).
+Codec status: heavyweight codecs (PIL/libav/ffmpeg) are NOT available
+in this environment — ``decode_fn`` defaults to a clearly-marked
+deterministic fake — but the seam is proven with REAL bytes by
+``functions/codecs.py``: a pure-stdlib PNG encoder/decoder (zlib
+inflate, CRC verification, all five scanline filters) whose
+``png_decode_features`` plugs straight into
+:func:`extract_media_features` and is oracle-gated end-to-end (q59
+'png' arm). Swap in PIL/ffmpeg in production via the same signature.
 """
 
 from __future__ import annotations

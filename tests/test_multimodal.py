@@ -117,3 +117,69 @@ def test_synthesized_media_round_trip(spark):
     assert rows[2]["meta"]["duration_ms"] == 39
     feats = {r["media_id"]: r for r in extract_media_features(media).collect()}
     assert feats[0]["n_bytes"] == 11
+
+
+# ---------------------------------------------------------------------
+# Real pure-stdlib PNG codec (functions/codecs.py)
+# ---------------------------------------------------------------------
+
+
+def test_png_round_trip_all_color_types():
+    from garden_net_backend_spark.functions.codecs import decode_png, encode_png
+
+    import random
+
+    rng = random.Random(11)
+    # heights >= 5 so the cycling encoder exercises every filter type
+    for w, h, ct in [(1, 5, 0), (7, 6, 0), (8, 5, 2), (5, 7, 6)]:
+        ch = {0: 1, 2: 3, 6: 4}[ct]
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        assert decode_png(encode_png(w, h, px, ct)) == (w, h, ch, px)
+
+
+def test_png_rejects_garbage_and_corruption():
+    from garden_net_backend_spark.functions.codecs import decode_png, encode_png
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"GIF89a not a png")
+    good = encode_png(2, 2, bytes(range(4)), 0)
+    # flip one IDAT byte → CRC check must catch it
+    bad = bytearray(good)
+    bad[len(good) - 20] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+
+
+def test_png_rejects_unsupported_subset():
+    from garden_net_backend_spark.functions.codecs import decode_png
+
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # 16-bit depth is outside the declared subset → fail loud
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    payload = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(payload)
+
+
+def test_png_decode_features_contract():
+    from garden_net_backend_spark.functions.codecs import (
+        encode_png,
+        png_decode_features,
+    )
+
+    px = bytes((7 + x + y) % 256 for y in range(4) for x in range(6))
+    feats = png_decode_features(encode_png(6, 4, px, 0), "image")
+    assert feats[:3] == [6.0, 4.0, 1.0]
+    assert feats[3] == float(sum(px))
+    assert feats[4] == float(min(px)) and feats[5] == float(max(px))
+    assert png_decode_features(None, "image") == [0.0] * 8
