@@ -75,15 +75,26 @@ def main() -> None:
     # sibling-host load). Every query gets a repeat while budget lasts
     # — a per-query skip for slow first samples would pin exactly the
     # samples a load burst inflated.
+    # Attribution under shared load: persist EVERY sample plus the
+    # 1-minute host loadavg captured just before it, so a reader can
+    # separate plan regressions (both samples slow, load quiet) from
+    # sibling-container bursts (one sample slow, load spiking).
     t_start = time.time()
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in CATALOG}
+    loads: dict[str, list[float]] = {name: [] for name in CATALOG}
+
+    def sample(name, spec) -> None:
+        loads[name].append(round(os.getloadavg()[0], 1))
+        samples[name].append(run_once(spec))
+
     for name, spec in CATALOG.items():
-        timings[name] = run_once(spec)
+        sample(name, spec)
     for name, spec in CATALOG.items():
         if time.time() - t_start > _TOTAL_BUDGET_SEC:
             break
-        timings[name] = min(timings[name], run_once(spec))
+        sample(name, spec)
 
+    timings = {name: min(s) for name, s in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -93,6 +104,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "samples": samples,
+                "loadavg_1m_before_sample": loads,
             }
         )
     )
