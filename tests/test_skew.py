@@ -53,3 +53,75 @@ def test_salted_count_equivalence(skewed):
 def test_salted_join_rejects_unsupported_how(skewed, dim):
     with pytest.raises(ValueError):
         salted_join(skewed, dim, "key", how="full")
+
+
+def test_interval_overlap_join_aqe_skew_split(spark):
+    """The interval kernel's (chr, bin) equi-join is AQE-skew-splittable
+    by construction (SURVEY §4: chr1 ≈ 10× chrY). With skew thresholds
+    scaled down to test-data bytes, AQE must split the hot (chr1, bin 0)
+    partition — SortMergeJoin(skew=true) in the final adaptive plan —
+    and the result must stay row-identical to the exact theta join."""
+    from garden_net_backend_spark.operators.interval import interval_overlap_join
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        # scale the skew thresholds down to test-data bytes (defaults
+        # are sized for 256MB partitions); semantics are stock AQE
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+
+        # 90% of intervals on chr1, all inside bin 0 → one hot join key
+        chrom = (
+            F.when(F.col("id") % 10 != 0, "1")
+            .otherwise((F.col("id") % 9 + 2).cast("string"))
+        )
+        left = spark.range(0, 12000).select(
+            chrom.alias("chr"),
+            ((F.col("id") % 900) * 1000).alias("start"),
+            ((F.col("id") % 900) * 1000 + 50).alias("end"),
+            F.col("id").alias("lid"),
+        )
+        right = spark.range(0, 1200).select(
+            chrom.alias("chr"),
+            ((F.col("id") % 900) * 1000 + 20).alias("rstart"),
+            ((F.col("id") % 900) * 1000 + 30).alias("rend"),
+            (F.col("id") + 900000).alias("rid"),
+        )
+        out = interval_overlap_join(
+            left, right, on="chr",
+            left_range=("start", "end"), right_range=("rstart", "rend"),
+        )
+        agg = out.agg(F.count("*").alias("n"))
+        n_binned = agg.collect()[0]["n"]
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan.splitlines()[0]
+        assert "skew=true" in plan, "AQE did not split the hot (chr1, bin) key"
+
+        # row-identical to the exact closed-interval theta join
+        n_exact = left.join(
+            right,
+            (left["chr"] == right["chr"])
+            & (left["start"] <= right["rend"])
+            & (right["rstart"] <= left["end"]),
+        ).count()
+        assert n_binned == n_exact and n_binned > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -190,9 +190,85 @@ def main() -> None:
             f"{counts['BroadcastNestedLoopJoin']}",
             "",
         ]
+    parts += _skew_case(spark)
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("\n".join(parts))
     print("PLANS.md written")
+
+
+def _skew_case(spark) -> list[str]:
+    """AQE skew-split evidence for the interval kernel on a chr1-skewed
+    fixture (SURVEY §4: chr1 ≈ 10× chrY) — the (chr, bin) equi-join is
+    skew-splittable by construction; thresholds scaled to fixture bytes
+    (defaults target 256MB partitions), semantics are stock AQE. Mirrors
+    tests/test_skew.py::test_interval_overlap_join_aqe_skew_split."""
+    from pyspark.sql import functions as F
+
+    from garden_net_backend_spark.operators.interval import interval_overlap_join
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+        chrom = F.when(F.col("id") % 10 != 0, "1").otherwise(
+            (F.col("id") % 9 + 2).cast("string")
+        )
+        left = spark.range(0, 12000).select(
+            chrom.alias("chr"),
+            ((F.col("id") % 900) * 1000).alias("start"),
+            ((F.col("id") % 900) * 1000 + 50).alias("end"),
+            F.col("id").alias("lid"),
+        )
+        right = spark.range(0, 1200).select(
+            chrom.alias("chr"),
+            ((F.col("id") % 900) * 1000 + 20).alias("rstart"),
+            ((F.col("id") % 900) * 1000 + 30).alias("rend"),
+            (F.col("id") + 900000).alias("rid"),
+        )
+        agg = interval_overlap_join(
+            left, right, on="chr",
+            left_range=("start", "end"), right_range=("rstart", "rend"),
+        ).agg(F.count("*").alias("n"))
+        n = agg.collect()[0]["n"]
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        hits = extract(plan, ["skew", "SortMergeJoin", "AQEShuffleRead"])
+        return [
+            "## interval_overlap_join — AQE skew split (chr1-skewed fixture)",
+            "",
+            "90% of intervals on chr1 inside one 1Mb bin (SURVEY §4: chr1 ≈ "
+            "10× chrY): the kernel's (chr, bin) equi-join lets stock AQE "
+            "split the hot partition — `SortMergeJoin(skew=true)` with "
+            "skewed `AQEShuffleRead` on both sides in the FINAL adaptive "
+            "plan (thresholds scaled to fixture bytes; result verified "
+            "row-identical to the exact theta join in "
+            "tests/test_skew.py). Rows: " + str(n) + ".",
+            "",
+            "```",
+            *hits,
+            "```",
+            f"skew=true markers: {plan.count('skew=true')}",
+            "",
+        ]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 if __name__ == "__main__":
