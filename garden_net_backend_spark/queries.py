@@ -1671,10 +1671,13 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-vector scale = max|v|/127, the 4× ANN storage trade — gated "
     "on a position-weighted checksum of the quantized components), "
     "and near-dup cluster representatives "
-    "(operators/dedup.dedup_representatives: MinHash pairs → connected "
+    "(operators/dedup.dedup_representatives: near-dup pairs → connected "
     "components → min-id canonical per transitive cluster, the "
-    "keep/drop decision pairwise dedup alone can't make — oracle is a "
-    "recursive-CTE transitive closure over the exact Jaccard pairs).",
+    "keep/drop decision pairwise dedup alone can't make — the gate "
+    "feeds CC from the exact word-trigram Jaccard emitter so it is "
+    "deterministic on any corpus, matching the oracle's recursive-CTE "
+    "transitive closure; the production MinHash-LSH-fed path is pinned "
+    "by planted-dup recall tests).",
 )
 def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
@@ -1791,11 +1794,18 @@ def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k"),
         F.col("top_frac").alias("val"),
     )
-    from .operators.dedup import dedup_representatives, minhash_dedup_pairs
+    from .operators.dedup import dedup_representatives, ngram_jaccard_pairs
 
-    dup_pairs = minhash_dedup_pairs(
-        docs, threshold=0.5, num_hashes=64, bands=16, ngram=3, shingle="word"
-    )
+    # Pair source for the GATE is the exact-Jaccard emitter (same word
+    # trigrams / τ=0.5 the oracle's closure uses): feeding CC from
+    # MinHash-LSH pairs would expose the gate to the LSH S-curve's ~64%
+    # collision odds at J=0.5 — one missed borderline pair re-labels a
+    # whole cluster on a regenerated corpus. The LSH-fed representative
+    # path (production shape at 100 TB) stays pinned by the planted-dup
+    # recall tests in tests/test_dedup.py.
+    dup_pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, shingle="word"
+    ).select("id_a", "id_b")
     rep_cluster_rows = dedup_representatives(docs, dup_pairs).select(
         F.lit("dedup_rep").alias("gate"),
         F.col("doc_id").cast("string").alias("k"),

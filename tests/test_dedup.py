@@ -118,3 +118,35 @@ def test_dedup_representatives_transitive(spark):
         for r in dedup_representatives(docs, pairs).collect()
     }
     assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_dedup_representatives_lsh_fed_end_to_end(spark):
+    """Production shape: MinHash-LSH pairs feeding the cluster-
+    representative step. A planted near-dup CHAIN (A~B, B~C with A and C
+    more distant) must collapse into one min-id cluster even though LSH
+    may never emit the A~C pair directly."""
+    from garden_net_backend_spark.operators.dedup import (
+        dedup_representatives,
+        minhash_dedup_pairs,
+    )
+
+    # varied vocabulary → ~58 distinct trigrams; one changed word flips
+    # only 3 of them (J ≈ 0.9, where the seeded 16×4 LSH S-curve is
+    # effectively certain), so A~B and B~C are emitted but A~C may not
+    # be — the chain must still collapse through CC
+    base = " ".join(f"word{i:02d}" for i in range(60))
+    rows = [
+        (0, base),
+        (1, base.replace("word10", "changedx")),
+        (2, base.replace("word10", "changedx").replace("word40", "altered")),
+        (3, "completely unrelated text about spark adaptive execution "
+            "plans and shuffle partitioning strategies " * 3),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_dedup_pairs(docs, threshold=0.8, shingle="word", ngram=3)
+    got = {
+        r["doc_id"]: r["representative"]
+        for r in dedup_representatives(docs, pairs).collect()
+    }
+    assert got[0] == 0 and got[1] == 0 and got[2] == 0, got
+    assert got[3] == 3
