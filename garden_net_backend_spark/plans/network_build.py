@@ -408,6 +408,62 @@ def network_metadata(nodes: DataFrame, edges: DataFrame) -> dict:
     return graph_metadata(nodes, edges)
 
 
+def assign_grid_positions(
+    nodes: DataFrame,
+    x_scale: int = 1000,
+    row_height: int = 200,
+    jitter: int = 160,
+    padding: int = 30,
+) -> DataFrame:
+    """Deterministic, layout-free node coordinates → nodes + ``x``/``y``
+    (closing the reference's layout-enrichment gap with zero external
+    dependencies).
+
+    The reference pipes the Cytoscape JSON through a headless Cytoscape
+    running a RANDOMIZED cose force layout (layout_enricher/index.js,
+    ``randomize: true``; pipeline.sh:118) — non-reproducible by design
+    and served from a separate Node process. An engine artifact must be
+    reproducible, so coordinates derive from the data instead:
+
+      x = padding + genomic midpoint on a ``x_scale``-bp grid
+      y = padding + natural-chromosome row · row_height
+          + a stable per-fragment stagger (xxhash64 % jitter)
+
+    i.e. a karyotype-style ribbon per chromosome, positions stable
+    across runs and partitionings. Integer columns only, so the emitted
+    JSON can never contain scientific notation and node positions are
+    never (0, 0) — the two contracts of the reference's
+    chromosomes_positions_checker.sh:10-23. The chromosome→row map is
+    bounded by the chromosome count (~25), same driver-sized-metadata
+    discipline as ``chromosome_list``.
+    """
+    chrs = [
+        r["chr"]
+        for r in nodes.select("chr")
+        .distinct()
+        .orderBy(natural_chr_key(F.col("chr")))
+        .collect()
+    ]
+    if chrs:
+        row_map = F.create_map(
+            *[F.lit(v) for c, i in ((c, i) for i, c in enumerate(chrs)) for v in (c, i)]
+        )
+        row_idx = F.coalesce(F.element_at(row_map, F.col("chr")), F.lit(0))
+    else:
+        row_idx = F.lit(0)
+    mid = ((F.col("start") + F.col("end")) / 2).cast("long")
+    return nodes.withColumn(
+        "x", (F.lit(padding) + (mid / x_scale).cast("long")).cast("long")
+    ).withColumn(
+        "y",
+        (
+            F.lit(padding)
+            + row_idx.cast("long") * row_height
+            + F.pmod(F.xxhash64(F.col("fragment")), F.lit(jitter))
+        ).cast("long"),
+    )
+
+
 def cytoscape_elements(
     nodes: DataFrame, edges: DataFrame, searched: DataFrame | None = None
 ) -> DataFrame:
@@ -430,10 +486,11 @@ def cytoscape_elements(
         ).withColumn("searched", F.coalesce(F.col("searched"), F.lit("false")))
     else:
         n = n.withColumn("searched", F.lit("false"))
+    has_pos = "x" in n.columns and "y" in n.columns
     extra = [
         c
         for c in n.columns
-        if c not in {"fragment", "gene_names", "chr", "start", "end"}
+        if c not in {"fragment", "gene_names", "chr", "start", "end", "x", "y"}
     ]
     node_struct = F.struct(
         F.col("fragment").alias("id"),
@@ -443,10 +500,13 @@ def cytoscape_elements(
         F.col("end"),
         *[F.col(c) for c in extra],
     )
+    # position block (assign_grid_positions) rides beside data, exactly
+    # where the reference's layout enricher writes it
+    node_parts = [node_struct.alias("data"), F.lit("nodes").alias("group")]
+    if has_pos:
+        node_parts.append(F.struct(F.col("x"), F.col("y")).alias("position"))
     node_json = n.select(
-        F.to_json(
-            F.struct(node_struct.alias("data"), F.lit("nodes").alias("group"))
-        ).alias("element"),
+        F.to_json(F.struct(*node_parts)).alias("element"),
         F.lit(0).alias("_ord"),
         F.col("fragment").alias("_key"),
     )

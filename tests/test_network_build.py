@@ -240,3 +240,39 @@ def test_cytoscape_contracts(network):
     empty_nodes = nodes.limit(0)
     empty_edges = edges.limit(0)
     assert to_cytoscape_json(empty_nodes, empty_edges) == "{}"
+
+
+def test_grid_positions_checker_contract(network):
+    """Replicates the reference's chromosomes_positions_checker.sh on
+    emitted JSON: every node has a position block, node[0]'s position is
+    not (0,0), and no number anywhere is scientific-notation; positions
+    are deterministic across runs and follow the karyotype ribbon
+    (y-row ordered by natural chromosome order)."""
+    from garden_net_backend_spark.plans.network_build import assign_grid_positions
+
+    nodes, edges = network
+    pos_nodes = assign_grid_positions(nodes)
+    elems = [
+        json.loads(r["element"])
+        for r in cytoscape_elements(pos_nodes, edges).collect()
+    ]
+    node_els = [e for e in elems if e["group"] == "nodes"]
+    assert node_els and all("position" in e for e in node_els)
+    p0 = node_els[0]["position"]
+    assert isinstance(p0["x"], int) and isinstance(p0["y"], int)
+    assert not (p0["x"] == 0 and p0["y"] == 0)
+    blob = json.dumps(elems)
+    assert "e+" not in blob and "E+" not in blob and "e-" not in blob
+    # position must not leak into the data block
+    assert "x" not in node_els[0]["data"] and "y" not in node_els[0]["data"]
+    # deterministic across a second evaluation
+    again = [
+        json.loads(r["element"])
+        for r in cytoscape_elements(assign_grid_positions(nodes), edges).collect()
+    ]
+    assert elems == again
+    # karyotype rows follow natural chromosome order
+    rows = {}
+    for e in node_els:
+        rows.setdefault(e["data"]["chr"], set()).add(e["position"]["y"] // 200)
+    assert min(rows["1"]) < min(rows["X"])
