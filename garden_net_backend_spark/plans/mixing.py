@@ -1,0 +1,122 @@
+"""Training-mix planning (north-star extension): deterministic weighted
+source sampling and sequence packing — the two operations between a
+cleaned corpus and a token stream a trainer can consume.
+
+Both are engine-portable by construction: sampling decisions come from
+md5 (bit-identical in every engine, unlike xxhash64/murmur — the same
+discipline as ``functions.text.hash_split``), and packing layout from a
+per-source running token offset, so a re-run on different partitioning
+— or a different engine — reproduces the exact same mix and the exact
+same sequence boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# tokenization shared with chunk_tokens / the q45 oracle arms:
+# whitespace split, empty tokens dropped
+def _n_tokens(text_col: str):
+    return F.size(
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+        )
+    )
+
+
+def weighted_sample_by_source(
+    docs: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-source downsampling → input rows + ``kept``
+    boolean (callers filter; keeping the column makes audits and
+    oracle checks cover BOTH decisions).
+
+    A doc is kept iff ``u < rate(source)`` where ``u`` is the first 8
+    hex digits of ``md5(seed:doc_id)`` as a 32-bit integer — stable
+    under reprocessing, partitioning, and engine choice, and
+    independent per seed. Rates are compared against exact integer
+    thresholds ``floor(rate · 2^32)`` (no float comparison drift).
+    Pure column math over a map literal: zero shuffles, zero UDFs —
+    the mix of a 100 TB corpus costs one scan.
+    """
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0,1], got {r}")
+    thresholds = {s: int(r * (1 << 32)) for s, r in rates.items()}
+    if thresholds:
+        thr_map = F.create_map(
+            *[F.lit(v) for s, t in thresholds.items() for v in (s, t)]
+        )
+        thr = F.coalesce(
+            F.element_at(thr_map, F.col(source_col)),
+            F.lit(int(default_rate * (1 << 32))),
+        )
+    else:
+        thr = F.lit(int(default_rate * (1 << 32)))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return docs.withColumn("kept", u < thr)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    tokens_per_seq: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """GPT-style sequence packing plan: concatenate documents (in
+    ``id_col`` order, per ``group_col`` shard) into fixed
+    ``tokens_per_seq`` windows, documents spanning window boundaries →
+    one row per (document × sequence) span:
+    ``(group_col, id_col, seq_id, tok_begin, n_tokens_in_seq)`` where
+    ``tok_begin`` is the span's offset inside the sequence.
+
+    The running token offset is a window cumsum partitioned by
+    ``group_col`` — training shards are per-source in practice, so no
+    global window exists and the one shuffle is the per-source sort.
+    (A mega-source still holds: the window is a sort within its
+    partition, spill-backed; for truly single-source corpora shard by
+    ``hash_split``-style buckets first and treat the bucket as the
+    group.) Zero-token documents occupy no span and emit no row.
+    """
+    n = _n_tokens(text_col)
+    w = W.partitionBy(group_col).orderBy(id_col)
+    offs = docs.select(
+        group_col,
+        id_col,
+        n.alias("_n"),
+        (F.sum(n).over(w) - n).alias("_off"),
+    ).filter(F.col("_n") > 0)
+    s = tokens_per_seq
+    first_seq = (F.col("_off") / s).cast("long")
+    last_seq = ((F.col("_off") + F.col("_n") - 1) / s).cast("long")
+    spans = offs.select(
+        group_col,
+        id_col,
+        "_off",
+        "_n",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    span_begin = F.greatest(F.col("_off"), F.col("seq_id") * s)
+    span_end = F.least(F.col("_off") + F.col("_n"), (F.col("seq_id") + 1) * s)
+    return spans.select(
+        group_col,
+        id_col,
+        "seq_id",
+        (span_begin - F.col("seq_id") * s).cast("long").alias("tok_begin"),
+        (span_end - span_begin).cast("long").alias("n_tokens_in_seq"),
+    )

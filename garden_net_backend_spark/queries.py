@@ -1639,6 +1639,46 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a)
       SELECT node, r FROM reach)
     GROUP BY node
+    UNION ALL
+    SELECT 'contam', CAST(d.doc_id AS VARCHAR), CAST(COALESCE(c.nc, 0) AS DOUBLE)
+    FROM documents d LEFT JOIN (
+      WITH {_SHINGLES_SQL}
+      SELECT a.doc_id AS did, COUNT(*) AS nc
+      FROM sh a JOIN (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0) b
+        ON a.s = b.s
+      GROUP BY a.doc_id) c ON d.doc_id = c.did
+    UNION ALL
+    SELECT 'mix', CAST(doc_id AS VARCHAR),
+      CAST(CASE WHEN {_hex8_sql("substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8)")} <
+        CASE source WHEN 'src0' THEN {int(1.0 * (1 << 32))}
+                    WHEN 'src1' THEN {int(0.75 * (1 << 32))}
+                    WHEN 'src2' THEN {int(0.5 * (1 << 32))}
+                    WHEN 'src3' THEN {int(0.25 * (1 << 32))}
+                    ELSE {int(0.1 * (1 << 32))} END
+      THEN 1 ELSE 0 END AS DOUBLE)
+    FROM documents
+    UNION ALL
+    SELECT CASE arm WHEN 0 THEN 'pack_ntok' ELSE 'pack_begin' END,
+           source || '#' || CAST(doc_id AS VARCHAR) || '#' || CAST(seq_id AS VARCHAR),
+           CASE arm
+             WHEN 0 THEN CAST(least(off + n, (seq_id + 1) * 64)
+                              - greatest(off, seq_id * 64) AS DOUBLE)
+             ELSE CAST(greatest(off, seq_id * 64) - seq_id * 64 AS DOUBLE)
+           END
+    FROM (
+      SELECT source, doc_id, n, off, (off // 64) + j AS seq_id
+      FROM (
+        SELECT source, doc_id, n,
+               CAST(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) - n AS off
+        FROM (SELECT source, doc_id,
+                     len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                     x -> x <> '')) AS n
+              FROM documents)),
+        (SELECT CAST(j AS BIGINT) AS j FROM generate_series(0, 2000) g(j))
+      WHERE n > 0 AND j <= ((off + n - 1) // 64) - (off // 64)),
+      (SELECT 0 AS arm UNION ALL SELECT 1)
     """,
     doc="Scalar-kernel suite as a (gate, key, value) long form (former "
     "q45/q46/q47/q52 gates): split → explode → distinct → sorted-with-"
@@ -1677,7 +1717,18 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "feeds CC from the exact word-trigram Jaccard emitter so it is "
     "deterministic on any corpus, matching the oracle's recursive-CTE "
     "transitive closure; the production MinHash-LSH-fed path is pinned "
-    "by planted-dup recall tests).",
+    "by planted-dup recall tests), benchmark-contamination screening "
+    "(operators/contamination.ngram_contamination: distinct-n-gram "
+    "collision counts against a broadcast benchmark set — eval set = "
+    "every 97th doc, word trigrams sharing the proven shingle parity; "
+    "operator default is the GPT-3/PaLM-style 8-gram), deterministic "
+    "weighted source mixing (plans/mixing.weighted_sample_by_source: "
+    "keep iff first-8-hex-of-md5(seed:id) < floor(rate·2^32), exact "
+    "integer thresholds, engine-portable — both keep AND drop "
+    "decisions gated), and GPT-style sequence packing "
+    "(plans/mixing.pack_sequences: per-source running token offset → "
+    "64-token windows, docs spanning boundaries; pack_ntok/pack_begin "
+    "arms gate each (doc × seq) span's length and offset).",
 )
 def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
@@ -1826,6 +1877,47 @@ def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("val"),
     )
+    from .operators.contamination import ngram_contamination
+    from .plans.mixing import pack_sequences, weighted_sample_by_source
+
+    # benchmark-contamination screen: eval set = every 97th doc; word
+    # trigrams share the proven _SHINGLES_SQL parity (operator default
+    # is the GPT-3/PaLM-style 8-gram)
+    contam_rows = ngram_contamination(
+        docs, docs.filter(F.col("doc_id") % 97 == 0), n=3, shingle="word"
+    ).select(
+        F.lit("contam").alias("gate"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_contaminated").cast("double").alias("val"),
+    )
+    mix_rows = weighted_sample_by_source(
+        docs,
+        {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25},
+        seed=0,
+        default_rate=0.1,
+    ).select(
+        F.lit("mix").alias("gate"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("kept").cast("int").cast("double").alias("val"),
+    )
+    packed = pack_sequences(docs, tokens_per_seq=64)
+    pack_key = F.concat_ws(
+        "#",
+        F.col("source"),
+        F.col("doc_id").cast("string"),
+        F.col("seq_id").cast("string"),
+    )
+    pack_rows = packed.select(
+        F.lit("pack_ntok").alias("gate"),
+        pack_key.alias("k"),
+        F.col("n_tokens_in_seq").cast("double").alias("val"),
+    ).unionByName(
+        packed.select(
+            F.lit("pack_begin").alias("gate"),
+            pack_key.alias("k"),
+            F.col("tok_begin").cast("double").alias("val"),
+        )
+    )
     return (
         arr.unionByName(cd_long)
         .unionByName(js_long)
@@ -1836,6 +1928,9 @@ def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rep_rows)
         .unionByName(quant_rows)
         .unionByName(rep_cluster_rows)
+        .unionByName(contam_rows)
+        .unionByName(mix_rows)
+        .unionByName(pack_rows)
     )
 
 

@@ -1,0 +1,107 @@
+"""Training-mix planning: contamination screen, weighted source
+sampling, sequence packing (plans/mixing.py, operators/contamination.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from garden_net_backend_spark.operators.contamination import ngram_contamination
+from garden_net_backend_spark.plans.mixing import (
+    pack_sequences,
+    weighted_sample_by_source,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "web"),
+        (1, "alpha beta gamma completely different tail here", "web"),
+        (2, "nothing in common with anything else at all", "books"),
+        (3, "tiny", "books"),  # too short for a trigram
+        (4, "alpha beta gamma delta epsilon zeta", "code"),  # = doc 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_contamination_counts_and_fracs(corpus):
+    bench = corpus.filter(F.col("doc_id") == 0)
+    got = {
+        r["doc_id"]: r
+        for r in ngram_contamination(corpus, bench, n=3, shingle="word").collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4}  # every doc gets a row
+    # doc 0 and its copy doc 4: all 4 trigrams contaminated
+    assert got[0]["n_contaminated"] == 4 and got[0]["contamination_frac"] == 1.0
+    assert got[4]["n_contaminated"] == 4
+    # doc 1 shares exactly the one leading trigram
+    assert got[1]["n_contaminated"] == 1
+    assert 0.0 < got[1]["contamination_frac"] < 1.0
+    # clean doc and too-short doc
+    assert got[2]["n_contaminated"] == 0 and got[2]["contamination_frac"] == 0.0
+    assert got[3]["n_shingles"] == 0 and got[3]["contamination_frac"] == 0.0
+
+
+def test_weighted_sample_determinism_and_rates(spark):
+    docs = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+        F.lit("x").alias("text"),
+    )
+    rates = {"a": 1.0, "b": 0.25}
+    out = weighted_sample_by_source(docs, rates, seed=7)
+    kept = {r["doc_id"]: r["kept"] for r in out.collect()}
+    # rate 1.0 keeps everything
+    assert all(kept[i] for i in range(0, 4000, 2))
+    # rate 0.25 keeps roughly a quarter (md5-uniform; wide tolerance)
+    b_kept = sum(kept[i] for i in range(1, 4000, 2))
+    assert 350 < b_kept < 650
+    # bit-identical on re-evaluation and under different partitioning
+    again = {
+        r["doc_id"]: r["kept"]
+        for r in weighted_sample_by_source(
+            docs.repartition(7), rates, seed=7
+        ).collect()
+    }
+    assert again == kept
+    # a different seed flips some decisions
+    other = {
+        r["doc_id"]: r["kept"]
+        for r in weighted_sample_by_source(docs, rates, seed=8).collect()
+    }
+    assert other != kept
+
+
+def test_weighted_sample_rejects_bad_rate(corpus):
+    with pytest.raises(ValueError):
+        weighted_sample_by_source(corpus, {"web": 1.5})
+
+
+def test_pack_sequences_spans_and_conservation(spark):
+    # source 'a': docs of 5, 4, 10 tokens into 8-token sequences:
+    #   doc0 [0,5) seq0; doc1 [5,9) splits seq0(3)/seq1(1);
+    #   doc2 [9,19) splits seq1(7)/seq2(3)
+    rows = [
+        (0, "t t t t t", "a"),
+        (1, "t t t t", "a"),
+        (2, "t t t t t t t t t t", "a"),
+        (3, "", "a"),  # zero tokens → no span
+        (4, "u u u", "b"),  # separate shard restarts at seq 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source"], r["doc_id"], r["seq_id"]): (r["tok_begin"], r["n_tokens_in_seq"])
+        for r in pack_sequences(docs, tokens_per_seq=8).collect()
+    }
+    assert got == {
+        ("a", 0, 0): (0, 5),
+        ("a", 1, 0): (5, 3),
+        ("a", 1, 1): (0, 1),
+        ("a", 2, 1): (1, 7),
+        ("a", 2, 2): (0, 3),
+        ("b", 4, 0): (0, 3),
+    }
+    # token conservation: spans sum to each doc's token count
+    sums = {}
+    for (src, doc, _), (_, ntok) in got.items():
+        sums[doc] = sums.get(doc, 0) + ntok
+    assert sums == {0: 5, 1: 4, 2: 10, 4: 3}
