@@ -227,3 +227,75 @@ def test_capped_sessionize_tws_matches_batch(spark, events_json_dir):
     }
     missing = want - got
     assert missing <= open_allowed, f"closed sessions missing: {sorted(missing - open_allowed)[:3]}"
+
+
+# ---------------------------------------------------------------------
+# Streaming exact dedup (streaming/dedup.py)
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dup_docs_dir(spark):
+    """3 json files (micro-batches under maxFilesPerTrigger=1) with
+    duplicates WITHIN and ACROSS batches."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="dedup_stream_")
+    batches = [
+        [
+            {"doc_id": 0, "text": "Alpha  Beta", "ts": "2024-01-01T10:00:00.000"},
+            {"doc_id": 1, "text": "alpha beta", "ts": "2024-01-01T10:00:10.000"},
+            {"doc_id": 2, "text": "unique one", "ts": "2024-01-01T10:00:20.000"},
+        ],
+        [
+            {"doc_id": 3, "text": "ALPHA BETA", "ts": "2024-01-01T10:05:00.000"},
+            {"doc_id": 4, "text": "another doc", "ts": "2024-01-01T10:05:10.000"},
+        ],
+        [
+            {"doc_id": 5, "text": "unique one", "ts": "2024-01-01T10:10:00.000"},
+            {"doc_id": 6, "text": "fresh text", "ts": "2024-01-01T10:10:10.000"},
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        with open(f"{d}/part{i}.json", "w") as fh:
+            for rec in rows:
+                fh.write(json.dumps(rec) + "\n")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, dup_docs_dir):
+    from garden_net_backend_spark.streaming.dedup import dedup_stream
+
+    schema = "doc_id long, text string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(dup_docs_dir)
+    )
+    out = dedup_stream(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM dedup_sink").collect()
+    kept_ids = {r["doc_id"] for r in rows}
+    # one survivor per normalized content: alpha-beta trio → one of
+    # {0,1,3}; "unique one" pair → one of {2,5}; singletons kept
+    assert len(kept_ids & {0, 1, 3}) == 1
+    assert len(kept_ids & {2, 5}) == 1
+    assert {4, 6} <= kept_ids
+    assert len(rows) == 4
+
+    # batch mode on the same data: same surviving CONTENT (key sets
+    # equal), min-id winner per key
+    batch = spark.read.schema(schema).json(dup_docs_dir)
+    bout = dedup_stream(batch)
+    bkeys = {r["content_key"] for r in bout.collect()}
+    assert bkeys == {r["content_key"] for r in rows}
+    bids = {r["doc_id"] for r in bout.collect()}
+    assert bids == {0, 2, 4, 6}  # min id per duplicate group
