@@ -110,6 +110,49 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def gopher_rules(text: Column) -> Column:
+    """Gopher-style repetition-free quality rules (Rae et al. 2021,
+    table A1 subset that is computable without a word list) → struct
+    ``(n_words, mean_word_len, symbol_ratio, alpha_word_frac, keep)``.
+
+    - n_words: whitespace tokens (empty dropped)
+    - mean_word_len: non-whitespace chars / n_words (3..10 to keep)
+    - symbol_ratio: ('#' or '...') occurrences / n_words (<0.1 to keep)
+    - alpha_word_frac: words containing ≥1 [A-Za-z] / n_words
+      (>0.8 to keep)
+    - keep: all rules pass AND 50 ≤ n_words ≤ 100000
+
+    All JVM-side column math (split + regexp counts + HOF filter);
+    ratios rounded to 9 decimals so the SQL oracle compares exactly.
+    Zero-word documents fail ``keep`` with 0-valued ratios.
+    """
+    toks = F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    nw = F.size(toks)
+    nw_safe = F.greatest(nw, F.lit(1))
+    chars_no_ws = F.length(F.regexp_replace(text, r"\s", ""))
+    mean_wl = F.round(chars_no_ws / nw_safe.cast("double"), 9)
+    symbols = F.regexp_count(text, F.lit(r"#|\.\.\."))
+    sym_ratio = F.round(symbols / nw_safe.cast("double"), 9)
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = F.round(alpha_words / nw_safe.cast("double"), 9)
+    keep = (
+        (nw >= 50)
+        & (nw <= 100000)
+        & (mean_wl >= 3)
+        & (mean_wl <= 10)
+        & (sym_ratio < 0.1)
+        & (alpha_frac > 0.8)
+    )
+    zero = text.isNull() | (nw == 0)
+    return F.struct(
+        F.coalesce(nw, F.lit(0)).alias("n_words"),
+        F.when(zero, 0.0).otherwise(mean_wl).alias("mean_word_len"),
+        F.when(zero, 0.0).otherwise(sym_ratio).alias("symbol_ratio"),
+        F.when(zero, 0.0).otherwise(alpha_frac).alias("alpha_word_frac"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
+
+
 def doc_fingerprint(text: Column, mod: int = 2147483647) -> Column:
     """Deterministic position-weighted document fingerprint:
 

@@ -71,6 +71,43 @@ def weighted_sample_by_source(
     return docs.withColumn("kept", u < thr)
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    representatives: DataFrame,
+    id_col: str = "doc_id",
+    boundaries: tuple[tuple[str, int], ...] = (
+        ("train", 204),
+        ("val", 230),
+        ("test", 256),
+    ),
+) -> DataFrame:
+    """Near-dup-aware train/val/test assignment → input rows +
+    ``split`` label.
+
+    A per-document ``hash_split`` leaks: a train document's near-dup
+    twin lands in test ~20% of the time, silently inflating eval. Split
+    by the md5 bucket of the document's CLUSTER REPRESENTATIVE
+    (``operators/dedup.dedup_representatives``) instead — every member
+    of a near-dup cluster shares the representative, so the whole
+    cluster moves to one side of the boundary. One broadcast-sized join
+    (the rep map covers only docs, dup map is dup-count-sized at scale)
+    on top of the zero-shuffle hash assignment.
+    """
+    from ..functions.text import hash_split
+
+    rep = representatives.select(
+        F.col(id_col), F.col("representative").cast("string").alias("_rep")
+    )
+    return (
+        docs.join(rep, id_col, "left")
+        .withColumn(
+            "split",
+            hash_split(F.coalesce(F.col("_rep"), F.col(id_col).cast("string")), boundaries),
+        )
+        .drop("_rep")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     tokens_per_seq: int = 2048,

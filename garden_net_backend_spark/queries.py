@@ -1146,9 +1146,34 @@ def q32_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            fp.fingerprint,
            len(regexp_extract_all(d.text,
              '''(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
-             AS n_bpe_tokens
+             AS n_bpe_tokens,
+           CASE WHEN gr.nw = 0 THEN 0.0
+                ELSE ROUND(CAST(gr.cnw AS DOUBLE) / gr.nw, 9) END
+             AS gopher_mean_wlen,
+           CASE WHEN gr.nw = 0 THEN 0.0
+                ELSE ROUND(CAST(gr.sym AS DOUBLE) / gr.nw, 9) END
+             AS gopher_symbol_ratio,
+           CASE WHEN gr.nw = 0 THEN 0.0
+                ELSE ROUND(CAST(gr.aw AS DOUBLE) / gr.nw, 9) END
+             AS gopher_alpha_frac,
+           CASE WHEN gr.nw BETWEEN 50 AND 100000
+                 AND ROUND(CAST(gr.cnw AS DOUBLE) / greatest(gr.nw, 1), 9)
+                     BETWEEN 3 AND 10
+                 AND ROUND(CAST(gr.sym AS DOUBLE) / greatest(gr.nw, 1), 9) < 0.1
+                 AND ROUND(CAST(gr.aw AS DOUBLE) / greatest(gr.nw, 1), 9) > 0.8
+                THEN 1 ELSE 0 END AS gopher_keep
     FROM documents d
     JOIN lang USING (doc_id) JOIN qm USING (doc_id) JOIN fp USING (doc_id)
+    JOIN (
+      SELECT doc_id,
+             len(toks) AS nw,
+             len(regexp_replace(text, '\s', '', 'g')) AS cnw,
+             len(regexp_extract_all(text, '#|\.\.\.')) AS sym,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS aw
+      FROM (SELECT doc_id, text,
+                   list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               x -> x <> '') AS toks
+            FROM documents)) gr USING (doc_id)
     """,
     doc="Text-analysis suite — one per-document pass computing every "
     "§text-analysis gate (former q33/q34/q35/q36/q62): whitespace token "
@@ -1157,7 +1182,10 @@ def q32_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reference's gene search, network_generator_lib.R:112), heuristic "
     "quality score (length/punct ratio/alpha ratio/mean word length), "
     "position-weighted rolling fingerprint mod 2^31−1 (array HOFs, no "
-    "explode/shuffle), and the GPT-2-style BPE pre-tokenizer count "
+    "explode/shuffle), Gopher-style filter rules (functions/text."
+    "gopher_rules: mean word length, #/ellipsis symbol ratio, "
+    "alphabetic-word fraction, composite keep — Rae et al. 2021 table "
+    "A1 subset, all JVM-side), and the GPT-2-style BPE pre-tokenizer count "
     "(lookahead-free so Java regex and RE2 agree). All pure JVM column "
     "expressions in ONE projection — zero UDFs, zero shuffles; the "
     "oracle replicates each metric as a CTE joined on doc_id.",
@@ -1166,12 +1194,14 @@ def q33_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import (
         bpe_token_count,
         doc_fingerprint,
+        gopher_rules,
         lang_id,
         quality_score,
         token_count,
     )
 
     d = _t(spark, sf_dir, "documents")
+    g = gopher_rules(F.col("text"))
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
@@ -1180,6 +1210,10 @@ def q33_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score(F.col("text")).alias("quality"),
         doc_fingerprint(F.col("text")).alias("fingerprint"),
         bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        g["mean_word_len"].alias("gopher_mean_wlen"),
+        g["symbol_ratio"].alias("gopher_symbol_ratio"),
+        g["alpha_word_frac"].alias("gopher_alpha_frac"),
+        g["keep"].cast("int").alias("gopher_keep"),
     )
 
 
@@ -1640,6 +1674,30 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT node, r FROM reach)
     GROUP BY node
     UNION ALL
+    SELECT 'rep_split', CAST(node AS VARCHAR),
+      CAST(CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2) < 'cc' THEN 0
+                WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2) < 'e6' THEN 1
+                ELSE 2 END AS DOUBLE)
+    FROM (
+      SELECT node, MIN(r) AS rep FROM (
+        WITH RECURSIVE {_SHINGLES_SQL},
+          dsz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          dinter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                     FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2),
+          jp AS (SELECT id_a, id_b
+                 FROM dinter JOIN dsz x ON id_a = x.doc_id
+                             JOIN dsz y ON id_b = y.doc_id
+                 WHERE c * 1.0 / (x.n + y.n - c) >= 0.5),
+          sym AS (SELECT id_a AS a, id_b AS b FROM jp
+                  UNION SELECT id_b, id_a FROM jp),
+          reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a)
+        SELECT node, r FROM reach)
+      GROUP BY node)
+    UNION ALL
     SELECT 'contam', CAST(d.doc_id AS VARCHAR), CAST(COALESCE(c.nc, 0) AS DOUBLE)
     FROM documents d LEFT JOIN (
       WITH {_SHINGLES_SQL}
@@ -1728,7 +1786,12 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decisions gated), and GPT-style sequence packing "
     "(plans/mixing.pack_sequences: per-source running token offset → "
     "64-token windows, docs spanning boundaries; pack_ntok/pack_begin "
-    "arms gate each (doc × seq) span's length and offset).",
+    "arms gate each (doc × seq) span's length and offset), and the "
+    "leakage-safe split (plans/mixing.leakage_safe_split: train/val/"
+    "test decided by the md5 bucket of the near-dup CLUSTER "
+    "representative, so a train doc's twin can never land in test — "
+    "rep_split arm gates every doc's assignment against the closure-"
+    "derived representative).",
 )
 def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
@@ -1857,10 +1920,23 @@ def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_pairs = ngram_jaccard_pairs(
         docs, n=3, threshold=0.5, shingle="word"
     ).select("id_a", "id_b")
-    rep_cluster_rows = dedup_representatives(docs, dup_pairs).select(
+    rep_df = dedup_representatives(docs, dup_pairs)
+    rep_cluster_rows = rep_df.select(
         F.lit("dedup_rep").alias("gate"),
         F.col("doc_id").cast("string").alias("k"),
         F.col("representative").cast("double").alias("val"),
+    )
+    # leakage-safe split arm: split decided by the CLUSTER rep's md5
+    # bucket, so a near-dup pair can never straddle train/test
+    from .plans.mixing import leakage_safe_split
+
+    rep_split_rows = leakage_safe_split(docs.select("doc_id"), rep_df).select(
+        F.lit("rep_split").alias("gate"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.when(F.col("split") == "train", 0.0)
+        .when(F.col("split") == "val", 1.0)
+        .otherwise(2.0)
+        .alias("val"),
     )
     from .operators.similarity import quantize_embeddings_int8
 
@@ -1928,6 +2004,7 @@ def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rep_rows)
         .unionByName(quant_rows)
         .unionByName(rep_cluster_rows)
+        .unionByName(rep_split_rows)
         .unionByName(contam_rows)
         .unionByName(mix_rows)
         .unionByName(pack_rows)

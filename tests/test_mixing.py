@@ -105,3 +105,25 @@ def test_pack_sequences_spans_and_conservation(spark):
     for (src, doc, _), (_, ntok) in got.items():
         sums[doc] = sums.get(doc, 0) + ntok
     assert sums == {0: 5, 1: 4, 2: 10, 4: 3}
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from garden_net_backend_spark.plans.mixing import leakage_safe_split
+
+    docs = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    # clusters of 3: docs 3k, 3k+1, 3k+2 share representative 3k
+    reps = docs.select(
+        "doc_id", (F.col("doc_id") - F.col("doc_id") % 3).alias("representative")
+    )
+    out = leakage_safe_split(docs, reps).collect()
+    by_rep = {}
+    for r in out:
+        by_rep.setdefault(r["doc_id"] - r["doc_id"] % 3, set()).add(r["split"])
+    # every cluster lands wholly in ONE split
+    assert all(len(s) == 1 for s in by_rep.values())
+    # and the boundaries actually split the data
+    assert len({next(iter(s)) for s in by_rep.values()}) > 1
+    # docs with no representative row fall back to their own id
+    lone = spark.createDataFrame([(999,)], "doc_id long")
+    got = leakage_safe_split(lone, reps.limit(0)).collect()
+    assert got[0]["split"] in ("train", "val", "test")

@@ -217,3 +217,33 @@ def test_repetition_topgram_brute_force(spark):
     }
     want = {d: ref(t) for d, t in docs if ref(t) is not None}
     assert got == want
+
+
+def test_gopher_rules_boundaries(spark):
+    from garden_net_backend_spark.functions.text import gopher_rules
+    from pyspark.sql import functions as F
+
+    good = " ".join(["word"] * 60)                  # 60 words, wl=4, alpha 1.0
+    too_short = " ".join(["word"] * 10)             # n_words < 50
+    symbol_heavy = " ".join(["word"] * 50 + ["#"] * 10)  # sym ratio 10/60
+    long_words = " ".join(["w" * 20] * 60)          # mean_wl 20 > 10
+    numeric = " ".join(["123"] * 60)                # alpha frac 0
+    rows = [
+        (0, good), (1, too_short), (2, symbol_heavy), (3, long_words),
+        (4, numeric), (5, ""), (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["g"].asDict()
+        for r in df.select("doc_id", gopher_rules(F.col("text")).alias("g")).collect()
+    }
+    assert got[0]["keep"] is True
+    assert got[0]["n_words"] == 60 and got[0]["mean_word_len"] == 4.0
+    assert got[1]["keep"] is False                  # too few words
+    assert got[2]["keep"] is False                  # symbol ratio ≥ 0.1
+    assert got[2]["alpha_word_frac"] < 1.0
+    assert got[3]["keep"] is False                  # words too long
+    assert got[4]["keep"] is False and got[4]["alpha_word_frac"] == 0.0
+    assert got[5] == {"n_words": 0, "mean_word_len": 0.0, "symbol_ratio": 0.0,
+                      "alpha_word_frac": 0.0, "keep": False}
+    assert got[6]["keep"] is False and got[6]["n_words"] == 0
