@@ -240,6 +240,99 @@ def minhash_dedup_pairs(
     return verified
 
 
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_sigs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 5,
+    seed: int = 42,
+    shingle: str = "char",
+) -> DataFrame:
+    """Incremental near-dup detection: a NEW shard against an already-
+    signed corpus plus itself → (id_a, id_b, jaccard), every pair
+    touching at least one new document (corpus-vs-corpus pairs are
+    assumed handled when the corpus was ingested — they are filtered
+    out, not recomputed).
+
+    This is the actual 100 TB ingest workflow: signatures are the
+    stored index (64 longs per doc — pass ``corpus_sigs`` from the
+    signature table written at ingest), so an incoming shard costs
+    shingling the SHARD only, one band join against the corpus index,
+    and exact verification of candidates. Without ``corpus_sigs`` the
+    corpus is re-signed (correct, but the full-rescan cost this
+    operator exists to avoid — a warning-grade fallback for tests and
+    first ingest). Signatures are a pure function of (text, seed), so
+    index reuse is bit-safe across runs.
+
+    Doc ids must be globally unique across shard and corpus.
+    """
+    rows_per_band = num_hashes // bands
+    new_sigs = minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, ngram, seed, shingle
+    )
+    if corpus_sigs is None:
+        corpus_sigs = minhash_signatures(
+            corpus_docs, text_col, id_col, num_hashes, ngram, seed, shingle
+        )
+    tagged = corpus_sigs.select("id", "sig", F.lit(False).alias("_new")).unionByName(
+        new_sigs.select("id", "sig", F.lit(True).alias("_new"))
+    )
+    banded = tagged.select(
+        "id",
+        "_new",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "bhash"),
+    )
+    a = banded.select(F.col("id").alias("id_a"), F.col("_new").alias("_na"), "band", "bhash")
+    b = banded.select(F.col("id").alias("id_b"), F.col("_new").alias("_nb"), "band", "bhash")
+    cands = (
+        a.join(b, ["band", "bhash"])
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("_na") | F.col("_nb")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verification shingles ONLY candidate members (semi-join
+    # pushdown) — corpus text is touched for the few docs a band hit,
+    # not re-scanned
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    union_docs = (
+        new_docs.select(F.col(id_col), F.col(text_col))
+        .unionByName(corpus_docs.select(F.col(id_col), F.col(text_col)))
+        .join(cand_ids, id_col, "left_semi")
+    )
+    shing = with_shingles(union_docs, text_col, "_grams", ngram, shingle).select(
+        F.col(id_col).alias("id"), "_grams"
+    )
+    ga = shing.withColumnsRenamed({"id": "id_a", "_grams": "_ga"})
+    gb = shing.withColumnsRenamed({"id": "id_b", "_grams": "_gb"})
+    return (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_ga", "_gb"))
+            / F.size(F.array_union("_ga", "_gb")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
+    )
+
+
 def simhash(
     docs: DataFrame,
     text_col: str = "text",

@@ -150,3 +150,52 @@ def test_dedup_representatives_lsh_fed_end_to_end(spark):
     }
     assert got[0] == 0 and got[1] == 0 and got[2] == 0, got
     assert got[3] == 3
+
+
+def test_minhash_dedup_incremental(spark):
+    """New-shard ingest against a stored signature index: pairs touching
+    the shard are found (shard-vs-corpus AND shard-vs-shard), already-
+    handled corpus-vs-corpus pairs are NOT re-emitted, and reusing
+    precomputed corpus signatures gives identical results to re-signing
+    (signatures are a pure function of text+seed)."""
+    from garden_net_backend_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
+
+    base = " ".join(f"tok{i:02d}" for i in range(60))
+    corpus = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base.replace("tok05", "mutant")),  # corpus-internal near-dup of 0
+            (2, "entirely different corpus document about something else " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    shard = spark.createDataFrame(
+        [
+            (10, base.replace("tok20", "edited")),   # near-dup of corpus 0/1
+            (11, base.replace("tok20", "edited")),   # exact dup of 10
+            (12, "fresh unrelated shard text with its own vocabulary " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(threshold=0.7, shingle="word", ngram=3)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_incremental(shard, corpus, **kw).collect()
+    }
+    assert (10, 11) in pairs                     # shard-vs-shard
+    assert (0, 10) in pairs and (0, 11) in pairs  # shard-vs-corpus
+    assert (0, 1) not in pairs                   # corpus-vs-corpus excluded
+    assert not any(a == 12 or b == 12 for a, b in pairs)
+
+    # stored-index path: identical output with precomputed signatures
+    sigs = minhash_signatures(corpus, num_hashes=64, ngram=3, shingle="word")
+    pairs_idx = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_incremental(
+            shard, corpus, corpus_sigs=sigs, **kw
+        ).collect()
+    }
+    assert pairs_idx == pairs
