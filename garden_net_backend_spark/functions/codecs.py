@@ -1,14 +1,15 @@
 """Pure-stdlib media codecs (zlib + struct only — no PIL/ffmpeg).
 
-This module closes the multimodal codec seam with a REAL decoder: the
-PNG functions below parse actual PNG bytes (signature, chunked layout,
-CRC, IDAT inflate, all five scanline filters per the PNG spec) rather
-than the deterministic fake in ``operators/multimodal.py``. A matching
-encoder exists so tests and oracle gates can synthesize valid payloads
-from first-principles pixel formulas. Supported subset: 8-bit depth,
-color types 0 (gray), 2 (RGB), 6 (RGBA), non-interlaced — the subset a
-training-data pipeline normalizes to anyway; anything else raises
-``ValueError`` (fail-loud beats silent garbage at 100 TB).
+This module closes the multimodal codec seam with REAL decoders: the
+PNG functions parse actual PNG bytes (signature, chunked layout, CRC,
+IDAT inflate, all five scanline filters per the PNG spec) and the WAV
+functions parse actual RIFF/WAVE chunk lists (16-bit mono PCM) —
+rather than the deterministic fake in ``operators/multimodal.py``.
+Matching encoders exist so tests and oracle gates can synthesize valid
+payloads from first-principles pixel/sample formulas. Supported
+subsets: PNG 8-bit gray/RGB/RGBA non-interlaced, WAV 16-bit mono PCM —
+the forms a training-data pipeline normalizes to anyway; anything else
+raises ``ValueError`` (fail-loud beats silent garbage at 100 TB).
 
 Everything here is per-item Python intended to run INSIDE Arrow-batched
 ``mapInPandas`` (see ``operators/multimodal.extract_media_features``);
@@ -155,6 +156,79 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         out += row
         prev = bytes(row)
     return width, height, ch, bytes(out)
+
+
+def encode_wav(samples: list[int], sample_rate: int = 16_000) -> bytes:
+    """Encode 16-bit mono PCM samples into a valid RIFF/WAVE file."""
+    import array
+
+    data = array.array("h", samples).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, list[int]]:
+    """Decode RIFF/WAVE → ``(sample_rate, samples)``. Supported subset:
+    16-bit mono PCM (format tag 1); anything else raises ``ValueError``.
+    Walks the chunk list properly (fmt need not be the first chunk,
+    word-aligned sizes per the RIFF spec)."""
+    import array
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt_tag, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt_tag != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV: fmt={fmt_tag} ch={channels} bits={bits}"
+                )
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("truncated WAV: missing fmt/data chunk")
+    samples = array.array("h")
+    samples.frombytes(data[: len(data) - (len(data) % 2)])
+    return rate, samples.tolist()
+
+
+def wav_decode_features(payload: bytes | None, kind: str, dim: int = 8) -> list[float]:
+    """REAL audio ``decode_fn``: decode the WAV and emit
+    ``[sample_rate, n_samples, duration_ms, sum, min, max, zero_crossings,
+    0]`` padded/truncated to ``dim``."""
+    if payload is None or len(payload) == 0:
+        return [0.0] * dim
+    rate, samples = decode_wav(payload)
+    n = len(samples)
+    zc = sum(
+        1 for i in range(1, n) if (samples[i - 1] < 0) != (samples[i] < 0)
+    )
+    feats = [
+        float(rate),
+        float(n),
+        float(n * 1000 // rate) if rate else 0.0,
+        float(sum(samples)),
+        float(min(samples)) if n else 0.0,
+        float(max(samples)) if n else 0.0,
+        float(zc),
+        0.0,
+    ]
+    return (feats + [0.0] * dim)[:dim]
 
 
 def png_decode_features(payload: bytes | None, kind: str, dim: int = 8) -> list[float]:

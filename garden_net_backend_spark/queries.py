@@ -2472,6 +2472,16 @@ _MEDIA_KIND_SQL = """
            generate_series(0, 8) x(i), generate_series(0, 6) y(i)
       WHERE x.i < g.w AND y.i < g.h)
     GROUP BY media_id
+    UNION ALL
+    SELECT 'wav', media_id, 'audio',
+           CAST(sum(s) AS BIGINT), CAST(min(s) AS BIGINT), CAST(max(s) AS BIGINT)
+    FROM (
+      SELECT a.media_id, ((a.media_id * 7 + t.i * 13) % 4001) - 2000 AS s
+      FROM (SELECT doc_id AS media_id, doc_id % 30 + 20 AS n
+            FROM documents WHERE doc_id % 3 = 1) a,
+           generate_series(0, 49) t(i)
+      WHERE t.i < a.n)
+    GROUP BY media_id
     """,
     doc="Multimodal plumbing suite as a tagged union (former q59/q60/q61 "
     "gates). gate='feat': documents → binary payload media table "
@@ -2495,7 +2505,10 @@ _MEDIA_KIND_SQL = """
     "recovered pixel sum/min/max (v1/v2/v3) are gated against the "
     "oracle's first-principles recomputation of the same formula — a "
     "full encode→decode bit-exactness proof, closing the codec seam "
-    "with real bytes.",
+    "with real bytes. gate='wav': the same proof for audio via the "
+    "pure-stdlib RIFF/WAVE 16-bit-PCM codec (chunk walk, word "
+    "alignment): sample formula ((id·7+i·13)%4001)−2000 encoded → "
+    "decoded → sum/min/max vs the oracle's recomputation.",
 )
 def q59_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import (
@@ -2577,7 +2590,54 @@ def q59_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("feature")[4].cast("bigint").alias("v2"),
         F.col("feature")[5].cast("bigint").alias("v3"),
     )
-    return feat_rows.unionByName(frame_rows).unionByName(png_rows)
+    # wav arm: same proof for audio — real RIFF/WAVE bytes from a
+    # sample formula, decoded by the pure-stdlib PCM decoder
+    from .functions.codecs import encode_wav, wav_decode_features
+
+    aud_docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 30 + 20).cast("int").alias("n"),
+        )
+    )
+
+    def _render_wav(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                encode_wav(
+                    [
+                        ((int(mid) * 7 + i * 13) % 4001) - 2000
+                        for i in range(int(n))
+                    ]
+                )
+                for mid, n in zip(pdf["media_id"], pdf["n"])
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": "audio", "payload": payloads}
+            )
+
+    wav_media = aud_docs.mapInPandas(
+        _render_wav, schema="media_id long, kind string, payload binary"
+    )
+    wav_rows = extract_media_features(
+        wav_media, decode_fn=wav_decode_features
+    ).select(
+        F.lit("wav").alias("gate"),
+        "media_id",
+        "kind",
+        F.col("feature")[3].cast("bigint").alias("v1"),
+        F.col("feature")[4].cast("bigint").alias("v2"),
+        F.col("feature")[5].cast("bigint").alias("v3"),
+    )
+    return (
+        feat_rows.unionByName(frame_rows)
+        .unionByName(png_rows)
+        .unionByName(wav_rows)
+    )
 
 
 @register(

@@ -183,3 +183,34 @@ def test_png_decode_features_contract():
     assert feats[3] == float(sum(px))
     assert feats[4] == float(min(px)) and feats[5] == float(max(px))
     assert png_decode_features(None, "image") == [0.0] * 8
+
+
+def test_wav_round_trip_and_rejection():
+    from garden_net_backend_spark.functions.codecs import (
+        decode_wav,
+        encode_wav,
+        wav_decode_features,
+    )
+
+    samples = [0, 100, -100, 32767, -32768, 5]
+    rate, got = decode_wav(encode_wav(samples, sample_rate=8000))
+    assert rate == 8000 and got == samples
+    # odd-sized extra chunk before fmt: chunk walk + word alignment
+    import struct
+
+    wav = encode_wav(samples)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    patched = wav[:12] + extra + wav[12:]
+    rate2, got2 = decode_wav(patched)
+    assert (rate2, got2) == (16000, samples)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"not audio at all")
+    # stereo is outside the declared subset
+    stereo = bytearray(wav)
+    stereo[22] = 2  # channel count field
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_wav(bytes(stereo))
+    feats = wav_decode_features(wav, "audio")
+    assert feats[0] == 16000.0 and feats[1] == 6.0
+    assert feats[3] == float(sum(samples))
+    assert feats[4] == -32768.0 and feats[5] == 32767.0
