@@ -373,12 +373,20 @@ def ivf_cosine_topk(
     query_vec_col: str = "query_vec",
     seed: int = 42,
     refine_iters: int = 0,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: probe the ``nprobe`` nearest centroids per query,
     exact cosine re-rank of their member vectors only. Same output
     schema as ``cosine_topk``; recall < 1 when a true neighbor lives in
-    an unprobed cell (the IVF trade)."""
-    centroids, assignments = ivf_build_index(
+    an unprobed cell (the IVF trade).
+
+    ``index``: a prebuilt ``(centroids, assignments)`` pair from
+    ``ivf_build_index`` — THE at-scale serving shape: build once at
+    ingest, persist both frames as parquet, reload for every query
+    batch (centroids are K·dim values, assignments one row per corpus
+    vector — both reload-stable because the build is deterministic).
+    Without it the index is rebuilt inline (fine for one-shot jobs)."""
+    centroids, assignments = index if index is not None else ivf_build_index(
         corpus, n_centroids, id_col, vec_col, seed, refine_iters
     )
     qc = (

@@ -297,3 +297,39 @@ def test_quantize_embeddings_int8(spark):
         assert abs(s - max(want_s, 1e-30)) < 1e-12
         for q, v in zip(r["qvec"], r["embedding"]):
             assert abs(q * s - float(v)) <= s / 2 + 1e-9
+
+
+def test_ivf_index_persistence_round_trip(spark, tmp_path):
+    """Serving shape: build the IVF index once, persist centroids +
+    assignments as parquet, reload, and query with index reuse —
+    results identical to an inline rebuild (the build is
+    deterministic, so the persisted index is reload-stable)."""
+    from garden_net_backend_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cent, assign = ivf_build_index(emb, n_centroids=8, refine_iters=1)
+    cent.write.parquet(f"{tmp_path}/centroids")
+    assign.write.parquet(f"{tmp_path}/assignments")
+    reloaded = (
+        spark.read.parquet(f"{tmp_path}/centroids"),
+        spark.read.parquet(f"{tmp_path}/assignments"),
+    )
+    fresh = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in ivf_cosine_topk(
+            emb, queries, k=5, nprobe=2, n_centroids=8, refine_iters=1
+        ).collect()
+    }
+    reused = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in ivf_cosine_topk(
+            emb, queries, k=5, nprobe=2, index=reloaded
+        ).collect()
+    }
+    assert reused == fresh and len(fresh) == 25
