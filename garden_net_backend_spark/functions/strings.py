@@ -79,6 +79,20 @@ def natural_chr_key(col: Column) -> Column:
     )
 
 
+def round_stable(col: Column, decimals: int = 2) -> Column:
+    """Engine-stable decimal rounding of a double → double.
+
+    ``round(double, k)`` is NOT portable: Spark rounds the shortest
+    decimal representation (BigDecimal HALF_UP), DuckDB computes
+    ``round(x·10^k)/10^k`` in float arithmetic — for doubles within
+    half an ulp of a .5 boundary (e.g. 1475.5/10000*100) the two
+    disagree by a full last digit (caught by the adversarial regen
+    simulation). Bridging through ``decimal(28,10)`` first makes the
+    half-up decision on an exact decimal in BOTH engines; mirror with
+    ``round(CAST(x AS DECIMAL(28,10)), k)`` in oracle SQL."""
+    return F.round(col.cast("decimal(28,10)"), decimals).cast("double")
+
+
 def percent_string(col: Column, decimals: int = 2) -> Column:
     """``0.423`` → ``"42.3%"`` (reference network_generator_lib.R:417)."""
-    return F.concat(F.round(col * 100, decimals).cast("string"), F.lit("%"))
+    return F.concat(round_stable(col * 100, decimals).cast("string"), F.lit("%"))

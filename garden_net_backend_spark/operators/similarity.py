@@ -46,7 +46,13 @@ def _norm_exact(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return _dot_exact(a, b) / (_norm_exact(a) * _norm_exact(b))
+    """Exact-decimal cosine; a zero vector on either side → 0.0 (the
+    direction is undefined, and 0.0 ranks it below every real match —
+    ANSI mode would otherwise abort the whole job on one null
+    embedding, a real hazard on failed-inference rows at scale). The
+    SQL oracles carry the same guard."""
+    denom = _norm_exact(a) * _norm_exact(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(_dot_exact(a, b) / denom)
 
 
 def cosine_topk(
@@ -214,8 +220,10 @@ def lsh_cosine_topk(
                 continue
             a = np.stack(pdf["_cv"].values).astype(np.float64)
             b = np.stack(pdf["_qv"].values).astype(np.float64)
-            cos = (a * b).sum(axis=1) / (
-                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            # zero vectors: cos := 0 (matches the guarded exact
+            # cosine), never nan - nan would poison the prescreen sort
+            cos = (a * b).sum(axis=1) / np.maximum(
+                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1), 1e-300
             )
             yield pd.DataFrame(
                 {
@@ -475,8 +483,10 @@ def _prescreen_pairs(pair_vecs: DataFrame, threshold: float) -> DataFrame:
                 continue
             a = np.stack(pdf["_va"].values).astype(np.float64)
             b = np.stack(pdf["_vb"].values).astype(np.float64)
-            cos = (a * b).sum(axis=1) / (
-                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            # zero vectors: cos := 0 (matches the guarded exact
+            # cosine), never nan - nan would poison the prescreen sort
+            cos = (a * b).sum(axis=1) / np.maximum(
+                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1), 1e-300
             )
             yield pdf.loc[cos >= margin]
 

@@ -1242,7 +1242,9 @@ _EMB_NORMS_SQL = """
         GROUP BY q.query_id, e.vec_id),
       scored AS (
         SELECT d.query_id, d.vec_id,
-               ROUND(d.dot / (SQRT(nq.nrm) * SQRT(nc.nrm)), 9) AS cosine
+               CASE WHEN nq.nrm * nc.nrm = 0 THEN 0.0
+                    ELSE ROUND(d.dot / (SQRT(nq.nrm) * SQRT(nc.nrm)), 9)
+               END AS cosine
         FROM dots d JOIN norms nq ON d.query_id = nq.vec_id
                     JOIN norms nc ON d.vec_id = nc.vec_id)
     SELECT query_id, vec_id, cosine, rank FROM (
@@ -1540,25 +1542,30 @@ def q43_null_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q44_rounding_and_percent",
     """
     SELECT s_suppkey,
-           round(s_acctbal, 2) AS bal2,
-           round(s_acctbal / 10000.0, 3) AS frac3,
-           CAST(round(s_acctbal / 100.0, 2) AS VARCHAR) || '%' AS pct,
+           CAST(round(CAST(s_acctbal AS DECIMAL(28,10)), 2) AS DOUBLE) AS bal2,
+           CAST(round(CAST(s_acctbal / 10000.0 AS DECIMAL(28,10)), 3)
+                AS DOUBLE) AS frac3,
+           CAST(CAST(round(CAST((s_acctbal / 10000.0) * 100 AS DECIMAL(28,10)), 2)
+                     AS DOUBLE) AS VARCHAR) || '%' AS pct,
            CAST(s_suppkey * 100000000 AS VARCHAR) AS big_coord
     FROM supplier
     """,
     doc="Rounding + percent formatting + no-scientific-notation contract "
     "(SURVEY §2.8: round(x,2|3), percent str_c(round(x*100,2),'%'), "
     "scipen=999 — reference network_generator_lib.R:413,417; "
-    "network_generator.R:18; long→string never exponent-notated).",
+    "network_generator.R:18; long→string never exponent-notated). "
+    "Rounding goes through the decimal(28,10) bridge (round_stable) on "
+    "both sides: bare round(double,k) is engine-divergent within half "
+    "an ulp of a .5 boundary.",
 )
 def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.strings import percent_string
+    from .functions.strings import percent_string, round_stable
 
     s = _t(spark, sf_dir, "supplier")
     return s.select(
         "s_suppkey",
-        F.round(F.col("s_acctbal"), 2).alias("bal2"),
-        F.round(F.col("s_acctbal") / 10000.0, 3).alias("frac3"),
+        round_stable(F.col("s_acctbal"), 2).alias("bal2"),
+        round_stable(F.col("s_acctbal") / 10000.0, 3).alias("frac3"),
         percent_string(F.col("s_acctbal") / 10000.0, 2).alias("pct"),
         (F.col("s_suppkey") * 100000000).cast("string").alias("big_coord"),
     )
@@ -1567,6 +1574,22 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q45_scalar_misc",
     f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+      dsz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      dinter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+      jp AS (SELECT id_a, id_b
+             FROM dinter JOIN dsz x ON id_a = x.doc_id
+                         JOIN dsz y ON id_b = y.doc_id
+             WHERE c * 1.0 / (x.n + y.n - c) >= 0.5),
+      jsym AS (SELECT id_a AS a, id_b AS b FROM jp
+               UNION SELECT id_b, id_a FROM jp),
+      reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.node, jsym.b FROM reach JOIN jsym ON reach.r = jsym.a),
+      rep_map AS (SELECT node, MIN(r) AS rep FROM reach GROUP BY node)
     SELECT 'array_rank' AS gate, token AS k, CAST(rank AS DOUBLE) AS val
     FROM (SELECT token, ROW_NUMBER() OVER (ORDER BY token) AS rank FROM (
             SELECT DISTINCT unnest(string_split(p_name, ' ')) AS token
@@ -1654,53 +1677,17 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM embeddings)
     GROUP BY vec_id
     UNION ALL
-    SELECT 'dedup_rep', CAST(node AS VARCHAR), CAST(MIN(r) AS DOUBLE)
-    FROM (
-      WITH RECURSIVE {_SHINGLES_SQL},
-        dsz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        dinter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-        jp AS (SELECT id_a, id_b
-               FROM dinter JOIN dsz x ON id_a = x.doc_id
-                           JOIN dsz y ON id_b = y.doc_id
-               WHERE c * 1.0 / (x.n + y.n - c) >= 0.5),
-        sym AS (SELECT id_a AS a, id_b AS b FROM jp
-                UNION SELECT id_b, id_a FROM jp),
-        reach(node, r) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a)
-      SELECT node, r FROM reach)
-    GROUP BY node
+    SELECT 'dedup_rep', CAST(node AS VARCHAR), CAST(rep AS DOUBLE)
+    FROM rep_map
     UNION ALL
     SELECT 'rep_split', CAST(node AS VARCHAR),
       CAST(CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2) < 'cc' THEN 0
                 WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2) < 'e6' THEN 1
                 ELSE 2 END AS DOUBLE)
-    FROM (
-      SELECT node, MIN(r) AS rep FROM (
-        WITH RECURSIVE {_SHINGLES_SQL},
-          dsz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-          dinter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-                     FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                     GROUP BY 1, 2),
-          jp AS (SELECT id_a, id_b
-                 FROM dinter JOIN dsz x ON id_a = x.doc_id
-                             JOIN dsz y ON id_b = y.doc_id
-                 WHERE c * 1.0 / (x.n + y.n - c) >= 0.5),
-          sym AS (SELECT id_a AS a, id_b AS b FROM jp
-                  UNION SELECT id_b, id_a FROM jp),
-          reach(node, r) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a)
-        SELECT node, r FROM reach)
-      GROUP BY node)
+    FROM rep_map
     UNION ALL
     SELECT 'contam', CAST(d.doc_id AS VARCHAR), CAST(COALESCE(c.nc, 0) AS DOUBLE)
     FROM documents d LEFT JOIN (
-      WITH {_SHINGLES_SQL}
       SELECT a.doc_id AS did, COUNT(*) AS nc
       FROM sh a JOIN (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0) b
         ON a.s = b.s
@@ -2328,7 +2315,9 @@ def q41_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.vec_id, b.vec_id)
     SELECT id_a, id_b, cosine FROM (
       SELECT d.id_a, d.id_b,
-             ROUND(d.dot / (SQRT(na.nrm) * SQRT(nb.nrm)), 9) AS cosine
+             CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                  ELSE ROUND(d.dot / (SQRT(na.nrm) * SQRT(nb.nrm)), 9)
+             END AS cosine
       FROM dots d JOIN norms na ON d.id_a = na.vec_id
                   JOIN norms nb ON d.id_b = nb.vec_id)
     WHERE cosine >= 0.3
@@ -2359,31 +2348,41 @@ _Q57_PERT_SQL = """
     "q57_embedding_dup_pairs_lsh",
     f"""
     WITH dims AS (SELECT CAST(unnest(generate_series(1, 64)) AS INT) AS i),
-      base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
-      scored AS (
-        SELECT b.vec_id AS id_a, b.vec_id + 1000000 AS id_b,
-               CAST(SUM(CAST(CAST(b.embedding[d.i] AS DOUBLE)
-                             * CAST(({_Q57_PERT_SQL}) AS DOUBLE)
-                             AS DECIMAL(38,12))) AS DOUBLE) AS dot,
-               CAST(SUM(CAST(CAST(b.embedding[d.i] AS DOUBLE)
-                             * CAST(b.embedding[d.i] AS DOUBLE)
-                             AS DECIMAL(38,12))) AS DOUBLE) AS na,
-               CAST(SUM(CAST(CAST(({_Q57_PERT_SQL}) AS DOUBLE)
-                             * CAST(({_Q57_PERT_SQL}) AS DOUBLE)
-                             AS DECIMAL(38,12))) AS DOUBLE) AS nb
-        FROM base b, dims d GROUP BY b.vec_id)
-    SELECT id_a, id_b, ROUND(dot / (SQRT(na) * SQRT(nb)), 9) AS cosine
-    FROM scored WHERE ROUND(dot / (SQRT(na) * SQRT(nb)), 9) >= 0.9
+      vals AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, dims
+        UNION ALL
+        SELECT b.vec_id + 1000000, d.i, CAST(({_Q57_PERT_SQL}) AS DOUBLE)
+        FROM embeddings b, dims d WHERE b.vec_id < 50),
+      nrm AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS n2
+        FROM vals GROUP BY vec_id),
+      dots AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        FROM vals a JOIN vals b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY 1, 2)
+    SELECT id_a, id_b, cosine FROM (
+      SELECT d.id_a, d.id_b,
+             CASE WHEN x.n2 * y.n2 = 0 THEN 0.0
+                  ELSE ROUND(d.dot / (SQRT(x.n2) * SQRT(y.n2)), 9)
+             END AS cosine
+      FROM dots d JOIN nrm x ON d.id_a = x.vec_id
+                  JOIN nrm y ON d.id_b = y.vec_id)
+    WHERE cosine >= 0.9
     """,
     doc="LSH-blocked embedding near-dup over the FULL corpus plus 50 "
     "deterministically perturbed copies (planted dups, cosine ≈ 0.999): "
     "linear bucket-assignment scan, candidate pairs only from band-bucket "
     "collisions (shuffle keyed on (band,bucket), never all-pairs), exact "
-    "decimal re-check at τ=0.9. Oracle = the 50 planted pairs with their "
-    "exact-decimal cosines (the corpus itself has no cosine ≥ 0.9 pair, "
-    "and a 0.999-cosine pair misses all 8 seeded bands with probability "
-    "~2e-8 — deterministically zero here since the hash planes are "
-    "seeded): the hash gate asserts planted recall 50/50 AND exact "
+    "decimal re-check at τ=0.9. Oracle (made corpus-independent in round "
+    "3): the FULL exact all-pairs cosine ≥ 0.9 set over corpus+planted — "
+    "robust even if a regenerated corpus contains its own ≥0.9 pair, "
+    "which the former planted-pairs-only oracle missed (caught by the "
+    "adversarial regen simulation). A 0.999-cosine pair misses all 8 "
+    "seeded bands with probability ~2e-8 — deterministically zero here "
+    "since the hash planes are seeded; the gate asserts recall AND exact "
     "precision/score parity, replicating the float32 perturbation "
     "bit-exactly in SQL.",
 )
@@ -2430,7 +2429,7 @@ _MEDIA_KIND_SQL = """
     f"""
     WITH feats AS (
       SELECT doc_id AS media_id, {_MEDIA_KIND_SQL} AS kind,
-             octet_length(CAST(text AS BLOB)) AS n_bytes
+             octet_length(encode(text)) AS n_bytes
       FROM documents),
       img AS (
         SELECT doc_id AS media_id,

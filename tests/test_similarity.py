@@ -333,3 +333,33 @@ def test_ivf_index_persistence_round_trip(spark, tmp_path):
         ).collect()
     }
     assert reused == fresh and len(fresh) == 25
+
+
+def test_cosine_zero_vector_guard(spark):
+    """A zero embedding (failed-inference row) must score 0.0, not
+    abort the job under ANSI mode (caught by the adversarial regen
+    simulation: one planted zero vector killed q37/q38/q54)."""
+    from garden_net_backend_spark.operators.similarity import (
+        cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0] * 4),
+            (1, [0.0] * 4),               # zero vector in the corpus
+            (2, [1.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rows = cosine_topk(emb, queries, k=3).collect()
+    scores = {(r["query_id"], r["vec_id"]): r["cosine"] for r in rows}
+    assert scores[(0, 1)] == 0.0 and scores[(1, 0)] == 0.0
+    assert scores[(1, 1)] == 0.0              # zero vs itself: still 0
+    assert abs(scores[(0, 2)] - 0.707106781) < 1e-9
+    # the ANN path survives too (numpy prescreen must not emit nan)
+    ann = lsh_cosine_topk(emb, queries, k=3, dim=4)
+    assert all(r["cosine"] is not None for r in ann.collect())
