@@ -582,8 +582,12 @@ def quantize_embeddings_int8(
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization → ``(id_col, qvec
     array<tinyint>, scale double)`` with ``scale = max(|v_i|)/127`` and
-    ``q_i = round(v_i / scale)`` (ties away from zero — Spark HALF_UP
-    and standard SQL ``round`` agree).
+    ``q_i = round(v_i / scale)`` (ties away from zero). The rounding
+    goes through the decimal(28,12) bridge (see
+    ``functions/strings.round_stable``): bare ``round(double)`` makes
+    the tie decision in different number systems per engine, and a
+    quotient within half an ulp of a .5 boundary flips the component
+    (caught by the seed-2 adversarial regen drill).
 
     The at-scale ANN storage trade: 4× smaller than float32, one
     per-row linear map (array HOFs, no shuffle, no Python), and the
@@ -603,6 +607,8 @@ def quantize_embeddings_int8(
     )
     q = F.transform(
         F.col(vec_col),
-        lambda x: F.round(x.cast("double") / F.col("scale")).cast("tinyint"),
+        lambda x: F.round(
+            (x.cast("double") / F.col("scale")).cast("decimal(28,12)")
+        ).cast("tinyint"),
     )
     return with_scale.select(id_col, q.alias("qvec"), "scale")

@@ -1668,11 +1668,16 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rn = 1
     UNION ALL
     SELECT 'quant8', CAST(vec_id AS VARCHAR),
-           CAST(SUM(CAST(round(e / s) AS BIGINT) * i) AS DOUBLE)
+           CAST(SUM(CAST(round(CAST(e / s AS DECIMAL(28,12))) AS BIGINT) * i)
+                AS DOUBLE)
     FROM (SELECT vec_id, unnest(embedding) AS e,
                  generate_subscripts(embedding, 1) AS i,
+                 -- CAST inside abs: abs(FLOAT) stays float32 in DuckDB
+                 -- while the implementation maxes over doubles; the
+                 -- float32-rounded scale flips exact-tie quotients
+                 -- (seed-2 drill, vec with quotient exactly 63.5)
                  greatest(list_max(list_transform(embedding,
-                                                  x -> abs(x))) / 127.0,
+                                    x -> abs(CAST(x AS DOUBLE)))) / 127.0,
                           1e-30) AS s
           FROM embeddings)
     GROUP BY vec_id
