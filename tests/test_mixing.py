@@ -127,3 +127,50 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     lone = spark.createDataFrame([(999,)], "doc_id long")
     got = leakage_safe_split(lone, reps.limit(0)).collect()
     assert got[0]["split"] in ("train", "val", "test")
+
+
+def test_curate_training_corpus_end_to_end(spark):
+    """The composition proof: quality filter → near-dup clustering →
+    leakage-safe split → source mixing → packing as one chain, with a
+    complete audit (every rejection carries its reason, counts
+    reconcile)."""
+    from garden_net_backend_spark.plans.pipeline import curate_training_corpus
+
+    base = " ".join(f"tok{i:02d}" for i in range(70))
+    rows = [
+        (0, base, "web"),
+        (1, base.replace("tok07", "mutant"), "web"),      # near-dup of 0
+        (2, " ".join(f"other{i}" for i in range(80)), "web"),
+        (3, "too short", "web"),                          # quality reject
+        (4, " ".join(f"bk{i}" for i in range(60)), "books"),
+        (5, "#### " * 60, "books"),                       # symbol reject
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate_training_corpus(
+        docs, rates={"web": 1.0, "books": 1.0}, tokens_per_seq=16,
+        dedup_threshold=0.7,
+    )
+    d = {r["doc_id"]: r for r in out["documents"].collect()}
+    assert len(d) == 6                       # nothing silently dropped
+    assert d[3]["gopher_keep"] is False and d[3]["selected"] is False
+    assert d[5]["gopher_keep"] is False
+    # near-dup pair collapsed to min-id representative
+    assert d[0]["representative"] == 0 and d[1]["representative"] == 0
+    assert d[0]["selected"] in (True, False)  # depends on its split only
+    assert d[1]["selected"] is False          # duplicate never selected
+    # cluster cohesion: 0 and 1 share a split
+    assert d[0]["split"] == d[1]["split"]
+    # packing covers exactly the selected TRAIN docs
+    packed_ids = {r["doc_id"] for r in out["sequences"].collect()}
+    train_sel = {
+        i for i, r in d.items() if r["selected"] and r["split"] == "train"
+    }
+    assert packed_ids == train_sel
+    # audit reconciles
+    audit = out["audit"].collect()
+    assert sum(r["n_docs"] for r in audit) == 6
+    assert sum(r["n_quality_rejected"] for r in audit) == 2
+    assert sum(r["n_dup_dropped"] for r in audit) == 1
+    assert sum(r["n_selected"] for r in audit) == len(
+        [r for r in d.values() if r["selected"]]
+    )
