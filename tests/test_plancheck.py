@@ -56,3 +56,22 @@ def test_mix_and_split_are_shuffle_free(spark):
     assert_scalable_plan(mixed, max_exchanges=0)
     split = docs.withColumn("split", hash_split(F.col("doc_id").cast("string")))
     assert_scalable_plan(split, max_exchanges=0)
+
+
+def test_entire_catalog_is_cartesian_free(spark):
+    """Every one of the 50 gate queries must plan without a
+    CartesianProduct at build time — the strongest single scale
+    guarantee the engine can make in CI. (BroadcastNestedLoopJoin is
+    tolerated here: a handful of one-row-scalar compositions
+    legitimately plan as a single-row BNLJ.)"""
+    from garden_net_backend_spark.queries import CATALOG
+
+    hazards = []
+    for name, spec in CATALOG.items():
+        try:
+            assert_scalable_plan(
+                spec.spark_fn(spark, SF), forbid_bnlj=False
+            )
+        except ScaleHazard as e:
+            hazards.append(f"{name}: {e}")
+    assert not hazards, "\n".join(hazards)
