@@ -17,6 +17,11 @@ designed for the ~100 TB regime, exercised on the `documents` table):
                 implemented in similarity.py (`embedding_dup_pairs`
                 exact baseline; `embedding_dup_pairs_lsh` LSH-blocked
                 scale path), sharing the ANN machinery.
+- substring:    duplicated token SPANS inside otherwise-distinct
+                documents (`duplicated_spans` detection,
+                `excise_duplicate_spans` first-occurrence-keeps
+                removal) — window fingerprinting, the Spark-shaped
+                answer to the single-node suffix-array formulation.
 
 All hashing is ``xxhash64`` seeded — deterministic across runs,
 partitionings, and cluster sizes.
@@ -427,6 +432,207 @@ def simhash_near_pairs(
         pairs.withColumn("hamming", F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def _dup_window_positions(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int,
+    seed: int,
+) -> DataFrame:
+    """Positions of every DUPLICATED ``min_tokens``-token window →
+    ``(id, pos, first_id, first_pos)`` where ``pos`` is the 0-based
+    token offset of the window inside its document and ``(first_id,
+    first_pos)`` is the corpus-wide canonical first occurrence (min by
+    (id, pos)) of that window's content.
+
+    Window identity is a 64-bit fingerprint: per-token ``xxhash64``
+    (seeded), then ``xxhash64`` of each L-token hash slice — computed
+    as ONE ``transform`` over the position sequence inside a single
+    projection, so the doc's hash array is never duplicated per window
+    row (the Generate consumes only the per-window (pos, key) pairs).
+    Cost is O(tokens · L) hashing, embarrassingly parallel, zero extra
+    shuffle before the one combinable groupBy on the fingerprint.
+    A fingerprint collision (2⁻⁶⁴ per window pair) would merge two
+    window groups — the standard fingerprint trade, same as the LSH
+    band hashing above.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    base = ensure_min_partitions(docs).select(
+        F.col(id_col).alias("id"), F.explode(F.array(toks)).alias("_toks")
+    )
+    # per-token hashes behind a second Generate barrier so projection
+    # collapsing cannot re-inline the token split per hash element
+    hbase = base.filter(F.size("_toks") >= min_tokens).select(
+        "id",
+        F.explode(
+            F.array(
+                F.transform(
+                    F.col("_toks"), lambda t: F.xxhash64(t, F.lit(seed))
+                )
+            )
+        ).alias("_harr"),
+    )
+    wkeys = F.transform(
+        F.sequence(F.lit(0), F.size("_harr") - min_tokens),
+        lambda i: F.xxhash64(F.slice(F.col("_harr"), i + 1, min_tokens)),
+    )
+    wins = hbase.select("id", F.posexplode(wkeys).alias("pos", "wkey"))
+    firsts = (
+        wins.groupBy("wkey")
+        .agg(
+            F.count("*").alias("_cnt"),
+            F.min(F.struct("id", "pos")).alias("_first"),
+        )
+        .filter(F.col("_cnt") > 1)
+        .select(
+            "wkey",
+            F.col("_first.id").alias("first_id"),
+            F.col("_first.pos").alias("first_pos"),
+        )
+    )
+    return wins.join(firsts, "wkey").select(
+        "id", "pos", "first_id", "first_pos"
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    seed: int = 42,
+) -> DataFrame:
+    """Substring-level exact dedup (the Lee et al. 2022 "Deduplicating
+    Training Data" operator family): maximal token spans covered by a
+    ``min_tokens``-token window that occurs MORE THAN ONCE anywhere in
+    the corpus → ``(id_col, span_begin, span_end, n_span_tokens)``
+    with 0-based token offsets, ``span_end`` exclusive.
+
+    Doc-level dedup (exact/Jaccard/MinHash/SimHash above) misses the
+    dominant duplication mode of web corpora: long verbatim passages
+    (boilerplate, quotes, mirrored sections) embedded in otherwise
+    distinct documents. The reference suffix-array formulation is a
+    single-node sort over the whole corpus; the Spark-first
+    re-expression is window fingerprinting — linear scan, one
+    map-side-combinable count per fingerprint, one equi-join back, and
+    a per-document interval merge. No pair join, no quadratic term:
+    a window duplicated a million times costs its occurrence count,
+    not count².
+
+    Span merge: duplicated windows at offsets p cover [p, p+L); a new
+    span starts when a window's offset exceeds the running coverage
+    end (interval merge via a cumulative-max window function), so
+    overlapping windows — even ones duplicating DIFFERENT partner
+    documents — collapse into one maximal span.
+    """
+    dpos = _dup_window_positions(docs, text_col, id_col, min_tokens, seed)
+    w = W.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + min_tokens).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    isl = dpos.select(
+        "id",
+        "pos",
+        (F.col("pos") > F.coalesce(prev_end, F.lit(-1)))
+        .cast("int")
+        .alias("_new"),
+    ).withColumn("_grp", F.sum("_new").over(w))
+    return (
+        isl.groupBy("id", "_grp")
+        .agg(
+            F.min("pos").alias("span_begin"),
+            (F.max("pos") + min_tokens).alias("span_end"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_begin",
+            "span_end",
+            (F.col("span_end") - F.col("span_begin")).alias("n_span_tokens"),
+        )
+    )
+
+
+def excise_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    seed: int = 42,
+) -> DataFrame:
+    """Remove duplicated substrings, keeping the corpus-wide FIRST
+    occurrence → ``(id_col, clean_text, n_kept_tokens,
+    n_cut_tokens)``, one row per input document.
+
+    A token is cut iff it is covered by a duplicated window whose
+    content's canonical first occurrence (min (id, pos)) is some OTHER
+    window — so exactly one copy of every duplicated passage survives,
+    at its first appearance. Deterministic under any partitioning
+    (min-struct canonicalization), and idempotent on the de-duplicated
+    output for spans ≥ 2·min_tokens−1 (shorter cut fragments can fall
+    below the window length). ``clean_text`` is whitespace-normalized
+    (single-space joined) — same canonical form as ``normalize_text``
+    modulo case.
+
+    Cut-position coverage explodes ONLY non-first duplicated windows
+    (dup-volume-sized, not corpus-sized); reassembly is one anti-join
+    on (doc, position) plus a per-doc sorted collect — the doc-sized
+    array the corpus already stores.
+    """
+    dpos = _dup_window_positions(docs, text_col, id_col, min_tokens, seed)
+    cuts = (
+        dpos.filter(
+            ~(
+                (F.col("id") == F.col("first_id"))
+                & (F.col("pos") == F.col("first_pos"))
+            )
+        )
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + min_tokens - 1)
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    tokpos = docs.select(
+        F.col(id_col).alias("id"), F.explode(F.array(toks)).alias("_toks")
+    ).select("id", F.posexplode("_toks").alias("p", "tok"))
+    rebuilt = (
+        tokpos.join(cuts, ["id", "p"], "left_anti")
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept_tokens"),
+        )
+    )
+    n_tok = F.size(toks)
+    return (
+        docs.select(F.col(id_col), n_tok.alias("_n"))
+        .join(rebuilt.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept_tokens", F.lit(0)).cast("long").alias(
+                "n_kept_tokens"
+            ),
+            (F.col("_n") - F.coalesce("n_kept_tokens", F.lit(0)))
+            .cast("long")
+            .alias("n_cut_tokens"),
+        )
     )
 
 

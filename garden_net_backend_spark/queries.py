@@ -993,20 +993,112 @@ _SIMHASH_ORACLE_SQL = f"""
 
 
 @register(
-    "q29_exact_dedup",
+    "q29_content_dedup",
     f"""
-    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-    FROM (SELECT doc_id, trim({_NORM_SQL}) AS norm FROM documents)
-    GROUP BY norm
+    WITH tdocs AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '') AS toks
+      FROM documents),
+    wins AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(toks[i : i + 7], ' ') AS w
+      FROM tdocs, (SELECT CAST(unnest(generate_series(1, 9999)) AS INT) AS i)
+      WHERE i + 7 <= len(toks)),
+    marked AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY w) AS c,
+             ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+      FROM wins),
+    dpos AS (SELECT doc_id, pos, rn FROM marked WHERE c > 1),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + 8) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS new_isl
+      FROM dpos),
+    grp AS (
+      SELECT doc_id, pos,
+             SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM isl),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS b, MAX(pos) + 8 AS e
+      FROM grp GROUP BY doc_id, g),
+    cuts AS (
+      SELECT DISTINCT doc_id, pos + j AS p
+      FROM dpos, (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS j)
+      WHERE rn > 1),
+    tokpos AS (
+      SELECT doc_id, i - 1 AS p, toks[i] AS tok
+      FROM tdocs, (SELECT CAST(unnest(generate_series(1, 9999)) AS INT) AS i)
+      WHERE i <= len(toks)),
+    kept AS (
+      SELECT t.doc_id, t.p, t.tok
+      FROM tokpos t ANTI JOIN cuts c ON t.doc_id = c.doc_id AND t.p = c.p),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean,
+             COUNT(*) AS nk
+      FROM kept GROUP BY doc_id)
+    SELECT 'exact' AS gate, CAST(doc_id AS VARCHAR) AS k,
+           CAST(n_copies AS DOUBLE) AS val
+    FROM (SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+          FROM (SELECT doc_id, trim({_NORM_SQL}) AS norm FROM documents)
+          GROUP BY norm)
+    UNION ALL
+    SELECT 'span', CAST(doc_id AS VARCHAR) || '#' || CAST(b AS VARCHAR),
+           CAST(e AS DOUBLE)
+    FROM spans
+    UNION ALL
+    SELECT 'excise',
+           CAST(d.doc_id AS VARCHAR) || '#' || COALESCE(r.clean, ''),
+           CAST(COALESCE(r.nk, 0) AS DOUBLE)
+    FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
     """,
-    doc="Exact dedup: hash-groupBy on whitespace-normalized lowercased text, "
-    "min-id representative. One shuffle; at 100 TB shuffle a 128-bit digest "
-    "instead of bodies.",
+    doc="Content-dedup suite as (gate, key, value) long form. 'exact' arm: "
+    "hash-groupBy on whitespace-normalized lowercased text, min-id "
+    "representative — one shuffle; at 100 TB shuffle a 128-bit digest "
+    "instead of bodies. 'span'/'excise' arms: substring-level exact dedup "
+    "(operators/dedup.duplicated_spans / excise_duplicate_spans — the Lee "
+    "et al. 2022 duplicated-passage operator, the dedup mode doc-level "
+    "hashing cannot see): 8-token window fingerprints (per-token xxhash64 "
+    "→ window-slice xxhash64, one transform per doc so nothing quadratic "
+    "is materialized), map-side-combinable count per fingerprint, "
+    "interval-merged maximal spans per doc, and first-occurrence-keeps "
+    "excision via a (doc, position) anti-join — the oracle recomputes all "
+    "three from raw window STRINGS, so the gate also pins fingerprint "
+    "grouping == content grouping on this corpus. The span output gates "
+    "begin AND end per span; the excise arm hash-gates every document's "
+    "full cleaned text.",
 )
-def q29_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import exact_dedup
+def q29_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import (
+        duplicated_spans,
+        exact_dedup,
+        excise_duplicate_spans,
+    )
 
-    return exact_dedup(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    ex = exact_dedup(docs).select(
+        F.lit("exact").alias("gate"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_copies").cast("double").alias("val"),
+    )
+    sp = duplicated_spans(docs, min_tokens=8).select(
+        F.lit("span").alias("gate"),
+        F.concat_ws(
+            "#",
+            F.col("doc_id").cast("string"),
+            F.col("span_begin").cast("string"),
+        ).alias("k"),
+        F.col("span_end").cast("double").alias("val"),
+    )
+    exc = excise_duplicate_spans(docs, min_tokens=8).select(
+        F.lit("excise").alias("gate"),
+        F.concat_ws(
+            "#", F.col("doc_id").cast("string"), F.col("clean_text")
+        ).alias("k"),
+        F.col("n_kept_tokens").cast("double").alias("val"),
+    )
+    return ex.unionByName(sp).unionByName(exc)
 
 
 @register(

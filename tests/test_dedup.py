@@ -199,3 +199,142 @@ def test_minhash_dedup_incremental(spark):
         ).collect()
     }
     assert pairs_idx == pairs
+
+
+# ---------------------------------------------------------------- spans
+
+
+def _brute_spans(corpus, L):
+    """Python reference for duplicated_spans/excise_duplicate_spans:
+    O(all windows) dict-based, independent of the Spark plan."""
+    toks = {i: t.split() for i, t in corpus}
+    occ = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - L + 1):
+            occ.setdefault(tuple(ts[p : p + L]), []).append((i, p))
+    dup_pos = {}  # doc -> set of duplicated window starts
+    cut_pos = {}  # doc -> set of cut token positions
+    for w, places in occ.items():
+        if len(places) < 2:
+            continue
+        first = min(places)
+        for i, p in places:
+            dup_pos.setdefault(i, set()).add(p)
+            if (i, p) != first:
+                cut_pos.setdefault(i, set()).update(range(p, p + L))
+    spans = []
+    for i, starts in dup_pos.items():
+        cur = None
+        for p in sorted(starts):
+            if cur is not None and p <= cur[1]:
+                cur = (cur[0], max(cur[1], p + L))
+            else:
+                if cur:
+                    spans.append((i, cur[0], cur[1]))
+                cur = (p, p + L)
+        if cur:
+            spans.append((i, cur[0], cur[1]))
+    clean = {}
+    for i, ts in toks.items():
+        cut = cut_pos.get(i, set())
+        kept = [t for p, t in enumerate(ts) if p not in cut]
+        clean[i] = (" ".join(kept), len(kept), len(ts) - len(kept))
+    return sorted(spans), clean
+
+
+SPAN_L = 4
+SPAN_DOCS = [
+    (0, "a b c d e f g h"),                      # source passage
+    (1, "x y a b c d e f q r"),                  # embeds 0's prefix run
+    (2, "a b c d e f g h"),                      # exact dup of 0 → fully cut
+    (3, "one two three four five six"),          # unique
+    (4, "p q r s p q r s p q r s"),              # intra-doc repetition
+    (5, "short doc"),                            # below window length
+    (6, ""),                                     # empty
+    (7, "m n o p Q a b c d e f m n o p Q"),      # two separate dup regions
+]
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    return spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+
+
+def test_duplicated_spans_matches_bruteforce(span_docs):
+    from garden_net_backend_spark.operators.dedup import duplicated_spans
+
+    got = sorted(
+        (r["doc_id"], r["span_begin"], r["span_end"])
+        for r in duplicated_spans(span_docs, min_tokens=SPAN_L).collect()
+    )
+    want, _ = _brute_spans(SPAN_DOCS, SPAN_L)
+    assert got == want
+    # structure sanity on the fixture: doc 2 fully covered, doc 3 absent
+    by_doc = {d: (b, e) for d, b, e in got}
+    assert by_doc[2] == (0, 8)
+    assert 3 not in by_doc and 5 not in by_doc and 6 not in by_doc
+
+
+def test_excise_matches_bruteforce_and_keeps_first(span_docs):
+    from garden_net_backend_spark.operators.dedup import (
+        excise_duplicate_spans,
+    )
+
+    rows = excise_duplicate_spans(span_docs, min_tokens=SPAN_L).collect()
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept_tokens"], r["n_cut_tokens"])
+        for r in rows
+    }
+    _, want = _brute_spans(SPAN_DOCS, SPAN_L)
+    assert got == want
+    # first occurrence survives verbatim; the exact copy is emptied
+    assert got[0][0] == "a b c d e f g h"
+    assert got[2] == ("", 0, 8)
+    # every doc present, including empty/short ones
+    assert set(got) == {d for d, _ in SPAN_DOCS}
+    # intra-doc repetition keeps exactly the first period
+    assert got[4][0] == "p q r s"
+
+
+def test_spans_deterministic_under_repartition(span_docs):
+    from garden_net_backend_spark.operators.dedup import duplicated_spans
+
+    a = sorted(map(tuple, duplicated_spans(span_docs, min_tokens=SPAN_L).collect()))
+    b = sorted(
+        map(
+            tuple,
+            duplicated_spans(
+                span_docs.repartition(7), min_tokens=SPAN_L
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_spans_on_real_documents(spark):
+    """Planted long shared passage across sf0.001 docs is found, and
+    excision output re-run through detection is span-free (idempotence
+    on spans ≥ 2L−1)."""
+    from garden_net_backend_spark.operators.dedup import (
+        duplicated_spans,
+        excise_duplicate_spans,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    passage = " ".join(f"tok{i}" for i in range(12))
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat_ws(" ", F.col("text"), F.lit(passage)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    spans = duplicated_spans(planted, min_tokens=8)
+    hosts = {r["doc_id"] for r in spans.collect()}
+    planted_ids = {r["doc_id"] for r in planted.filter("doc_id % 3 = 0").collect()}
+    assert planted_ids <= hosts  # every planted host has a span
+    clean = excise_duplicate_spans(planted, min_tokens=8).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    again = duplicated_spans(clean, min_tokens=8)
+    # the passage is gone: no surviving span covers tok0..tok11
+    assert again.filter(F.col("n_span_tokens") >= 12).count() == 0
