@@ -500,12 +500,29 @@ def _dup_window_positions(
     )
 
 
+def duplicated_window_positions(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    seed: int = 42,
+) -> DataFrame:
+    """Public precompute seam for :func:`duplicated_spans` /
+    :func:`excise_duplicate_spans`: both consume the same duplicated-
+    window position frame, so a caller running detection AND excision
+    (the normal pipeline) should compute it once, ``persist()`` it, and
+    pass it to both via ``positions=`` — the fingerprint scan is the
+    dominant cost and runs once instead of per consumer."""
+    return _dup_window_positions(docs, text_col, id_col, min_tokens, seed)
+
+
 def duplicated_spans(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     min_tokens: int = 50,
     seed: int = 42,
+    positions: DataFrame | None = None,
 ) -> DataFrame:
     """Substring-level exact dedup (the Lee et al. 2022 "Deduplicating
     Training Data" operator family): maximal token spans covered by a
@@ -530,7 +547,11 @@ def duplicated_spans(
     overlapping windows — even ones duplicating DIFFERENT partner
     documents — collapse into one maximal span.
     """
-    dpos = _dup_window_positions(docs, text_col, id_col, min_tokens, seed)
+    dpos = (
+        positions
+        if positions is not None
+        else _dup_window_positions(docs, text_col, id_col, min_tokens, seed)
+    )
     w = W.partitionBy("id").orderBy("pos")
     prev_end = F.max(F.col("pos") + min_tokens).over(
         w.rowsBetween(W.unboundedPreceding, -1)
@@ -563,6 +584,7 @@ def excise_duplicate_spans(
     id_col: str = "doc_id",
     min_tokens: int = 50,
     seed: int = 42,
+    positions: DataFrame | None = None,
 ) -> DataFrame:
     """Remove duplicated substrings, keeping the corpus-wide FIRST
     occurrence → ``(id_col, clean_text, n_kept_tokens,
@@ -583,7 +605,11 @@ def excise_duplicate_spans(
     on (doc, position) plus a per-doc sorted collect — the doc-sized
     array the corpus already stores.
     """
-    dpos = _dup_window_positions(docs, text_col, id_col, min_tokens, seed)
+    dpos = (
+        positions
+        if positions is not None
+        else _dup_window_positions(docs, text_col, id_col, min_tokens, seed)
+    )
     cuts = (
         dpos.filter(
             ~(

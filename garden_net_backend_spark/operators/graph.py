@@ -193,6 +193,13 @@ def connected_components(
     e = edges.select(src, dst).filter(F.col(src) != F.col(dst))
     nparts = max(1, e.rdd.getNumPartitions())
     prev = None
+    # the input edge chain is consumed twice before the first
+    # contraction (size count + either toPandas or the union-find
+    # pass) — persist it so an expensive upstream emitter (e.g. the
+    # near-dup pair join feeding dedup_representatives) runs once, not
+    # twice; post-contraction frames are eager localCheckpoints and
+    # need no cache
+    owned = e.persist()
     for _ in range(max_iter):
         # size check BEFORE contracting: an already-small edge set
         # (near-dup pair graphs, post-contraction forests) goes straight
@@ -201,6 +208,9 @@ def connected_components(
         n = e.count()
         if n <= collect_threshold:
             pdf = e.toPandas()
+            if owned is not None:
+                owned.unpersist()
+                owned = None
             parent: dict = {}
 
             def find(x):
@@ -249,6 +259,10 @@ def connected_components(
             break
         prev = n
         e = _forest_contract(e, src, dst).localCheckpoint(eager=True)
+        if owned is not None:
+            # the checkpoint materialized — the input chain is done
+            owned.unpersist()
+            owned = None
         nparts = max(1, nparts // 8)
         e = e.repartition(nparts)
     return _cc_pointer_jumping(nodes, e, node_col, src, dst, max_iter)

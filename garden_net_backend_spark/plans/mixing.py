@@ -71,6 +71,62 @@ def weighted_sample_by_source(
     return docs.withColumn("kept", u < thr)
 
 
+def temperature_rates(
+    source_weights: dict[str, float],
+    temperature: float = 1.0,
+    target_fraction: float | None = None,
+) -> dict[str, float]:
+    """Temperature-flattened sampling rates from per-source sizes →
+    ``{source: rate}`` for :func:`weighted_sample_by_source`.
+
+    The standard multilingual/source-balancing recipe (mT5 §3.1,
+    XLM-R): sample source s with probability ∝ p_s^τ where p_s is the
+    source's share of the corpus (by tokens or documents — pass either
+    as weights). τ=1 keeps natural proportions; τ→0 approaches uniform
+    over sources; intermediate τ up-weights the tail without drowning
+    the head. Per-document KEEP rates are the ratio of the flattened
+    share to the natural share, scaled so the largest rate is 1.0
+    (sampling can only drop), or so the expected kept fraction equals
+    ``target_fraction`` when given (rates clamp at 1.0 — the exact
+    flattened mix may be unreachable for head sources; clamping is the
+    standard compromise, bias toward the head, never oversampling).
+
+    Driver-sized math over the source list (sources are thousands at
+    most); the decisions it feeds stay zero-shuffle hash comparisons.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    total = float(sum(source_weights.values()))
+    if total <= 0 or any(w < 0 for w in source_weights.values()):
+        raise ValueError("source weights must be non-negative, sum > 0")
+    shares = {s: w / total for s, w in source_weights.items()}
+    flat = {s: p**temperature for s, p in shares.items() if p > 0}
+    z = sum(flat.values())
+    flat = {s: f / z for s, f in flat.items()}
+    # keep-rate ∝ flattened/natural; normalize per the caller's goal
+    ratio = {s: flat[s] / shares[s] for s in flat}
+    if target_fraction is None:
+        scale = 1.0 / max(ratio.values())
+    else:
+        if not 0.0 < target_fraction <= 1.0:
+            raise ValueError("target_fraction must be in (0, 1]")
+        # E[kept fraction] = Σ_s p_s · min(1, scale·ratio_s); solve for
+        # scale by bisection (monotone in scale, clamping makes it
+        # piecewise-linear)
+        def kept(scale: float) -> float:
+            return sum(p * min(1.0, scale * ratio[s]) for s, p in shares.items() if p > 0)
+
+        lo, hi = 0.0, max(1.0 / min(ratio.values()), 1.0)
+        for _ in range(80):
+            mid = (lo + hi) / 2
+            if kept(mid) < target_fraction:
+                lo = mid
+            else:
+                hi = mid
+        scale = hi
+    return {s: min(1.0, scale * r) for s, r in ratio.items()}
+
+
 def leakage_safe_split(
     docs: DataFrame,
     representatives: DataFrame,

@@ -1072,17 +1072,22 @@ _SIMHASH_ORACLE_SQL = f"""
 def q29_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import (
         duplicated_spans,
+        duplicated_window_positions,
         exact_dedup,
         excise_duplicate_spans,
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # one fingerprint scan feeds both span arms (the precompute seam);
+    # persist() so the shared frame materializes once — dup positions
+    # are dup-volume-sized, never corpus-sized
+    dpos = duplicated_window_positions(docs, min_tokens=8).persist()
     ex = exact_dedup(docs).select(
         F.lit("exact").alias("gate"),
         F.col("doc_id").cast("string").alias("k"),
         F.col("n_copies").cast("double").alias("val"),
     )
-    sp = duplicated_spans(docs, min_tokens=8).select(
+    sp = duplicated_spans(docs, min_tokens=8, positions=dpos).select(
         F.lit("span").alias("gate"),
         F.concat_ws(
             "#",
@@ -1091,7 +1096,7 @@ def q29_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k"),
         F.col("span_end").cast("double").alias("val"),
     )
-    exc = excise_duplicate_spans(docs, min_tokens=8).select(
+    exc = excise_duplicate_spans(docs, min_tokens=8, positions=dpos).select(
         F.lit("excise").alias("gate"),
         F.concat_ws(
             "#", F.col("doc_id").cast("string"), F.col("clean_text")

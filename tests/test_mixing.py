@@ -174,3 +174,43 @@ def test_curate_training_corpus_end_to_end(spark):
     assert sum(r["n_selected"] for r in audit) == len(
         [r for r in d.values() if r["selected"]]
     )
+
+
+def test_temperature_rates_flattening():
+    from garden_net_backend_spark.plans.mixing import temperature_rates
+
+    sizes = {"web": 900.0, "books": 90.0, "code": 10.0}
+    # τ=1: natural mix → every rate 1.0 (nothing to rebalance)
+    assert temperature_rates(sizes, 1.0) == {"web": 1.0, "books": 1.0, "code": 1.0}
+    # τ<1 flattens: the smallest source keeps everything, the head is
+    # downsampled, ordering of rates inverts ordering of sizes
+    r = temperature_rates(sizes, 0.5)
+    assert r["code"] == 1.0
+    assert r["code"] > r["books"] > r["web"] > 0.0
+    # flattened shares realized: kept_s ∝ p_s^τ when nothing clamps
+    kept = {s: sizes[s] * r[s] for s in sizes}
+    want = {s: sizes[s] ** 0.5 for s in sizes}
+    kw = sum(kept.values()); ww = sum(want.values())
+    for s in sizes:
+        assert abs(kept[s] / kw - want[s] / ww) < 1e-12
+    # τ→0 approaches uniform over sources
+    r0 = temperature_rates(sizes, 1e-9)
+    kept0 = sorted(sizes[s] * r0[s] for s in sizes)
+    assert kept0[-1] / kept0[0] < 1.001
+
+
+def test_temperature_rates_target_fraction():
+    from garden_net_backend_spark.plans.mixing import temperature_rates
+
+    sizes = {"a": 700.0, "b": 200.0, "c": 100.0}
+    r = temperature_rates(sizes, 0.3, target_fraction=0.5)
+    total = sum(sizes.values())
+    realized = sum(sizes[s] * r[s] for s in sizes) / total
+    assert abs(realized - 0.5) < 1e-6
+    assert all(0.0 < v <= 1.0 for v in r.values())
+    # still flattening-ordered
+    assert r["c"] >= r["b"] >= r["a"]
+    with pytest.raises(ValueError):
+        temperature_rates(sizes, 0.0)
+    with pytest.raises(ValueError):
+        temperature_rates(sizes, 0.5, target_fraction=1.5)
