@@ -338,3 +338,41 @@ def test_spans_on_real_documents(spark):
     again = duplicated_spans(clean, min_tokens=8)
     # the passage is gone: no surviving span covers tok0..tok11
     assert again.filter(F.col("n_span_tokens") >= 12).count() == 0
+
+
+def test_prefix_filtered_jaccard_equals_baseline(docs_df, spark):
+    """AllPairs prefix filtering is exact: identical pair set + scores
+    vs the inverted-index baseline, on the fixture AND real documents,
+    across thresholds."""
+    from garden_net_backend_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    for tau in (0.3, 0.5, 0.8):
+        base = sorted(
+            map(tuple, ngram_jaccard_pairs(docs_df, n=5, threshold=tau).collect())
+        )
+        pf = sorted(
+            map(
+                tuple,
+                ngram_jaccard_pairs_prefix(docs_df, n=5, threshold=tau).collect(),
+            )
+        )
+        assert pf == base, f"tau={tau}"
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(real, n=3, threshold=0.5, shingle="word").collect(),
+        )
+    )
+    pf = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs_prefix(
+                real, n=3, threshold=0.5, shingle="word"
+            ).collect(),
+        )
+    )
+    assert pf == base and base, "real corpus must contain near-dups"
