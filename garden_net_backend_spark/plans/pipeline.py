@@ -36,6 +36,7 @@ def curate_training_corpus(
     source_col: str = "source",
     seed: int = 0,
     default_rate: float = 1.0,
+    excise_spans_min_tokens: int | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full curation chain → ``{"documents", "sequences",
     "audit"}``.
@@ -44,6 +45,11 @@ def curate_training_corpus(
       ``split``, ``kept`` and the final ``selected`` flag (quality pass
       AND cluster representative AND mix-kept). Nothing is dropped —
       audits and ablations need the rejected rows WITH their reasons.
+      With ``excise_spans_min_tokens`` set, selected rows also carry
+      ``curated_text`` (duplicated passages ≥ that many tokens cut,
+      corpus-wide first occurrence kept) and ``n_cut_tokens``; packing
+      consumes the curated text, and the audit adds
+      ``n_span_cut_tokens`` per (source, split).
     - ``sequences``: ``pack_sequences`` spans over the selected TRAIN
       documents.
     - ``audit``: per (source, split) counts of selected vs rejected by
@@ -74,10 +80,45 @@ def curate_training_corpus(
         & F.col("kept")
     )
     documents = mixed.withColumn("selected", F.coalesce(selected, F.lit(False)))
+    if excise_spans_min_tokens is not None:
+        # substring-level pass AFTER doc-level dedup: whole-doc dups are
+        # already gone (cluster representatives), so what remains is
+        # verbatim passages shared between KEPT documents — cut every
+        # occurrence but the corpus-wide first (Lee et al. 2022). Runs
+        # across all splits, which also removes train↔test shared
+        # passages (span-level leakage the doc-level split can't see).
+        from ..operators.dedup import excise_duplicate_spans
+
+        exc = excise_duplicate_spans(
+            documents.filter(F.col("selected")),
+            text_col=text_col,
+            id_col=id_col,
+            min_tokens=excise_spans_min_tokens,
+        )
+        documents = documents.join(
+            exc.select(id_col, "clean_text", "n_cut_tokens"), id_col, "left"
+        ).withColumn(
+            "curated_text",
+            F.when(
+                F.col("selected"), F.coalesce("clean_text", F.col(text_col))
+            ).otherwise(F.col(text_col)),
+        ).drop("clean_text")
+        pack_text = "curated_text"
+    else:
+        pack_text = text_col
     train = documents.filter(F.col("selected") & (F.col("split") == "train"))
     sequences = pack_sequences(
         train, tokens_per_seq=tokens_per_seq,
-        text_col=text_col, id_col=id_col, group_col=source_col,
+        text_col=pack_text, id_col=id_col, group_col=source_col,
+    )
+    extra_aggs = (
+        [
+            F.sum(F.coalesce("n_cut_tokens", F.lit(0))).alias(
+                "n_span_cut_tokens"
+            )
+        ]
+        if excise_spans_min_tokens is not None
+        else []
     )
     audit = documents.groupBy(source_col, "split").agg(
         F.count("*").alias("n_docs"),
@@ -93,5 +134,6 @@ def curate_training_corpus(
         F.sum((F.col("gopher_keep") & ~F.col("kept")).cast("int")).alias(
             "n_mix_dropped"
         ),
+        *extra_aggs,
     )
     return {"documents": documents, "sequences": sequences, "audit": audit}

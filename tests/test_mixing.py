@@ -214,3 +214,48 @@ def test_temperature_rates_target_fraction():
         temperature_rates(sizes, 0.0)
     with pytest.raises(ValueError):
         temperature_rates(sizes, 0.5, target_fraction=1.5)
+
+
+def test_curate_with_span_excision(spark):
+    """The optional substring stage: a verbatim passage shared by two
+    SELECTED documents is cut from the later one, packing consumes the
+    curated text, and the audit counts the cut tokens."""
+    from garden_net_backend_spark.plans.pipeline import curate_training_corpus
+
+    passage = " ".join(f"shared{i:02d}" for i in range(12))
+    rows = [
+        (0, " ".join(f"alpha{i}" for i in range(40)) + " " + passage, "web"),
+        (1, " ".join(f"bravo{i}" for i in range(40)) + " " + passage, "web"),
+        (2, " ".join(f"charlie{i}" for i in range(50)), "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate_training_corpus(
+        docs, rates={"web": 1.0}, tokens_per_seq=16,
+        dedup_threshold=0.9, excise_spans_min_tokens=8,
+    )
+    d = {r["doc_id"]: r for r in out["documents"].collect()}
+    # both passage hosts are distinct docs (J < 0.9) → both selected
+    assert d[0]["selected"] and d[1]["selected"] and d[2]["selected"]
+    # first occurrence keeps the passage, the later host loses it
+    assert passage in d[0]["curated_text"]
+    assert "shared00" not in d[1]["curated_text"]
+    assert d[1]["n_cut_tokens"] == 12 and d[0]["n_cut_tokens"] == 0
+    # untouched doc passes through verbatim
+    assert d[2]["curated_text"] == rows[2][1] and d[2]["n_cut_tokens"] == 0
+    # packing totals reflect the cut: sum of packed span tokens for the
+    # train docs equals their curated token counts
+    import collections
+
+    packed = collections.Counter()
+    for r in out["sequences"].collect():
+        packed[r["doc_id"]] += r["n_tokens_in_seq"]
+    for i, r in d.items():
+        if r["selected"] and r["split"] == "train":
+            assert packed[i] == len(r["curated_text"].split())
+    # audit carries the span column and reconciles
+    audit = out["audit"].collect()
+    assert sum(r["n_span_cut_tokens"] for r in audit) == 12
+    # default path (no excision) keeps the old schema
+    out2 = curate_training_corpus(docs, rates={"web": 1.0}, tokens_per_seq=16)
+    assert "curated_text" not in out2["documents"].columns
+    assert "n_span_cut_tokens" not in out2["audit"].columns

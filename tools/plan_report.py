@@ -115,6 +115,16 @@ CASES = [
         ["Generate", "ReadSchema", "MapInPandas", "partial_min"],
     ),
     (
+        "q29_content_dedup",
+        "Substring-span dedup: window fingerprints are ONE transform per "
+        "document behind the Generate barrier (no per-window recompute of "
+        "the token split), the duplicate test is a combinable count per "
+        "fingerprint, and span assembly is a per-doc window sort — the "
+        "only joins are hash equi-joins on (fingerprint) and "
+        "(doc, position); nothing pairwise, nothing cartesian",
+        ["Generate", "Window", "Exchange", "Join"],
+    ),
+    (
         "q41_sessionization",
         "Capped sessionization (batch form): both window passes and the "
         "final agg share the user_id partitioning — gaps-and-islands costs "
