@@ -1805,6 +1805,31 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
       THEN 1 ELSE 0 END AS DOUBLE)
     FROM documents
     UNION ALL
+    SELECT 'unigram_nll', CAST(d.doc_id AS VARCHAR),
+           COALESCE(s.nll, 0.0)
+    FROM documents d LEFT JOIN (
+      SELECT doc_id,
+             ROUND(CAST(SUM(CAST(a AS DECIMAL(38,8))) AS DOUBLE)
+                   / COUNT(*), 6) AS nll
+      FROM (
+        SELECT l.doc_id,
+               log2(t2.n + 0.5 * (t2.v + 1)) - log2(c.c + 0.5) AS a
+        FROM (SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> x <> '')) AS t
+              FROM documents) l
+        JOIN (SELECT t, COUNT(*) AS c FROM (
+                SELECT unnest(list_filter(
+                  regexp_split_to_array(lower(trim(text)), '\\s+'),
+                  x -> x <> '')) AS t FROM documents)
+              GROUP BY t) c USING (t),
+             (SELECT COUNT(*) AS n, COUNT(DISTINCT t) AS v FROM (
+                SELECT unnest(list_filter(
+                  regexp_split_to_array(lower(trim(text)), '\\s+'),
+                  x -> x <> '')) AS t FROM documents)) t2)
+      GROUP BY doc_id) s ON d.doc_id = s.doc_id
+    UNION ALL
     SELECT CASE arm WHEN 0 THEN 'pack_ntok' ELSE 'pack_begin' END,
            source || '#' || CAST(doc_id AS VARCHAR) || '#' || CAST(seq_id AS VARCHAR),
            CASE arm
@@ -1880,7 +1905,11 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "test decided by the md5 bucket of the near-dup CLUSTER "
     "representative, so a train doc's twin can never land in test — "
     "rep_split arm gates every doc's assignment against the closure-"
-    "derived representative).",
+    "derived representative), and the CCNet-style LM quality score "
+    "(operators/quality.unigram_nll: add-k unigram NLL, self-scoring "
+    "mode — k=0.5 keeps every log2 argument an exact double and the "
+    "decimal-bridge sum makes the score engine-portable, so the gate "
+    "hash-checks the model-based quality signal bit-for-bit).",
 )
 def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
@@ -2065,6 +2094,15 @@ def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("k"),
         F.col("kept").cast("int").cast("double").alias("val"),
     )
+    from .operators.quality import unigram_nll
+
+    # CCNet-style LM quality score, self-scoring mode (LM fit on the
+    # corpus itself) — k=0.5 keeps every log2 argument an exact double
+    nll_rows = unigram_nll(docs).select(
+        F.lit("unigram_nll").alias("gate"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("nll").alias("val"),
+    )
     packed = pack_sequences(docs, tokens_per_seq=64)
     pack_key = F.concat_ws(
         "#",
@@ -2096,6 +2134,7 @@ def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rep_split_rows)
         .unionByName(contam_rows)
         .unionByName(mix_rows)
+        .unionByName(nll_rows)
         .unionByName(pack_rows)
     )
 

@@ -259,3 +259,47 @@ def test_curate_with_span_excision(spark):
     out2 = curate_training_corpus(docs, rates={"web": 1.0}, tokens_per_seq=16)
     assert "curated_text" not in out2["documents"].columns
     assert "n_span_cut_tokens" not in out2["audit"].columns
+
+
+def test_unigram_nll_bruteforce_and_modes(spark):
+    """LM scorer vs a Python reference; reference-corpus mode ranks an
+    off-distribution document worse; empty docs score 0."""
+    import math
+
+    from garden_net_backend_spark.operators.quality import unigram_nll
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the rug"),
+        (2, "zx qv jkl zzz appear nowhere else wq"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_nll(docs).collect()}
+
+    toks = [t for _, x in rows for t in x.lower().split()]
+    n, v = len(toks), len(set(toks))
+    from collections import Counter
+
+    c = Counter(toks)
+
+    def ref_nll(text):
+        ts = text.lower().split()
+        if not ts:
+            return 0.0
+        addends = [
+            round(math.log2(n + 0.5 * (v + 1)) - math.log2(c[t] + 0.5), 8)
+            for t in ts
+        ]
+        return round(sum(addends) / len(ts), 6)
+
+    for i, text in rows:
+        assert got[i]["nll"] == pytest.approx(ref_nll(text), abs=2e-6), i
+        assert got[i]["n_lm_tokens"] == len(text.split())
+    # common-word doc scores better (lower NLL) than the rare-word doc
+    assert got[0]["nll"] < got[2]["nll"]
+    # reference-corpus mode: fit on docs 0-1, score all — doc 2 is
+    # all-OOV and must be the worst by a wide margin
+    lm = docs.filter("doc_id < 2")
+    scored = {r["doc_id"]: r["nll"] for r in unigram_nll(docs, lm_docs=lm).collect()}
+    assert scored[2] > scored[0] + 1.0 and scored[2] > scored[1] + 1.0
