@@ -170,6 +170,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "source",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """GPT-style sequence packing plan: concatenate documents (in
     ``id_col`` order, per ``group_col`` shard) into fixed
@@ -185,8 +186,13 @@ def pack_sequences(
     partition, spill-backed; for truly single-source corpora shard by
     ``hash_split``-style buckets first and treat the bucket as the
     group.) Zero-token documents occupy no span and emit no row.
+
+    ``n_tokens_col`` overrides the whitespace token count with a
+    precomputed per-doc length — pass ``n_bpe_tokens`` from
+    ``operators/bpe.bpe_encode`` to lay out sequences in REAL tokenizer
+    units (what the trainer's context window actually holds).
     """
-    n = _n_tokens(text_col)
+    n = F.col(n_tokens_col) if n_tokens_col else _n_tokens(text_col)
     w = W.partitionBy(group_col).orderBy(id_col)
     offs = docs.select(
         group_col,
