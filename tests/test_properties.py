@@ -99,3 +99,55 @@ def test_pack_sequences_invariants(spark, ntoks, seq_len):
                 assert begin == pos, f"gap/overlap in seq {sid}"
                 pos += n
             assert pos == seq_len or sid == last
+
+
+# ---------------------------------------------------------------------
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=14
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    L=st.integers(2, 4),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_duplicated_spans_property(spark, docs, L):
+    """Random small-alphabet corpora (dense window collisions by
+    construction) vs the brute-force reference: spans AND excision must
+    match exactly for any corpus and window length."""
+    from garden_net_backend_spark.operators.dedup import (
+        duplicated_spans,
+        excise_duplicate_spans,
+    )
+    import importlib.util as _ilu
+    import os as _os
+
+    _spec = _ilu.spec_from_file_location(
+        "_dedup_tests",
+        _os.path.join(_os.path.dirname(__file__), "test_dedup.py"),
+    )
+    _m = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_m)
+    _brute_spans = _m._brute_spans
+
+    corpus = [(i, " ".join(ts)) for i, ts in enumerate(docs)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got_spans = sorted(
+        (r["doc_id"], r["span_begin"], r["span_end"])
+        for r in duplicated_spans(df, min_tokens=L).collect()
+    )
+    want_spans, want_clean = _brute_spans(corpus, L)
+    assert got_spans == want_spans
+    got_clean = {
+        r["doc_id"]: (r["clean_text"], r["n_kept_tokens"], r["n_cut_tokens"])
+        for r in excise_duplicate_spans(df, min_tokens=L).collect()
+    }
+    assert got_clean == want_clean

@@ -112,4 +112,8 @@ def main(out: str = "/tmp/regen_sim", seed: int = 20260814) -> None:
 
 
 if __name__ == "__main__":
-    main(*(sys.argv[1:2] or []))
+    args = sys.argv[1:3]
+    if len(args) == 2:
+        main(args[0], int(args[1]))
+    else:
+        main(*args)
