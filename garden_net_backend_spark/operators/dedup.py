@@ -536,30 +536,21 @@ def simhash_near_pairs(
     )
 
 
-def _dup_window_positions(
+def _window_fingerprints(
     docs: DataFrame,
     text_col: str,
     id_col: str,
     min_tokens: int,
     seed: int,
 ) -> DataFrame:
-    """Positions of every DUPLICATED ``min_tokens``-token window →
-    ``(id, pos, first_id, first_pos)`` where ``pos`` is the 0-based
-    token offset of the window inside its document and ``(first_id,
-    first_pos)`` is the corpus-wide canonical first occurrence (min by
-    (id, pos)) of that window's content.
-
-    Window identity is a 64-bit fingerprint: per-token ``xxhash64``
-    (seeded), then ``xxhash64`` of each L-token hash slice — computed
-    as ONE ``transform`` over the position sequence inside a single
+    """Every ``min_tokens``-token window of every document →
+    ``(id, pos, wkey)``; ``pos`` is the window's 0-based token offset,
+    ``wkey`` a 64-bit content fingerprint (per-token ``xxhash64``
+    seeded, then ``xxhash64`` of each L-token hash slice). Computed as
+    ONE ``transform`` over the position sequence inside a single
     projection, so the doc's hash array is never duplicated per window
-    row (the Generate consumes only the per-window (pos, key) pairs).
-    Cost is O(tokens · L) hashing, embarrassingly parallel, zero extra
-    shuffle before the one combinable groupBy on the fingerprint.
-    A fingerprint collision (2⁻⁶⁴ per window pair) would merge two
-    window groups — the standard fingerprint trade, same as the LSH
-    band hashing above.
-    """
+    row; cost is O(tokens · L) hashing, embarrassingly parallel, zero
+    shuffle."""
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
@@ -582,7 +573,27 @@ def _dup_window_positions(
         F.sequence(F.lit(0), F.size("_harr") - min_tokens),
         lambda i: F.xxhash64(F.slice(F.col("_harr"), i + 1, min_tokens)),
     )
-    wins = hbase.select("id", F.posexplode(wkeys).alias("pos", "wkey"))
+    return hbase.select("id", F.posexplode(wkeys).alias("pos", "wkey"))
+
+
+def _dup_window_positions(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int,
+    seed: int,
+) -> DataFrame:
+    """Positions of every DUPLICATED ``min_tokens``-token window →
+    ``(id, pos, first_id, first_pos)`` where ``(first_id, first_pos)``
+    is the corpus-wide canonical first occurrence (min by (id, pos))
+    of that window's content.
+
+    One combinable groupBy on the fingerprint + one equi-join back.
+    A fingerprint collision (2⁻⁶⁴ per window pair) would merge two
+    window groups — the standard fingerprint trade, same as the LSH
+    band hashing above.
+    """
+    wins = _window_fingerprints(docs, text_col, id_col, min_tokens, seed)
     firsts = (
         wins.groupBy("wkey")
         .agg(
@@ -711,14 +722,29 @@ def excise_duplicate_spans(
         if positions is not None
         else _dup_window_positions(docs, text_col, id_col, min_tokens, seed)
     )
-    cuts = (
-        dpos.filter(
-            ~(
-                (F.col("id") == F.col("first_id"))
-                & (F.col("pos") == F.col("first_pos"))
-            )
+    cut_windows = dpos.filter(
+        ~(
+            (F.col("id") == F.col("first_id"))
+            & (F.col("pos") == F.col("first_pos"))
         )
-        .select(
+    ).select("id", "pos")
+    return _excise_by_cut_windows(
+        docs, cut_windows, text_col, id_col, min_tokens
+    )
+
+
+def _excise_by_cut_windows(
+    docs: DataFrame,
+    cut_windows: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int,
+) -> DataFrame:
+    """Shared rebuild stage: given ``(id, pos)`` windows to cut, remove
+    their token coverage and reassemble every document →
+    ``(id_col, clean_text, n_kept_tokens, n_cut_tokens)``."""
+    cuts = (
+        cut_windows.select(
             "id",
             F.explode(
                 F.sequence(F.col("pos"), F.col("pos") + min_tokens - 1)
@@ -761,6 +787,118 @@ def excise_duplicate_spans(
             .alias("n_cut_tokens"),
         )
     )
+
+
+def window_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    seed: int = 42,
+) -> DataFrame:
+    """The stored substring-dedup index: one row per DISTINCT window
+    fingerprint in the corpus → ``(wkey, n_occurrences, first_id,
+    first_pos)``. Write it partitioned by ``pmod(wkey, K)`` at ingest;
+    an incoming shard then pays one equi-join against it instead of
+    re-fingerprinting the corpus (see
+    :func:`excise_duplicate_spans_incremental`).
+
+    Size: one 8-byte key + counts per distinct window ≈ corpus token
+    count — the same order as any suffix-structure over the corpus,
+    but flat, mergeable, and hash-partitioned.
+    """
+    wins = _window_fingerprints(docs, text_col, id_col, min_tokens, seed)
+    return wins.groupBy("wkey").agg(
+        F.count("*").alias("n_occurrences"),
+        F.min(F.struct("id", "pos")).alias("_first"),
+    ).select(
+        "wkey",
+        "n_occurrences",
+        F.col("_first.id").alias("first_id"),
+        F.col("_first.pos").alias("first_pos"),
+    )
+
+
+def excise_duplicate_spans_incremental(
+    shard: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Substring-excise an incoming SHARD against an already-indexed
+    corpus → ``(cleaned_shard, updated_index)``.
+
+    The 100 TB ingest workflow (mirror of
+    :func:`minhash_dedup_incremental`): the corpus is never re-read —
+    a shard window is cut iff its content already exists in the corpus
+    index (the corpus holds the canonical first occurrence) OR it
+    repeats within the shard and is not the shard's own first
+    occurrence. Cost: fingerprint the shard, one equi-join against the
+    index on ``wkey``, the shared cut/rebuild stage, and one
+    merge-aggregate to produce the updated index. Contract (same as
+    the MinHash incremental path): document ids are assigned
+    monotonically across shards, so the corpus-side first occurrence
+    is also the global (id, pos) minimum and incremental excision
+    equals the batch excision of corpus+shard restricted to shard rows
+    (equivalence-tested).
+
+    The updated index counts shard occurrences into ``n_occurrences``
+    and keeps the earliest ``(first_id, first_pos)`` per window, so
+    chained ingests stay exact.
+    """
+    wins = _window_fingerprints(shard, text_col, id_col, min_tokens, seed)
+    joined = wins.join(
+        index.select("wkey", "n_occurrences", "first_id", "first_pos"),
+        "wkey",
+        "left",
+    )
+    w = W.partitionBy("wkey")
+    shard_first = F.min(F.struct("id", "pos")).over(w)
+    shard_cnt = F.count("*").over(w)
+    marked = joined.select(
+        "wkey",
+        "id",
+        "pos",
+        "n_occurrences",
+        shard_cnt.alias("_scnt"),
+        shard_first.alias("_sfirst"),
+    )
+    in_corpus = F.col("n_occurrences").isNotNull()
+    is_shard_first = (F.col("_sfirst.id") == F.col("id")) & (
+        F.col("_sfirst.pos") == F.col("pos")
+    )
+    cut_windows = marked.filter(
+        in_corpus | ((F.col("_scnt") > 1) & ~is_shard_first)
+    ).select("id", "pos")
+    cleaned = _excise_by_cut_windows(
+        shard, cut_windows, text_col, id_col, min_tokens
+    )
+    shard_index = wins.groupBy("wkey").agg(
+        F.count("*").alias("n_occurrences"),
+        F.min(F.struct("id", "pos")).alias("_first"),
+    ).select(
+        "wkey",
+        "n_occurrences",
+        F.col("_first.id").alias("first_id"),
+        F.col("_first.pos").alias("first_pos"),
+    )
+    updated = (
+        index.unionByName(shard_index)
+        .groupBy("wkey")
+        .agg(
+            F.sum("n_occurrences").alias("n_occurrences"),
+            F.min(F.struct(F.col("first_id").alias("id"), F.col("first_pos").alias("pos"))).alias("_first"),
+        )
+        .select(
+            "wkey",
+            "n_occurrences",
+            F.col("_first.id").alias("first_id"),
+            F.col("_first.pos").alias("first_pos"),
+        )
+    )
+    return cleaned, updated
 
 
 def dedup_representatives(

@@ -376,3 +376,80 @@ def test_prefix_filtered_jaccard_equals_baseline(docs_df, spark):
         )
     )
     assert pf == base and base, "real corpus must contain near-dups"
+
+
+def test_incremental_span_excision_equals_batch(spark):
+    """Ingest workflow: shard excised against the stored window index
+    must equal batch excision of corpus+shard restricted to the shard,
+    for every duplication mode (corpus↔shard, shard-internal, novel).
+    Chained: the updated index makes a SECOND shard exact too."""
+    from garden_net_backend_spark.operators.dedup import (
+        excise_duplicate_spans,
+        excise_duplicate_spans_incremental,
+        window_index,
+    )
+
+    L = 4
+    passage = "p1 p2 p3 p4 p5 p6"
+    corpus = spark.createDataFrame(
+        [
+            (0, "c1 c2 c3 c4 " + passage),
+            (1, "d1 d2 d3 d4 d5 d6 d7"),
+        ],
+        "doc_id long, text string",
+    )
+    shard = spark.createDataFrame(
+        [
+            (10, "s1 s2 " + passage + " s3"),        # dups corpus passage
+            (11, "q1 q2 q3 q4 q1 q2 q3 q4"),         # shard-internal dup
+            (12, "novel na nb nc nd ne nf"),         # untouched
+            (13, "q1 q2 q3 q4 zz"),                  # dups shard 11's run
+        ],
+        "doc_id long, text string",
+    )
+    idx = window_index(corpus, min_tokens=L).persist()
+    cleaned, updated = excise_duplicate_spans_incremental(
+        shard, idx, min_tokens=L
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept_tokens"], r["n_cut_tokens"])
+        for r in cleaned.collect()
+    }
+    both = corpus.unionByName(shard)
+    want = {
+        r["doc_id"]: (r["clean_text"], r["n_kept_tokens"], r["n_cut_tokens"])
+        for r in excise_duplicate_spans(both, min_tokens=L).collect()
+        if r["doc_id"] >= 10
+    }
+    assert got == want
+    # the corpus passage is gone from the shard but intact in doc 0
+    assert "p1" not in got[10][0] and got[12][0].startswith("novel")
+    # updated index == index built from scratch over corpus+shard
+    fresh = {
+        r["wkey"]: (r["n_occurrences"], r["first_id"], r["first_pos"])
+        for r in window_index(both, min_tokens=L).collect()
+    }
+    upd = {
+        r["wkey"]: (r["n_occurrences"], r["first_id"], r["first_pos"])
+        for r in updated.collect()
+    }
+    assert upd == fresh
+    # chained ingest: a second shard against the updated index
+    shard2 = spark.createDataFrame(
+        [(20, "w1 w2 " + passage), (21, "q1 q2 q3 q4 done")],
+        "doc_id long, text string",
+    )
+    cleaned2, _ = excise_duplicate_spans_incremental(
+        shard2, updated, min_tokens=L
+    )
+    got2 = {
+        r["doc_id"]: (r["clean_text"], r["n_kept_tokens"], r["n_cut_tokens"])
+        for r in cleaned2.collect()
+    }
+    all3 = both.unionByName(shard2)
+    want2 = {
+        r["doc_id"]: (r["clean_text"], r["n_kept_tokens"], r["n_cut_tokens"])
+        for r in excise_duplicate_spans(all3, min_tokens=L).collect()
+        if r["doc_id"] >= 20
+    }
+    assert got2 == want2
