@@ -846,7 +846,12 @@ def excise_duplicate_spans_incremental(
 
     The updated index counts shard occurrences into ``n_occurrences``
     and keeps the earliest ``(first_id, first_pos)`` per window, so
-    chained ingests stay exact.
+    chained ingests stay exact. The merge is a union + re-aggregate on
+    ``wkey`` — corpus-index-sized, so store the index BUCKETED by
+    ``wkey`` (S9-style): both merge inputs then arrive co-partitioned
+    and the re-aggregate runs shuffle-free, writing only changed
+    buckets; without bucketing each ingest pays one full index
+    shuffle.
     """
     wins = _window_fingerprints(shard, text_col, id_col, min_tokens, seed)
     joined = wins.join(
