@@ -125,3 +125,40 @@ def test_interval_overlap_join_aqe_skew_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_span_dedup_hot_window(spark):
+    """Pathological substring-dedup input: EVERY document carries the
+    same passage, so one window fingerprint has document frequency =
+    corpus size. The kernel must stay correct (no candidate-pair
+    blowup exists by construction — the duplicate test is a count, the
+    join-back an equi-join AQE can skew-split) and the excision must
+    keep exactly the first occurrence."""
+    from garden_net_backend_spark.functions.plancheck import (
+        assert_scalable_plan,
+    )
+    from garden_net_backend_spark.operators.dedup import (
+        duplicated_spans,
+        excise_duplicate_spans,
+    )
+
+    passage = " ".join(f"hot{i}" for i in range(8))
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("u"), F.col("id").cast("string")),
+            F.lit(passage),
+            F.concat(F.lit("v"), F.col("id").cast("string")),
+        ).alias("text"),
+    )
+    spans = duplicated_spans(docs, min_tokens=8)
+    assert_scalable_plan(spans)
+    rows = spans.collect()
+    # every doc hosts exactly one span covering the passage
+    assert len(rows) == 2000
+    assert {(r["span_begin"], r["span_end"]) for r in rows} == {(1, 9)}
+    cleaned = excise_duplicate_spans(docs, min_tokens=8)
+    kept = cleaned.filter(F.col("n_cut_tokens") == 0).collect()
+    assert len(kept) == 1 and kept[0]["doc_id"] == 0
+    assert cleaned.filter(F.col("n_cut_tokens") == 8).count() == 1999
