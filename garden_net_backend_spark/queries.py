@@ -447,6 +447,11 @@ def q14_natural_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("p_size").cast("string"))
         .alias("chr")
     ).distinct()
+    # global (unpartitioned) rank is safe HERE by invariant: the input
+    # is the DISTINCT chromosome set — bounded by the chromosome
+    # namespace (~dozens of values at any corpus scale), not by data
+    # volume. Data-scaled ranks use the two-phase pattern (q45
+    # array_rank arm).
     return chrs.select(
         "chr", F.row_number().over(W.orderBy(natural_chr_key(F.col("chr")))).alias("rank")
     )
