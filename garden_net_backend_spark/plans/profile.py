@@ -20,6 +20,58 @@ from ..functions.text import gopher_rules, lang_id, quality_score, token_count
 from ..operators.dedup import normalize_text
 
 
+def windowed_profile(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    watermark: str = "1 hour",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-ingest-window corpus health → one row per event-time window:
+    ``(window_start, window_end, n_docs, n_tokens, mean_quality,
+    gopher_keep_rate, approx_distinct_content)``.
+
+    The SAME expression tree runs on a batch frame and on a stream
+    (``readStream`` input gets a watermark and emits append-mode rows
+    once windows close) — the engine-wide batch/stream equivalence
+    discipline, so the live ingest monitor and the backfill report can
+    never disagree. All aggregates are combinable (counts, decimal-
+    bridge-free rounded means, HLL sketch), so state per open window is
+    O(1).
+    """
+    g = gopher_rules(F.col(text_col))
+    enriched = docs.select(
+        F.col(ts_col),
+        token_count(F.col(text_col)).alias("_ntok"),
+        quality_score(F.col(text_col)).alias("_q"),
+        g["keep"].cast("int").alias("_keep"),
+        F.md5(normalize_text(F.col(text_col))).alias("_ck"),
+    )
+    if enriched.isStreaming:
+        enriched = enriched.withWatermark(ts_col, watermark)
+    return (
+        enriched.groupBy(F.window(F.col(ts_col), window).alias("_w"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_ntok").alias("n_tokens"),
+            F.round(F.avg("_q"), 6).alias("mean_quality"),
+            F.round(F.avg("_keep"), 6).alias("gopher_keep_rate"),
+            F.approx_count_distinct("_ck", 0.01).alias(
+                "approx_distinct_content"
+            ),
+        )
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            "n_docs",
+            "n_tokens",
+            "mean_quality",
+            "gopher_keep_rate",
+            "approx_distinct_content",
+        )
+    )
+
+
 def corpus_profile(
     docs: DataFrame,
     text_col: str = "text",

@@ -40,3 +40,61 @@ def test_corpus_profile_dup_rate(spark):
     o = corpus_profile(docs, source_col=None)["overall"].collect()[0]
     # 40 docs, 21 distinct contents → dup rate ≈ 19/40 (approx_count_distinct ±1%)
     assert abs(o["approx_dup_rate"] - 19 / 40) < 0.02
+
+
+def test_windowed_profile_stream_matches_batch(spark):
+    """The ingest monitor: identical rows from the batch form and the
+    availableNow stream over the same files."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from garden_net_backend_spark.plans.profile import windowed_profile
+
+    d = tempfile.mkdtemp(prefix="profile_stream_")
+    try:
+        batches = [
+            [
+                {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog near the riverbank today", "ts": "2024-01-01T10:00:00.000"},
+                {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog near the riverbank today", "ts": "2024-01-01T10:01:00.000"},
+            ],
+            [
+                {"doc_id": 2, "text": "completely different sentence about distributed query engines and shuffles", "ts": "2024-01-01T10:06:00.000"},
+                {"doc_id": 3, "text": "#### #### ####", "ts": "2024-01-01T10:07:00.000"},
+            ],
+        ]
+        for i, rows in enumerate(batches):
+            with open(f"{d}/part{i}.json", "w") as fh:
+                for rec in rows:
+                    fh.write(_json.dumps(rec) + "\n")
+        schema = "doc_id long, text string, ts timestamp"
+        batch_rows = {
+            r["window_start"]: r.asDict()
+            for r in windowed_profile(
+                spark.read.schema(schema).json(d)
+            ).collect()
+        }
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(d)
+        )
+        q = (
+            windowed_profile(stream)
+            .writeStream.format("memory")
+            .queryName("profile_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        stream_rows = {
+            r["window_start"]: r.asDict()
+            for r in spark.sql("SELECT * FROM profile_sink").collect()
+        }
+        assert stream_rows == batch_rows
+        # sanity on content: first window holds the two exact dups
+        w1 = batch_rows[min(batch_rows)]
+        assert w1["n_docs"] == 2 and w1["approx_distinct_content"] == 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
