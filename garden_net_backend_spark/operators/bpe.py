@@ -151,8 +151,11 @@ def bpe_encode(
     markers → the whitespace-normalized original (tested).
     """
     ranks = {p: i for i, p in enumerate(merges)}
+    # carry the caller's id type through (string/int corpora ids must
+    # not be silently cast to long — ADVICE r3)
+    id_type = docs.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, bpe_tokens array<string>, n_bpe_tokens long"
+        f"{id_col} {id_type}, bpe_tokens array<string>, n_bpe_tokens long"
     )
 
     def encode(batches):

@@ -265,6 +265,10 @@ def connected_components(
             owned = None
         nparts = max(1, nparts // 8)
         e = e.repartition(nparts)
+    if owned is not None:
+        # max_iter=0 skips the loop entirely — release the cache before
+        # handing the (unconsumed) chain to the distributed solver
+        owned.unpersist()
     return _cc_pointer_jumping(nodes, e, node_col, src, dst, max_iter)
 
 

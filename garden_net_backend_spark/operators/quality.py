@@ -12,11 +12,19 @@ reference corpus, broadcast/join them onto the target corpus, reduce
 per-document mean negative log-likelihood — is identical, and unigram
 counts are the distribution-friendly choice (one combinable groupBy;
 a 5-gram table is the same plan over ``with_shingles`` output). The
-scorer is deterministic and engine-portable: counts are integers, the
-smoothing constant 0.5 makes every log2 argument an exactly
-representable IEEE double, addends go through the exact-decimal
-bridge (``functions/exact.dsum``), and the mean is rounded — so an
-external SQL engine reproduces the score bit-for-bit (q45 gate arm).
+scorer is deterministic and engine-portable in practice: counts are
+integers, the smoothing constant 0.5 makes every log2 ARGUMENT an
+exactly representable IEEE double, addends go through the
+exact-decimal bridge (``functions/exact.dsum``), and the mean is
+rounded to 6 digits — so an external SQL engine reproduces the score
+(q45 gate arm). Honest caveat (ADVICE r3): log2 itself is not
+bit-specified across engines (JVM Math.log vs libm), so a 1-ulp
+addend difference landing exactly on the decimal bridge's rounding
+boundary could in principle flip the last digit; both engines would
+have to produce a log2 within 1 ulp of an exact 8-decimal midpoint
+for that to happen — astronomically unlikely and never observed, but
+"deterministic given each engine's ≤1-ulp log2", not a bit-level
+guarantee.
 """
 
 from __future__ import annotations

@@ -936,13 +936,23 @@ def q26_graph_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 _NORM_SQL = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+# Longest tokenized document in the corpus (≥1 so generate_series stays
+# non-empty) — every positional index table derives its bound from THIS
+# instead of a fixed constant, so a future corpus with 10k+-token
+# documents can't silently truncate the oracle side (ADVICE r3).
+_MAXTOK_SQL = (
+    "(SELECT COALESCE(CAST(MAX(len(list_filter("
+    "regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))) AS INT), 1)"
+    " FROM documents)"
+)
 # Word-trigram shingles. DuckDB can't lateral-join generate_series on a
-# column; the oracle shingles against a fixed index table instead
-# (documents are ≤ ~1k tokens at the oracle's sf).
+# column; the oracle shingles against an index table sized by the
+# longest normalized document instead.
 _SHINGLES_SQL = f"""
   norm AS (SELECT doc_id, trim({_NORM_SQL}) AS t FROM documents),
   toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
-  idx AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 10000) AS g(i)),
+  idx AS (SELECT CAST(unnest(generate_series(
+           1, (SELECT COALESCE(CAST(MAX(len(w)) AS INT), 1) FROM toks))) AS INT) AS i),
   sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
          FROM toks JOIN idx ON i <= len(w) - 2)
 """
@@ -1006,7 +1016,7 @@ _SIMHASH_ORACLE_SQL = f"""
       FROM documents),
     wins AS (
       SELECT doc_id, i - 1 AS pos, array_to_string(toks[i : i + 7], ' ') AS w
-      FROM tdocs, (SELECT CAST(unnest(generate_series(1, 9999)) AS INT) AS i)
+      FROM tdocs, (SELECT CAST(unnest(generate_series(1, {_MAXTOK_SQL})) AS INT) AS i)
       WHERE i + 7 <= len(toks)),
     marked AS (
       SELECT doc_id, pos,
@@ -1034,7 +1044,7 @@ _SIMHASH_ORACLE_SQL = f"""
       WHERE rn > 1),
     tokpos AS (
       SELECT doc_id, i - 1 AS p, toks[i] AS tok
-      FROM tdocs, (SELECT CAST(unnest(generate_series(1, 9999)) AS INT) AS i)
+      FROM tdocs, (SELECT CAST(unnest(generate_series(1, {_MAXTOK_SQL})) AS INT) AS i)
       WHERE i <= len(toks)),
     kept AS (
       SELECT t.doc_id, t.p, t.tok
@@ -1084,9 +1094,16 @@ def q29_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     # one fingerprint scan feeds both span arms (the precompute seam);
-    # persist() so the shared frame materializes once — dup positions
-    # are dup-volume-sized, never corpus-sized
-    dpos = duplicated_window_positions(docs, min_tokens=8).persist()
+    # eager localCheckpoint so the shared frame materializes once — dup
+    # positions are dup-volume-sized, never corpus-sized. Checkpoint,
+    # not persist(): the query function can't unpersist after its
+    # (lazy) result is consumed, and a persist here would pin executor
+    # memory for the rest of the session (ADVICE r3); checkpoint blocks
+    # are dropped by the ContextCleaner as soon as the caller releases
+    # the frame.
+    dpos = duplicated_window_positions(docs, min_tokens=8).localCheckpoint(
+        eager=True
+    )
     ex = exact_dedup(docs).select(
         F.lit("exact").alias("gate"),
         F.col("doc_id").cast("string").alias("k"),
@@ -1727,7 +1744,7 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_filter(regexp_split_to_array(trim(text), '\\s+'),
                              x -> x <> '') AS toks
           FROM documents),
-         (SELECT CAST(unnest(generate_series(0, 9999)) AS INT) AS i)
+         (SELECT CAST(unnest(generate_series(0, {_MAXTOK_SQL})) AS INT) AS i)
     WHERE len(toks) > 0 AND i <= floor((len(toks) - 1) / 48)
     UNION ALL
     SELECT 'split',
@@ -1764,7 +1781,7 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
                      list_filter(regexp_split_to_array(trim(text), '\\s+'),
                                  x -> x <> '') AS toks
               FROM documents),
-             (SELECT CAST(unnest(generate_series(1, 9999)) AS INT) AS i)
+             (SELECT CAST(unnest(generate_series(1, {_MAXTOK_SQL})) AS INT) AS i)
         WHERE i + 1 <= len(toks))
       GROUP BY doc_id, nchars, g)
     WHERE rn = 1
@@ -1853,7 +1870,7 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
                      len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                                      x -> x <> '')) AS n
               FROM documents)),
-        (SELECT CAST(j AS BIGINT) AS j FROM generate_series(0, 2000) g(j))
+        (SELECT CAST(unnest(generate_series(0, {_MAXTOK_SQL})) AS BIGINT) AS j)
       WHERE n > 0 AND j <= ((off + n - 1) // 64) - (off // 64)),
       (SELECT 0 AS arm UNION ALL SELECT 1)
     """,
@@ -1917,6 +1934,19 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash-checks the model-based quality signal bit-for-bit).",
 )
 def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arms = q45_arms(spark, sf_dir)
+    out = None
+    for df in arms.values():
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def q45_arms(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The q45 mega-suite's gate arms as individually-runnable frames
+    (insertion order == the union order of the registered query).
+    Split out so the bench can attribute wall time per arm (judge r3
+    task 4) — 15+ gates in one query made regressions unattributable.
+    Each frame shares the (gate, k, val) long-form schema."""
     p = _t(spark, sf_dir, "part")
     toks = (
         p.select(F.explode(F.split(F.col("p_name"), " ")).alias("token"))
@@ -2126,22 +2156,23 @@ def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tok_begin").cast("double").alias("val"),
         )
     )
-    return (
-        arr.unionByName(cd_long)
-        .unionByName(js_long)
-        .unionByName(map_rows)
-        .unionByName(chunk_rows)
-        .unionByName(split_rows)
-        .unionByName(redact_rows)
-        .unionByName(rep_rows)
-        .unionByName(quant_rows)
-        .unionByName(rep_cluster_rows)
-        .unionByName(rep_split_rows)
-        .unionByName(contam_rows)
-        .unionByName(mix_rows)
-        .unionByName(nll_rows)
-        .unionByName(pack_rows)
-    )
+    return {
+        "array_rank": arr,
+        "count_distinct": cd_long,
+        "json_extract": js_long,
+        "map_lookup": map_rows,
+        "chunk": chunk_rows,
+        "split": split_rows,
+        "redact": redact_rows,
+        "rep_top2gram": rep_rows,
+        "quant8": quant_rows,
+        "dedup_rep": rep_cluster_rows,
+        "rep_split": rep_split_rows,
+        "contam": contam_rows,
+        "mix": mix_rows,
+        "unigram_nll": nll_rows,
+        "pack": pack_rows,
+    }
 
 
 @register(
@@ -2187,6 +2218,17 @@ def q49_union_merge_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recall stays pinned in tests/test_similarity.py.",
 )
 def q54_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q54_impl(spark, sf_dir)
+
+
+def q54_impl(spark: SparkSession, sf_dir: str, index=None) -> DataFrame:
+    """q54 body with an optional prebuilt ``(centroids, assignments)``
+    index (``ivf_build_index(..., refine_iters=1)`` on the same corpus
+    — the at-scale serving shape: build once at ingest, probe per
+    query batch). The bench measures the prebuilt-index probe as q54
+    and reports the build separately (judge r3 task 1), so the Lloyd
+    refinement pass stops being billed to query latency; the
+    correctness gate keeps the inline-build path."""
     from .operators.similarity import ivf_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2196,7 +2238,15 @@ def q54_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_property_gate(
         emb,
         queries,
-        ivf_cosine_topk(emb, queries, k=5, nprobe=4, n_centroids=32, refine_iters=1),
+        ivf_cosine_topk(
+            emb,
+            queries,
+            k=5,
+            nprobe=4,
+            n_centroids=32,
+            refine_iters=1,
+            index=index,
+        ),
         k=5,
     )
 
