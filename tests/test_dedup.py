@@ -296,6 +296,50 @@ def test_excise_matches_bruteforce_and_keeps_first(span_docs):
     assert got[4][0] == "p q r s"
 
 
+def test_excise_oversize_doc_guard(spark):
+    """max_tokens_per_doc (judge r3 task 7): a document above the cap
+    must bypass the per-doc rebuild and pass through flagged, with no
+    tokens cut, while normal docs still excise exactly — and the
+    default output carries oversize=false everywhere."""
+    from garden_net_backend_spark.operators.dedup import (
+        excise_duplicate_spans,
+    )
+
+    monster = " ".join(f"w{i}" for i in range(200)) + " a b c d e f g h"
+    docs = spark.createDataFrame(
+        SPAN_DOCS + [(8, monster)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in excise_duplicate_spans(
+            docs, min_tokens=SPAN_L, max_tokens_per_doc=100
+        ).collect()
+    }
+    # the monster passed through: flagged, nothing cut, text normalized
+    assert rows[8]["oversize"] is True
+    assert rows[8]["n_cut_tokens"] == 0
+    assert rows[8]["n_kept_tokens"] == 208
+    assert rows[8]["clean_text"] == monster
+    # normal docs below the cap still excise: the exact dup is emptied
+    # and flagged false
+    assert rows[2]["clean_text"] == "" and rows[2]["oversize"] is False
+    assert rows[0]["clean_text"] == "a b c d e f g h"
+    # NOTE the semantic trade the guard makes: doc 8 embeds doc 0's
+    # passage and its windows DO participate in fingerprinting (doc 2
+    # is still cut, first occurrence still doc 0) — only the cut
+    # APPLICATION to doc 8 is skipped, so the monster's own copy
+    # survives, which is exactly what the flag reports.
+    assert set(rows) == {d for d, _ in SPAN_DOCS} | {8}
+    # guard disabled → no pass-through, flag false everywhere
+    rows_off = {
+        r["doc_id"]: r
+        for r in excise_duplicate_spans(
+            docs, min_tokens=SPAN_L, max_tokens_per_doc=None
+        ).collect()
+    }
+    assert all(not r["oversize"] for r in rows_off.values())
+
+
 def test_spans_deterministic_under_repartition(span_docs):
     from garden_net_backend_spark.operators.dedup import duplicated_spans
 
