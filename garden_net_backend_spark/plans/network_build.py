@@ -207,25 +207,38 @@ def annotate_bait_names(nodes: DataFrame, bait_names: DataFrame) -> DataFrame:
     )
 
 
-def annotate_alias_overlap(nodes: DataFrame, alias_db: DataFrame) -> DataFrame:
+def annotate_alias_overlap(
+    nodes: DataFrame, alias_db: DataFrame, organism: str = "homo_sapiens"
+) -> DataFrame:
     """J4+A2: interval-overlap join of other-end nodes against the gene
     span table; collapse multi-overlaps into space-joined strings sorted
-    by gene name (reference network_generator_lib.R:645-665 — R keeps
-    overlap order; we pin an explicit sort, SURVEY §4 item 5). Adds
-    ensembl_id / alias / gene_type columns ("" when no overlap,
-    reference NA-cleanup :728-733)."""
+    by gene name (reference network_generator_lib.R:645-665 homo /
+    :752-770 mus — R keeps overlap order; we pin an explicit sort,
+    SURVEY §4 item 5). Adds ensembl_id / gene_type (+ alias / hgnc_id
+    for homo, mgi_id for mus, whichever exist in ``alias_db``) — ""
+    when no overlap (reference NA-cleanup :728-733).
+
+    Organism divergences mirrored from the reference (SURVEY §2.4 A2):
+    homo collapses (ensembl, name, alias, hgnc, gene_type) and keeps
+    other-end gene names as-is, then ASCII-scrubs aliases
+    (network_generator.R:112-115 — homo branch ONLY); mus collapses
+    (ensembl, name, gene_type, mgi) — no alias column — and UPPERCASES
+    other-end gene_names (str_to_upper at :777)."""
     from ..functions.strings import na_to_empty
     from ..operators.interval import interval_overlap_join
 
+    mus = organism.lower().startswith("mus")
+    wanted = ["ensembl_id", "gene_type"] + (
+        ["mgi_id"] if mus else ["alias", "hgnc_id"]
+    )
+    extra_cols = [c for c in wanted if c in alias_db.columns]
     oes = nodes.filter(F.col("type") == "O").select("fragment", "chr", "start", "end")
     al = alias_db.select(
         F.col("chr"),
         F.col("start").alias("_as"),
         F.col("end").alias("_ae"),
         "gene_name",
-        "ensembl_id",
-        "alias",
-        "gene_type",
+        *extra_cols,
     )
     hits = interval_overlap_join(
         oes,
@@ -235,6 +248,7 @@ def annotate_alias_overlap(nodes: DataFrame, alias_db: DataFrame) -> DataFrame:
         right_range=("_as", "_ae"),
         broadcast_right=True,
     )
+    collapse_cols = ["gene_name"] + extra_cols
     collapsed = hits.groupBy("fragment").agg(
         *[
             F.array_join(
@@ -248,63 +262,109 @@ def annotate_alias_overlap(nodes: DataFrame, alias_db: DataFrame) -> DataFrame:
                 ),
                 " ",
             ).alias(c)
-            for c in ["gene_name", "ensembl_id", "alias", "gene_type"]
+            for c in collapse_cols
         ]
     )
     out = nodes.join(F.broadcast(collapsed), "fragment", "left")
-    for c in ["gene_name", "ensembl_id", "alias", "gene_type"]:
+    for c in collapse_cols:
         out = out.withColumn(c, na_to_empty(F.col(c)))
-    # non-ASCII alias tokens (PKCβ etc.) break the reference's JSON
-    # writer; scrubbed for output parity (reference
-    # network_generator_lib.R:886-899, applied network_generator.R:112-115)
-    from ..functions.strings import ascii_scrub
+    if not mus and "alias" in extra_cols:
+        # non-ASCII alias tokens (PKCβ etc.) break the reference's JSON
+        # writer; scrubbed for output parity — the reference applies
+        # this to the HOMO branch only (network_generator_lib.R:886-899,
+        # applied network_generator.R:112-115)
+        from ..functions.strings import ascii_scrub
 
-    out = out.withColumn("alias", ascii_scrub(F.col("alias")))
-    # other-end gene_names come from the overlapping genes
+        out = out.withColumn("alias", ascii_scrub(F.col("alias")))
+    # other-end gene_names come from the overlapping genes; the mus
+    # branch uppercases them (str_to_upper, network_generator_lib.R:777)
+    oe_names = F.upper(F.col("gene_name")) if mus else F.col("gene_name")
     return out.withColumn(
         "gene_names",
         F.when(
-            (F.col("type") == "O") & (F.col("gene_name") != ""), F.col("gene_name")
+            (F.col("type") == "O") & (F.col("gene_name") != ""), oe_names
         ).otherwise(F.col("gene_names")),
     ).drop("gene_name")
 
 
-def annotate_promoter_names(nodes: DataFrame, alias_db: DataFrame) -> DataFrame:
+def annotate_promoter_names(
+    nodes: DataFrame, alias_db: DataFrame, organism: str = "homo_sapiens"
+) -> DataFrame:
     """J11: enrich PROMOTER gene names via the alias DB by name (not by
     range): unnest the space-separated gene_names, left-join the alias
     table on upper-cased gene name, re-collapse per fragment keeping
     the original token order (reference network_generator_lib.R:694-717
     homo / :801-829 mus). Adds promoter ensembl_id/alias columns
-    (suffixed _p to coexist with the range-join annotation)."""
+    (suffixed _p to coexist with the range-join annotation).
+
+    Organism divergences (SURVEY §2.4 A2): homo collapses
+    (ensembl, alias) — here ensembl_id_p/alias_p; mus collapses
+    (ensembl, mgi) — mgi_id_p with the ``MGI:`` prefix stripped
+    (str_remove_all at :830) — and REWRITES promoter gene_names to
+    sentence case (str_to_sentence at :822: 'HOXA6' → 'Hoxa6')."""
     from ..functions.strings import na_to_empty
 
+    mus = organism.lower().startswith("mus")
     toks = nodes.filter(F.col("type") == "P").select(
         "fragment",
         F.posexplode(F.split(F.col("gene_names"), " ")).alias("_pos", "_tok"),
     ).filter(F.col("_tok") != "")
+    if mus:
+        second = ("mgi_id", "_id2", "mgi_id_p")
+    else:
+        second = ("alias", "_id2", "alias_p")
+    if second[0] not in alias_db.columns:
+        id2 = F.lit(None).cast("string")
+    elif mus:
+        id2 = F.regexp_replace(F.col(second[0]), "MGI:", "")
+    else:
+        id2 = F.col(second[0])
     al = alias_db.select(
         F.upper(F.col("gene_name")).alias("_uname"),
         F.col("ensembl_id").alias("_ens"),
-        F.col("alias").alias("_al"),
+        id2.alias("_id2"),
     ).dropDuplicates(["_uname"])
     joined = toks.join(F.broadcast(al), F.upper(F.col("_tok")) == F.col("_uname"), "left")
-    collapsed = joined.groupBy("fragment").agg(
-        *[
+    agg_exprs = [
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_pos"), F.col(c).alias("v")))
+                ),
+                lambda s: F.coalesce(s["v"], F.lit("NA")),
+            ),
+            " ",
+        ).alias(out)
+        for c, out in [("_ens", "ensembl_id_p"), ("_id2", second[2])]
+    ]
+    if mus:
+        # mus rebuilds promoter gene_names sentence-cased per token
+        # (str_to_sentence(all_bait_names), network_generator_lib.R:822)
+        agg_exprs.append(
             F.array_join(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct(F.col("_pos"), F.col(c).alias("v")))
+                        F.collect_list(
+                            F.struct(F.col("_pos"), F.col("_tok").alias("v"))
+                        )
                     ),
-                    lambda s: F.coalesce(s["v"], F.lit("NA")),
+                    lambda s: F.initcap(F.lower(s["v"])),
                 ),
                 " ",
-            ).alias(out)
-            for c, out in [("_ens", "ensembl_id_p"), ("_al", "alias_p")]
-        ]
-    )
+            ).alias("_gn_sentence")
+        )
+    collapsed = joined.groupBy("fragment").agg(*agg_exprs)
     out = nodes.join(F.broadcast(collapsed), "fragment", "left")
-    for c in ["ensembl_id_p", "alias_p"]:
+    for c in ["ensembl_id_p", second[2]]:
         out = out.withColumn(c, na_to_empty(F.col(c)))
+    if mus:
+        out = out.withColumn(
+            "gene_names",
+            F.when(
+                (F.col("type") == "P") & F.col("_gn_sentence").isNotNull(),
+                F.col("_gn_sentence"),
+            ).otherwise(F.col("gene_names")),
+        ).drop("_gn_sentence")
     return out
 
 
@@ -359,14 +419,18 @@ def annotate_nodes(
     bait_names: DataFrame | None = None,
     intronic: DataFrame | None = None,
     features_long: DataFrame | None = None,
+    organism: str = "homo_sapiens",
 ) -> DataFrame:
     """Composition of the annotation joins in reference order
-    (network_generator.R:98-134)."""
+    (network_generator.R:98-134). ``organism`` selects the homo/mus
+    alias-annotation divergences (SURVEY §2.4 A2; the reference
+    dispatches generate_alias_homo vs generate_alias_mus on the input
+    filename prefix, network_generator.R:106-115)."""
     out = nodes
     if bait_names is not None:
         out = annotate_bait_names(out, bait_names)
     if alias_db is not None:
-        out = annotate_alias_overlap(out, alias_db)
+        out = annotate_alias_overlap(out, alias_db, organism=organism)
     if intronic is not None:
         out = annotate_intronic(out, intronic)
     if features_long is not None:

@@ -1,0 +1,178 @@
+"""Organism-parameterized end-to-end golden (judge r3 task 8): the full
+SURVEY §3.1 pipeline — load → build → annotate (alias/bait/intronic) →
+metadata/suggestions → grid positions → cytoscape JSON → positions
+checker — on BOTH a human-shaped and a mouse-shaped synthetic fixture.
+
+The two organisms differ in the alias DB id column (HGNC ID vs MGI ID,
+reference network_generator.R:106-115 dispatch) and in the A2 collapse
+behavior (SURVEY §2.4): homo collapses (ensembl, name, alias, hgnc,
+gene_type) and ASCII-scrubs aliases; mus collapses (ensembl, name,
+gene_type, mgi), UPPERCASES other-end gene names
+(network_generator_lib.R:777) and sentence-cases promoter names in the
+name-join (str_to_sentence, :822) with the MGI: prefix stripped (:830).
+"""
+
+import json
+import os
+import tempfile
+
+import pytest
+
+from garden_net_backend_spark.plans.network_build import (
+    annotate_nodes,
+    annotate_promoter_names,
+    assign_grid_positions,
+    build_network,
+    chromosome_list,
+    cytoscape_elements,
+    network_metadata,
+    suggestions,
+)
+from garden_net_backend_spark.sources.readers import (
+    load_pchic,
+    read_alias_db,
+    read_bait_names,
+    read_intronic_regions,
+)
+
+HEADER = (
+    "baitChr\tbaitStart\tbaitEnd\tbaitID\tbaitName\toeChr\toeStart\toeEnd"
+    "\toeID\toeName\tdist\tscore"
+)
+# same interaction topology for both organisms; only naming conventions
+# differ (reference human baits look like 'HOXA6', mouse like 'Hoxa6')
+ROWS = {
+    "homo_sapiens": [
+        "1\t100\t200\t1\tHOXA6\t1\t300\t400\t2\t.\t200\t7.5",
+        "1\t100\t200\t1\tHOXA6\t1\t500\t600\t3\t.\t400\t6.1",
+        "1\t500\t600\t3\tSOX2;NANOG\t1\t700\t800\t4\t.\t300\t6.5",
+        "2\t1000\t1100\t6\tMYC\tX\t2000\t2100\t7\t.\t\t5.5",
+    ],
+    "mus_musculus": [
+        "1\t100\t200\t1\tHoxa6\t1\t300\t400\t2\t.\t200\t7.5",
+        "1\t100\t200\t1\tHoxa6\t1\t500\t600\t3\t.\t400\t6.1",
+        "1\t500\t600\t3\tSox2;Nanog\t1\t700\t800\t4\t.\t300\t6.5",
+        "2\t1000\t1100\t6\tMyc\tX\t2000\t2100\t7\t.\t\t5.5",
+    ],
+}
+ALIAS = {
+    "homo_sapiens": [
+        "chr\tstart\tend\tGene type\tEnsembl gene ID\tGene name\tAlias\tHGNC ID",
+        # overlaps oe 1_300_400; non-ASCII alias exercises the homo scrub
+        "1\t250\t450\tprotein_coding\tENSG0001\tGENEA\tALIAS_A PKCβ\tHGNC:1",
+        "1\t350\t380\tlincRNA\tENSG0002\tGENEB\tNA\tHGNC:2",
+        # matches bait HOXA6 by name for the promoter join
+        "1\t90\t110\tprotein_coding\tENSG0003\tHOXA6\thox-alias\tHGNC:3",
+    ],
+    "mus_musculus": [
+        "chr\tstart\tend\tGene type\tEnsembl gene ID\tGene name\tAlias\tMGI ID",
+        "1\t250\t450\tprotein_coding\tENSMUSG0001\tGenea\talias_a\tMGI:101",
+        "1\t350\t380\tlincRNA\tENSMUSG0002\tGeneb\tNA\tMGI:102",
+        "1\t90\t110\tprotein_coding\tENSMUSG0003\tHoxa6\thox-alias\tMGI:103",
+    ],
+}
+
+
+def _write(d, name, lines):
+    p = os.path.join(d, name)
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return p
+
+
+@pytest.fixture(scope="module", params=["homo_sapiens", "mus_musculus"])
+def built(request, spark):
+    org = request.param
+    d = tempfile.mkdtemp(prefix=f"org_{org}_")
+    pchic = _write(d, f"{org}.tsv", [HEADER] + ROWS[org])
+    alias = read_alias_db(spark, _write(d, "alias.tsv", ALIAS[org]), org)
+    baits = read_bait_names(
+        spark,
+        _write(
+            d,
+            "baits.tsv",
+            [
+                "Chr\tStart\tEnd\tgene_id\tensembl_id\tregion",
+                "1\t100\t200\tHOXA6,HOXA-ALT\tENSG0003\tpromoter",
+            ],
+        ),
+    )
+    intronic = read_intronic_regions(
+        spark, _write(d, "intronic.tsv", ["chr\tstart\tend", "1\t350\t360"])
+    )
+    nodes, edges = build_network(load_pchic(spark, pchic), wt_threshold=5.0)
+    annotated = annotate_nodes(
+        nodes,
+        alias_db=alias,
+        bait_names=baits,
+        intronic=intronic,
+        organism=org,
+    )
+    annotated = annotate_promoter_names(annotated, alias, organism=org)
+    return org, annotated, edges
+
+
+def test_alias_id_column_per_organism(built):
+    org, nodes, _ = built
+    cols = set(nodes.columns)
+    if org == "homo_sapiens":
+        assert {"alias", "hgnc_id", "alias_p"} <= cols
+        assert "mgi_id" not in cols and "mgi_id_p" not in cols
+    else:
+        assert {"mgi_id", "mgi_id_p"} <= cols
+        assert "alias" not in cols and "alias_p" not in cols
+
+
+def test_a2_collapse_order_quirks(built):
+    org, nodes, _ = built
+    rows = {r["fragment"]: r for r in nodes.collect()}
+    oe = rows["1_300_400"]  # overlaps both alias genes
+    if org == "homo_sapiens":
+        # homo: other-end names keep the DB's case; collapse sorted by
+        # gene name; NA alias literal inside the blob; β scrubbed
+        assert oe["gene_names"] == "GENEA GENEB"
+        assert oe["ensembl_id"] == "ENSG0001 ENSG0002"
+        assert oe["hgnc_id"] == "HGNC:1 HGNC:2"
+        assert "PKC" not in oe["alias"] and "ALIAS_A" in oe["alias"]
+        # homo promoter names are NOT rewritten
+        assert rows["1_100_200"]["gene_names"] == "HOXA6 HOXA-ALT"
+    else:
+        # mus: other-end gene_names UPPERCASED (str_to_upper :777)
+        assert oe["gene_names"] == "GENEA GENEB"
+        assert oe["ensembl_id"] == "ENSMUSG0001 ENSMUSG0002"
+        # mgi collapse keeps the raw ids in the overlap arm
+        assert oe["mgi_id"] == "MGI:101 MGI:102"
+        # mus promoter names sentence-cased by the name-join (:822),
+        # and the bait overwrite ran first (HOXA6,HOXA-ALT)
+        assert rows["1_100_200"]["gene_names"] == "Hoxa6 Hoxa-alt"
+        # MGI: prefix stripped in the promoter-join id (:830);
+        # HOXA6 matches (case-insensitive name join), HOXA-ALT doesn't
+        assert rows["1_100_200"]["mgi_id_p"] == "103 NA"
+
+
+def test_metadata_and_artifacts(built):
+    org, nodes, edges = built
+    meta = network_metadata(nodes, edges)
+    assert meta["nodes"] == nodes.count() and meta["nodes"] > 0
+    assert chromosome_list(nodes) == ["1", "2", "X"]
+    sugg = [r["suggestion"] for r in suggestions(nodes).collect()]
+    # suggestions reflect the organism's casing of promoter names
+    assert ("HOXA6" in sugg) == (org == "homo_sapiens")
+    assert ("Hoxa6" in sugg) == (org == "mus_musculus")
+
+
+def test_positions_checker_contract(built):
+    """The reference's chromosomes_positions_checker.sh contract on the
+    final per-organism JSON: every node positioned, node[0] not at
+    (0,0), no scientific notation anywhere."""
+    _, nodes, edges = built
+    elems = [
+        json.loads(r["element"])
+        for r in cytoscape_elements(assign_grid_positions(nodes), edges).collect()
+    ]
+    node_els = [e for e in elems if e["group"] == "nodes"]
+    assert node_els and all("position" in e for e in node_els)
+    p0 = node_els[0]["position"]
+    assert not (p0["x"] == 0 and p0["y"] == 0)
+    blob = json.dumps(elems)
+    assert "e+" not in blob and "E+" not in blob and "e-" not in blob
