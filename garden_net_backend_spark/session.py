@@ -34,6 +34,16 @@ def get_session(app_name: str = "garden_net_spark", shuffle_partitions: int | No
 
     ``SPARK_GRAFT_CPUS`` controls local parallelism (default: all cores).
     """
+    # make google.protobuf importable (vendored shim) BEFORE the JVM
+    # starts: python workers inherit PYTHONPATH from the JVM's env
+    # snapshot, and the transformWithStateInPandas state client imports
+    # the generated proto module inside the worker
+    from ._vendor import ensure_protobuf_shim
+
+    try:
+        ensure_protobuf_shim()
+    except Exception:
+        pass  # shim is best-effort; TWS tests skip if absent
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")

@@ -177,10 +177,12 @@ def capped_sessionize_tws(
     variables/TTL are available, and timers are first-class (register/
     delete per key). Requires the RocksDB state store provider
     (``spark.sql.streaming.stateStore.providerClass`` =
-    ``...state.RocksDBStateStoreProvider``) and the python ``protobuf``
-    package (the TWS state server speaks protobuf — absent from this
-    container, so the equivalence test skips; the
-    ``applyInPandasWithState`` form above is the gate-checked one)."""
+    ``...state.RocksDBStateStoreProvider``) and a ``google.protobuf``
+    runtime (the TWS state server speaks protobuf): in containers
+    without the real package the vendored minimal wire-format shim
+    (``garden_net_backend_spark/_vendor/protoshim``) satisfies the
+    import, and the batch-equivalence test runs for real (it was
+    skipped through round 3)."""
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

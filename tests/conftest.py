@@ -7,6 +7,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from garden_net_backend_spark.session import get_session
 
+# activate the vendored protobuf shim BEFORE any skipif probes or JVM
+# launch (workers inherit PYTHONPATH from the JVM env snapshot)
+from garden_net_backend_spark._vendor import ensure_protobuf_shim
+
+ensure_protobuf_shim()
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -169,8 +169,8 @@ def _has_protobuf() -> bool:
 @pytest.mark.skipif(
     not _has_protobuf(),
     reason="transformWithStateInPandas drives its state server over "
-    "protobuf; the python 'protobuf' package is not installed in this "
-    "container (and installs are disallowed)",
+    "protobuf; neither the real 'protobuf' package nor the vendored "
+    "wire-format shim (conftest activates it) is importable",
 )
 def test_capped_sessionize_tws_matches_batch(spark, events_json_dir):
     """transformWithStateInPandas variant (typed ValueState + explicit

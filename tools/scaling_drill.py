@@ -1,0 +1,87 @@
+"""SCALING.md drill (judge r3 task 3): time the most expensive catalog
+queries at the bench scale (sf0.1) and at a ~10x synthetic scale-up
+(tools/make_scale_data.py output), print per-query wall times and
+ratios. Super-linear ratios beyond shuffle-log factors flag 100x
+hazards no sf0.1 bench can see.
+
+Usage: python tools/scaling_drill.py [small_dir] [big_dir] [q ...]
+Writes SCALING_RAW.json next to the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from garden_net_backend_spark.queries import CATALOG
+from garden_net_backend_spark.session import get_session
+
+DEFAULT_QUERIES = [
+    "q23_node_metrics",
+    "q29_content_dedup",
+    "q30_ngram_jaccard_dedup",
+    "q31_minhash_lsh_dedup",
+    "q32_simhash_dedup",
+    "q38_lsh_ann_topk",
+    "q45_scalar_misc",
+    "q51_approx_distinct",
+    "q54_ivf_ann_topk",
+    "q56_embedding_dup_pairs",
+    "q57_embedding_dup_pairs_lsh",
+    "q64_search_ego_subnetwork",
+    "q65_network_metadata_bundle",
+    "q66_feature_merge_chas",
+]
+
+
+def main() -> None:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scaledata/sf1"
+    names = sys.argv[3:] or DEFAULT_QUERIES
+    spark = get_session("scaling_drill")
+    # warm JVM + python worker pool once
+    CATALOG["q01_pricing_summary"].spark_fn(spark, small).collect()
+    spark.range(0, 1 << 15, 1, spark.sparkContext.defaultParallelism).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+
+    out: dict[str, dict] = {}
+    for sf_dir, key in ((small, "small"), (big, "big")):
+        for name in names:
+            t0 = time.time()
+            df = CATALOG[name].spark_fn(spark, sf_dir)
+            df.persist()
+            try:
+                n = df.count()
+                if n <= 100_000:
+                    df.collect()
+            finally:
+                df.unpersist()
+            el = round(time.time() - t0, 2)
+            rec = out.setdefault(name, {})
+            rec[key] = el
+            rec[f"{key}_rows"] = n
+            rec[f"{key}_load"] = round(os.getloadavg()[0], 1)
+            print(f"{key:5s} {name:32s} {el:8.2f}s  {n} rows", flush=True)
+            del df
+            import gc
+
+            gc.collect()
+    for name, rec in out.items():
+        if rec.get("small"):
+            rec["ratio"] = round(rec["big"] / rec["small"], 2)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING_RAW.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps({n: r.get("ratio") for n, r in out.items()}, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()
