@@ -1956,33 +1956,30 @@ def q45_arms(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # A9 suggestions need a GLOBAL alphabetical rank; a bare
     # W.orderBy("token") would serialize the whole vocabulary through
     # one task. Two-phase distributed rank instead: row_number within
-    # first-character partitions (parallel) + per-prefix offsets. The
-    # offset table is at most |charset| rows — scale-invariant — so it
-    # is collected driver-side and folded in as a map literal (same
-    # driver-sized-metadata discipline as the chromosome list).
+    # first-character partitions (parallel) + per-prefix offsets.
+    # The offset table is at most |charset| rows — scale-invariant —
+    # computed as a cumulative window over the per-prefix counts and
+    # broadcast-joined back, so the rank is one lazy plan (the round-3
+    # version collected the counts driver-side and folded them in as a
+    # map literal: same result, but one extra blocking job before the
+    # main query could start). The unpartitioned window is over
+    # ≤|charset| rows — a single trivial task at any corpus size.
     # Prefix-partitioned order == global order because the partition
-    # key is a prefix of the sort key.
+    # key is a prefix of the sort key, and Spark's UTF8 binary
+    # ordering matches code-point order. (The remaining eager work in
+    # this builder is dedup_representatives' connected-components
+    # loop, which is iterative by nature — see operators/graph.py.)
     toks = toks.withColumn("pfx", F.substring("token", 1, 1))
-    pfx_counts = sorted(
-        (r["pfx"], r["n"])
-        for r in toks.groupBy("pfx").agg(F.count("*").alias("n")).collect()
+    pfx_counts = toks.groupBy("pfx").agg(F.count("*").alias("_n"))
+    woff = W.orderBy("pfx").rowsBetween(W.unboundedPreceding, -1)
+    offsets = pfx_counts.select(
+        "pfx", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")
     )
-    offsets, running = {}, 0
-    for pfx, n in pfx_counts:
-        offsets[pfx] = running
-        running += n
-    if offsets:
-        off_map = F.create_map(
-            *[F.lit(x) for pfx, off in offsets.items() for x in (pfx, off)]
-        )
-        off_expr = F.coalesce(F.element_at(off_map, F.col("pfx")), F.lit(0))
-    else:
-        off_expr = F.lit(0)
     within = F.row_number().over(W.partitionBy("pfx").orderBy("token"))
-    arr = toks.select(
+    arr = toks.join(F.broadcast(offsets), "pfx").select(
         F.lit("array_rank").alias("gate"),
         F.col("token").alias("k"),
-        (within + off_expr).cast("double").alias("val"),
+        (within + F.col("_off")).cast("double").alias("val"),
     )
     c = _t(spark, sf_dir, "customer")
     cd = c.groupBy(F.col("c_mktsegment").alias("k")).agg(
