@@ -91,20 +91,42 @@ def cosine_topk(
     )
 
 
+_M64 = (1 << 64) - 1
+
+
 def _plane_vector(plane_id: int, dim: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane in [−0.5, 0.5)^dim: an
-    integer LCG on (plane_id, dim-index) — no RNG state, identical on
-    any engine, reproducible from the id alone."""
-    return [
-        ((plane_id * 2654435761 + j * 40503 + dim * 69621) % 1000003) / 1000003.0
-        - 0.5
-        for j in range(dim)
-    ]
+    """Deterministic pseudo-random hyperplane in [−0.5, 0.5)^dim via a
+    splitmix64-style avalanche hash of (plane_id, component) — no RNG
+    state, identical on any engine, reproducible from the id alone.
+
+    Why an avalanche hash and not the round-2 LCG: the LCG was AFFINE
+    in plane_id — consecutive planes differed by the same modular
+    shift in every component, i.e. plane p+1 ≈ plane p translated.
+    Correlated planes correlate their sign bits, and the 100× scale
+    drill measured the consequence directly: hundreds of
+    moderate-cosine vectors agreeing on 28 "independent" planes at
+    once, piling into mega-buckets (max occupancy 7k of 200k) that no
+    cap/split could fix because the split planes were correlated with
+    the bucket planes. Full-avalanche mixing (every input bit flips
+    ~half the output bits) restores the independence the LSH S-curve
+    math assumes. Constants are the public splitmix64 finalizer."""
+    out = []
+    for j in range(dim):
+        z = (plane_id * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9 + dim) & _M64
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+        z = z ^ (z >> 31)
+        out.append(z / 2.0**64 - 0.5)
+    return out
 
 
-def lsh_bucket(vec: Column, band: int, bits: int, dim: int) -> Column:
+def lsh_bucket(
+    vec: Column, band: int, bits: int, dim: int, offset: int = 0
+) -> Column:
     """Sign-bit bucket of one band: ``bits`` hyperplanes → integer in
-    [0, 2^bits).
+    [0, 2^bits). ``offset`` shifts the per-band plane seeds (used for
+    the hot-bucket sub-key planes; ``offset + bits`` must stay ≤ 64 so
+    bands never share planes).
 
     Planes are materialized as LITERAL arrays (one constant node each)
     and folded with zip_with — computing components with per-element
@@ -112,7 +134,7 @@ def lsh_bucket(vec: Column, band: int, bits: int, dim: int) -> Column:
     and fell out of codegen (measured ~4× slower)."""
     bucket = F.lit(0).cast("long")
     for bit in range(bits):
-        plane = F.lit(_plane_vector(band * 64 + bit, dim))
+        plane = F.lit(_plane_vector(band * 64 + offset + bit, dim))
         dot = F.aggregate(
             F.zip_with(vec, plane, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
@@ -130,10 +152,30 @@ def lsh_assign_buckets(
     bits: int = 8,
     dim: int = 64,
     use_arrow: bool = True,
+    extra_bits: int = 0,
+    center_vec: list[float] | None = None,
 ) -> DataFrame:
-    """Bucket assignment → (id, band, bucket). The corpus-side index
-    build: one parallel scan, writeable as a bucketed table so query
-    lookups are shuffle-free.
+    """Bucket assignment → (id, band, bucket[, sub]). The corpus-side
+    index build: one parallel scan, writeable as a bucketed table so
+    query lookups are shuffle-free.
+
+    ``center_vec``: subtract this (corpus-mean) vector before hashing.
+    Sign-LSH degenerates on anisotropic corpora — when one direction
+    dominates every vector, sign(plane·v) ≈ sign(plane·μ) for ALL
+    vectors, so the whole corpus piles into one bucket per band while
+    pairwise cosines stay moderate (measured on the 100× drill corpus:
+    max bucket 7k of 200k vectors, unsplittable because members agree
+    on every further hyperplane too). Centering removes the shared
+    component; truly near-identical vectors stay near-identical, so
+    near-dup blocking survives while crowds disperse. Blocking-only:
+    exact re-checks downstream always use the ORIGINAL vectors.
+
+    ``extra_bits > 0`` additionally emits a ``sub`` column — a reserve
+    of per-band sign bits from FURTHER hyperplanes (seeds offset past
+    the bucket planes; requires ``bits + extra_bits ≤ 64``). Consumers
+    use a prefix of ``sub`` to adaptively split hot buckets (see
+    ``embedding_dup_pairs_lsh(hot_mode="split")``) without a second
+    pass over the vectors.
 
     ``use_arrow=True`` (default) computes all band buckets in one
     Arrow-batched numpy matmul per batch — higher-order-function lambdas
@@ -142,43 +184,125 @@ def lsh_assign_buckets(
     the pure-SQL fallback (bit-identical results: same plane floats,
     and sign() of a dot product is robust to summation order for
     non-degenerate vectors)."""
+    if bits + extra_bits > 64:
+        raise ValueError("bits + extra_bits must be ≤ 64 (per-band plane seed space)")
     if use_arrow:
         import numpy as np
         import pandas as pd
 
+        nb = bits + extra_bits
         planes = np.array(
             [
                 _plane_vector(band * 64 + bit, dim)
                 for band in range(bands)
-                for bit in range(bits)
+                for bit in range(nb)
             ]
-        ).T  # dim × (bands·bits)
+        ).T  # dim × (bands·nb)
         weights = np.array([1 << b for b in range(bits)], dtype=np.int64)
+        sub_weights = np.array([1 << b for b in range(extra_bits)], dtype=np.int64)
+        mu = np.asarray(center_vec, dtype=np.float64) if center_vec is not None else None
 
         def _assign(batches):
             for pdf in batches:
                 x = np.stack(pdf[vec_col].values).astype(np.float64)  # n × dim
-                signs = (x @ planes) > 0  # n × bands·bits
-                buckets = signs.reshape(len(pdf), bands, bits) @ weights  # n × bands
+                if mu is not None:
+                    x = x - mu
+                signs = (x @ planes) > 0  # n × bands·nb
                 n = len(pdf)
-                yield pd.DataFrame(
-                    {
-                        "id": np.repeat(pdf[id_col].values, bands),
-                        "band": np.tile(np.arange(bands), n),
-                        "bucket": buckets.reshape(-1),
-                    }
-                )
+                grouped = signs.reshape(n, bands, nb)
+                buckets = grouped[:, :, :bits] @ weights  # n × bands
+                cols = {
+                    "id": np.repeat(pdf[id_col].values, bands),
+                    "band": np.tile(np.arange(bands), n),
+                    "bucket": buckets.reshape(-1),
+                }
+                if extra_bits:
+                    cols["sub"] = (grouped[:, :, bits:] @ sub_weights).reshape(-1)
+                yield pd.DataFrame(cols)
 
+        schema = "id long, band int, bucket long" + (
+            ", sub long" if extra_bits else ""
+        )
         return ensure_min_partitions(vectors.select(id_col, vec_col)).mapInPandas(
-            _assign, schema="id long, band int, bucket long"
+            _assign, schema=schema
+        )
+    vec_expr = F.col(vec_col)
+    if center_vec is not None:
+        vec_expr = F.zip_with(
+            vec_expr,
+            F.lit([float(x) for x in center_vec]),
+            lambda x, m: x.cast("double") - m,
         )
     cols = [
-        lsh_bucket(F.col(vec_col), band, bits, dim).alias(f"_b{band}")
+        lsh_bucket(vec_expr, band, bits, dim).alias(f"_b{band}")
         for band in range(bands)
     ]
+    if extra_bits:
+        cols += [
+            lsh_bucket(vec_expr, band, extra_bits, dim, offset=bits).alias(
+                f"_s{band}"
+            )
+            for band in range(bands)
+        ]
     wide = ensure_min_partitions(vectors).select(F.col(id_col).alias("id"), *cols)
+    if extra_bits:
+        stack = ", ".join(f"{b}, _b{b}, _s{b}" for b in range(bands))
+        return wide.selectExpr(
+            "id", f"stack({bands}, {stack}) as (band, bucket, sub)"
+        )
     stack = ", ".join(f"{b}, _b{b}" for b in range(bands))
     return wide.selectExpr("id", f"stack({bands}, {stack}) as (band, bucket)")
+
+
+def lsh_geometry(
+    n: int,
+    threshold: float,
+    target_recall: float = 0.95,
+    target_occupancy: int = 64,
+    min_bits: int = 4,
+    max_bits: int = 24,
+    max_bands: int = 64,
+) -> tuple[int, int]:
+    """Size ``(bands, bits)`` for a corpus of ``n`` vectors so bucket
+    self-joins stay tractable AND pairs at ``threshold`` cosine are
+    found with ≥ ``target_recall`` probability.
+
+    Why this exists (found by the round-4 100× scale drill, SCALING.md):
+    LSH bucket count is 2^bits — FIXED — so mean occupancy grows
+    linearly with the corpus and candidate pairs grow QUADRATICALLY.
+    q57's default (bands=8, bits=8) is sized for the ~2k-vector bench
+    corpus; at 200k vectors each band-bucket holds ~780 vectors and
+    candidate generation exceeds 10⁹ pairs — a DNF. Geometry must be a
+    function of corpus size, exactly like shuffle partitions.
+
+    The sizing math (random-hyperplane LSH, public S-curve analysis —
+    Charikar 2002): a pair at cosine s agrees on one hyperplane bit
+    with p = 1 − arccos(s)/π; one band of ``bits`` planes collides
+    with q = p^bits; recall over ``bands`` independent bands is
+    1 − (1−q)^bands.
+
+    - ``bits`` = ceil(log2(n / target_occupancy)): mean occupancy ≤
+      target, so expected candidates ≈ bands · n · occupancy / 2 —
+      LINEAR in n for fixed occupancy.
+    - ``bands`` = ceil(ln(1−target_recall) / ln(1−q)): enough bands to
+      recover the recall the tighter buckets cost.
+
+    Borderline-threshold pairs get exactly target_recall; stronger
+    pairs (the near-dups one actually wants) approach 1 quickly —
+    e.g. 0.999-cosine pairs collide per band with ~0.85^bits, ≈1 over
+    the returned band count. Cost grows ~log-linearly in n via bands.
+    """
+    import math
+
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    bits = max(min_bits, min(max_bits, math.ceil(math.log2(max(2, n / target_occupancy)))))
+    p = 1.0 - math.acos(threshold) / math.pi
+    q = p**bits
+    if q <= 0:
+        return max_bands, bits
+    bands = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - q))
+    return max(1, min(max_bands, bands)), bits
 
 
 def lsh_cosine_topk(
@@ -192,17 +316,27 @@ def lsh_cosine_topk(
     bands: int = 8,
     bits: int = 8,
     dim: int = 64,
+    exact_fallback: bool = True,
 ) -> DataFrame:
     """ANN top-k: candidates = corpus vectors sharing ≥1 band-bucket
     with the query, two-phase re-rank of candidates → same schema as
-    ``cosine_topk`` (rank may have < k rows when buckets are sparse).
+    ``cosine_topk``, always exactly k rows per query (see fallback).
 
     Phase 1 ranks ALL candidates on an Arrow-batched numpy cosine
     (cheap); phase 2 rescoring touches only the k·|Q| survivors with
     the exact-decimal cosine, so the reported scores are bit-identical
     to ``cosine_topk``'s. The numpy and decimal cosines agree to
     ~1e-13, so a phase-1 rank flip needs two candidates closer than
-    that — far below the ANN contract's recall tolerance."""
+    that — far below the ANN contract's recall tolerance.
+
+    ``exact_fallback`` (default on): a query whose buckets hold fewer
+    than k collisions gets its top-k from an exact scan instead — the
+    standard ANN-service contract ("always k results"). Deficient
+    queries are detected with one count over the candidate set; the
+    fallback scan runs ONLY for those queries (broadcast query side ×
+    corpus — per-deficient-query linear, and on a large corpus
+    deficient queries are rare; the structural guarantee is what the
+    q38 gate asserts)."""
     import numpy as np
     import pandas as pd
 
@@ -215,6 +349,32 @@ def lsh_cosine_topk(
         .select(F.col("_qid").alias(query_id_col), F.col("id").alias(id_col))
         .distinct()
     )
+    if exact_fallback:
+        # the candidate set feeds BOTH the deficiency count and the
+        # survivor stream; checkpoint it so the bucket-join scan runs
+        # once (it is |collisions|-sized, not corpus-sized)
+        cand = cand.localCheckpoint(eager=True)
+        deficient = (
+            queries.join(
+                cand.groupBy(query_id_col).agg(F.count("*").alias("_nc")),
+                query_id_col,
+                "left",
+            )
+            .filter(F.coalesce(F.col("_nc"), F.lit(0)) < k)
+            .select(query_id_col, query_vec_col)
+        )
+        fb = cosine_topk(
+            corpus,
+            deficient,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        ).select(query_id_col, id_col)
+        cand = cand.join(
+            deficient.select(query_id_col), query_id_col, "left_anti"
+        ).unionByName(fb)
     pair_vecs = cand.join(
         corpus.select(id_col, F.col(vec_col).alias("_cv")), id_col
     ).join(
@@ -549,28 +709,110 @@ def embedding_dup_pairs_lsh(
     dim: int = 64,
     max_bucket_size: int | None = None,
     prescreen: bool = True,
+    hot_mode: str = "drop",
+    split_reserve_bits: int = 16,
+    center: bool = False,
 ) -> DataFrame:
     """LSH-blocked near-dup pairs → (id_a, id_b, cosine); the 100 TB
     path: one linear bucket-assignment scan, candidates only from
     band-bucket collisions, numpy prescreen, exact-decimal re-check of
-    survivors (precision 1.0; recall set by band/bit geometry).
+    survivors (precision 1.0; recall set by band/bit geometry — size
+    (bands, bits) with :func:`lsh_geometry` for the corpus at hand).
 
     Shuffle shape: self-join keyed on (band, bucket) — candidates are
     co-located by bucket, never an all-pairs shuffle. Pick
     ``bits`` high for high thresholds (tight buckets), low-``bits`` /
-    high-``bands`` for permissive thresholds. ``max_bucket_size`` drops
-    pathological hot buckets (skew guard: one degenerate bucket would
-    go quadratic in the self-join); it costs recall only, never
-    precision.
+    high-``bands`` for permissive thresholds.
+
+    ``max_bucket_size`` is the hot-bucket skew guard (the round-4 100×
+    drill measured a real corpus-shaped hazard: clustered embeddings
+    concentrated 7k vectors into single band-buckets — Σsz²/2 ≈ 4.5e9
+    candidates, a DNF — while the median bucket held 7). Two modes:
+
+    - ``hot_mode="drop"``: buckets above the cap are discarded —
+      simple, costs recall for every pair inside a hot bucket (dense
+      clusters tend to be hot in EVERY band, so intra-cluster pairs
+      are lost, not just delayed).
+    - ``hot_mode="split"``: ADAPTIVE sub-bucketing. Assignment emits a
+      reserve of ``split_reserve_bits`` further sign bits per band
+      (one scan, no second pass); a bucket of size sz is re-keyed by
+      the first ceil(log2(sz / cap)) reserve bits, shattering it into
+      ~cap-sized children. True near-dups survive splitting with high
+      probability per extra bit (a 0.999-cosine pair agrees on a
+      random hyperplane with p≈0.986, so 5 extra bits keep it together
+      with p≈0.93 per band — and independent bands retry), while
+      merely-crowded vectors separate. Work becomes
+      Σ min(sz, cap·k)² instead of Σ sz² — bounded, recall degraded
+      only for borderline pairs inside hot buckets, precision still
+      exact. This is the default recommendation at scale.
+
+    ``center=True`` subtracts the corpus mean before hashing (blocking
+    only; scores stay exact on original vectors) — REQUIRED when the
+    corpus is anisotropic, where sign-LSH otherwise piles everything
+    into one bucket per band and neither the cap nor the split can
+    help (hot-bucket members agree on every further hyperplane too).
+    The 100× drill's corpus is exactly this shape. Off by default to
+    keep the seeded bucket assignments of existing gates stable.
     """
     base = corpus.select(id_col, vec_col)
-    buckets = lsh_assign_buckets(base, id_col, vec_col, bands, bits, dim)
+    split = max_bucket_size is not None and hot_mode == "split"
+    center_vec = None
+    if center:
+        # corpus mean (dim floats — driver-sized by construction), one
+        # combinable pass; see lsh_assign_buckets on why centering is
+        # the fix for anisotropic corpora
+        center_vec = [
+            float(v)
+            for v in base.agg(
+                *[F.avg(F.col(vec_col)[i]).alias(str(i)) for i in range(dim)]
+            ).collect()[0]
+        ]
+    buckets = lsh_assign_buckets(
+        base,
+        id_col,
+        vec_col,
+        bands,
+        bits,
+        dim,
+        extra_bits=split_reserve_bits if split else 0,
+        center_vec=center_vec,
+    )
     if max_bucket_size is not None:
         sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("_sz"))
-        buckets = buckets.join(
-            sizes.filter(F.col("_sz") <= max_bucket_size).drop("_sz"),
-            ["band", "bucket"],
-        )
+        if split:
+            # bits of the reserve key needed to shatter this bucket
+            # into ~cap-sized children (0 for cool buckets)
+            depth = F.least(
+                F.lit(split_reserve_bits),
+                F.greatest(
+                    F.lit(0),
+                    F.ceil(F.log2(F.col("_sz") / F.lit(max_bucket_size))).cast("int"),
+                ),
+            )
+            # NOTE: no broadcast hint — the size table is one row per
+            # non-empty (band,bucket), which at web scale can approach
+            # n·bands rows; AQE picks broadcast when it actually fits
+            buckets = (
+                buckets.join(
+                    sizes.select("band", "bucket", depth.alias("_j")),
+                    ["band", "bucket"],
+                )
+                .withColumn(
+                    "bucket",
+                    F.col("bucket") * (1 << split_reserve_bits)
+                    # python-API shiftleft needs a literal shift; the
+                    # SQL form takes a column
+                    + F.col("sub").bitwiseAND(
+                        F.expr("shiftleft(1L, _j) - 1")
+                    ),
+                )
+                .drop("sub", "_j")
+            )
+        else:
+            buckets = buckets.join(
+                sizes.filter(F.col("_sz") <= max_bucket_size).drop("_sz"),
+                ["band", "bucket"],
+            )
     left = buckets.select("band", "bucket", F.col("id").alias("id_a"))
     right = buckets.select("band", "bucket", F.col("id").alias("id_b"))
     cand = (

@@ -363,3 +363,142 @@ def test_cosine_zero_vector_guard(spark):
     # the ANN path survives too (numpy prescreen must not emit nan)
     ann = lsh_cosine_topk(emb, queries, k=3, dim=4)
     assert all(r["cosine"] is not None for r in ann.collect())
+
+
+def test_lsh_geometry_sizing():
+    """lsh_geometry (round-4 100x drill finding): bits grow log2 with
+    corpus size so mean occupancy stays bounded; bands grow to hold the
+    recall target at the threshold's S-curve point."""
+    import math
+
+    from garden_net_backend_spark.operators.similarity import lsh_geometry
+
+    b1, k1 = lsh_geometry(2_000, 0.9)
+    b2, k2 = lsh_geometry(200_000, 0.9)
+    b3, k3 = lsh_geometry(20_000_000, 0.9)
+    assert k1 < k2 < k3          # buckets scale with corpus
+    assert b1 <= b2 <= b3        # bands recover the recall tighter buckets cost
+    # mean occupancy bounded by design
+    assert 200_000 / 2**k2 <= 64
+    # recall at the threshold meets the target analytically
+    for n, (bands, bits) in ((2_000, (b1, k1)), (200_000, (b2, k2))):
+        p = 1 - math.acos(0.9) / math.pi
+        recall = 1 - (1 - p**bits) ** bands
+        assert recall >= 0.95 - 1e-9, (n, bands, bits, recall)
+    with pytest.raises(ValueError):
+        lsh_geometry(1000, 1.5)
+
+
+def test_plane_vectors_uncorrelated():
+    """Regression for the round-4 100x drill finding: the old LCG plane
+    generator was affine in plane_id (consecutive planes = the same
+    modular translation), so sign bits correlated across planes and
+    mega-buckets formed that no cap/split could break. Avalanche-hashed
+    planes must behave independently: on random vectors, consecutive
+    planes' sign bits agree ~50% of the time, and no pair of the first
+    28 planes of a band agrees much above chance."""
+    import numpy as np
+
+    from garden_net_backend_spark.operators.similarity import _plane_vector
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((4000, 64))
+    planes = np.array([_plane_vector(12 * 64 + b, 64) for b in range(28)]).T
+    signs = (x @ planes) > 0
+    agree = np.abs((signs[:, :, None] == signs[:, None, :]).mean(axis=0) - 0.5)
+    np.fill_diagonal(agree, 0)
+    # chance agreement is 0.5. GENUINELY random 64-dim planes still
+    # carry finite-dimension correlation (pairwise plane cosines reach
+    # ~0.4 over 378 pairs → sign-agreement deviations ~0.14), so the
+    # bound discriminates structure, not sampling: the affine LCG
+    # measured max 0.496 (two planes ~always agreeing) / mean 0.136;
+    # the avalanche hash measures max 0.137 / mean 0.032.
+    assert agree.max() < 0.25, agree.max()
+    assert agree.mean() < 0.06, agree.mean()
+    # and the planes must still be deterministic / reproducible
+    assert _plane_vector(5, 8) == _plane_vector(5, 8)
+
+
+def test_lsh_split_mode_preserves_planted_pairs(spark):
+    """hot_mode='split' (round-4): a crowd of moderate-similarity
+    vectors sharing a bucket is shattered into ~cap-size children
+    while a true near-dup pair inside the crowd survives (its extra
+    sign bits agree). drop mode loses the pair with the bucket."""
+    import numpy as np
+
+    from garden_net_backend_spark.operators.similarity import (
+        embedding_dup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    rows = []
+    # a crowd of 240 vectors tightly around one direction (pairwise
+    # cosine high enough to share buckets, below the 0.995 threshold)
+    for i in range(240):
+        v = base + rng.standard_normal(16) * 0.18
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    # one planted near-identical pair inside the crowd
+    twin = np.array(rows[0][1]) + rng.standard_normal(16) * 1e-4
+    rows.append((1000, (twin / np.linalg.norm(twin)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(threshold=0.995, bands=6, bits=4, dim=16, max_bucket_size=32)
+    split_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs_lsh(df, hot_mode="split", **kw).collect()
+    }
+    assert (0, 1000) in split_pairs
+    # drop mode discards the hot buckets wholesale → pair lost
+    drop_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs_lsh(df, hot_mode="drop", **kw).collect()
+    }
+    assert (0, 1000) not in drop_pairs
+    # split's survivors are a subset of the uncapped exact-LSH output
+    all_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs_lsh(
+            df, threshold=0.995, bands=6, bits=4, dim=16
+        ).collect()
+    }
+    assert split_pairs <= all_pairs
+
+
+def test_lsh_topk_exact_fallback_guarantees_k(spark):
+    """A query whose buckets hold < k collisions (here: an isolated
+    direction in a tiny corpus) still gets exactly k rows, identical to
+    the exact top-k (regen-drill find: sparse buckets returned 4/5 rows
+    and tripped the q38 n_returned property)."""
+    import numpy as np
+
+    from garden_net_backend_spark.operators.similarity import (
+        cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, (v / np.linalg.norm(v)).tolist())
+        for i, v in enumerate(rng.standard_normal((12, 16)))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # high bits → nearly-empty buckets → every query deficient
+    ann = lsh_cosine_topk(df, queries, k=5, bands=2, bits=12, dim=16).collect()
+    per_q = {}
+    for r in ann:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    exact = cosine_topk(df, queries, k=5).collect()
+    per_q_exact = {}
+    for r in exact:
+        per_q_exact.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    assert set(per_q) == {0, 1, 2}
+    for q in per_q:
+        assert sorted(per_q[q]) == sorted(per_q_exact[q])
+    # fallback off reproduces the sparse behavior
+    bare = lsh_cosine_topk(
+        df, queries, k=5, bands=2, bits=12, dim=16, exact_fallback=False
+    ).count()
+    assert bare < 15

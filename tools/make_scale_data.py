@@ -21,8 +21,11 @@ Faithfulness choices (what a NATIVELY bigger corpus would look like):
   shifted by c days to widen, not pile up, the window-agg key space.
 - dims (``region``/``nation``) copied verbatim.
 
-Usage: python tools/make_scale_data.py [factor] [src_dir] [out_dir]
-Defaults: 10 /root/testdata/sf0.1 /tmp/scaledata/sf1
+Usage: python tools/make_scale_data.py [factor] [src_dir] [out_dir] [tables]
+Defaults: 10 /root/testdata/sf0.1 /tmp/scaledata/sf1 <all>
+``tables``: comma-separated subset to scale (e.g. "documents,embeddings"
+for a deep LLM-pipeline-only drill); unlisted tables are copied
+verbatim so every catalog reader still finds its inputs.
 Writes nothing outside out_dir.
 """
 
@@ -85,6 +88,7 @@ def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/scaledata/sf1"
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     os.makedirs(out, exist_ok=True)
     spark = get_session("make_scale_data")
 
@@ -95,83 +99,60 @@ def main() -> None:
         df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
         print(f"{name}: {df.count()} rows", flush=True)
 
+    def scaled(name: str) -> bool:
+        return only is None or name in only
+
     # dims verbatim
     for t in ("region", "nation"):
         wr(rd(t), t)
 
     docs = rd("documents")
-    dstep = _max_plus_one(docs, "doc_id")
-    wr(
-        _union([scale_documents(docs, c, dstep) for c in range(factor)]),
-        "documents",
-    )
+    if scaled("documents"):
+        dstep = _max_plus_one(docs, "doc_id")
+        docs = _union([scale_documents(docs, c, dstep) for c in range(factor)])
+    wr(docs, "documents")
 
     emb = rd("embeddings")
-    estep = _max_plus_one(emb, "vec_id")
-    wr(_union([scale_embeddings(emb, c, estep) for c in range(factor)]), "embeddings")
+    if scaled("embeddings"):
+        estep = _max_plus_one(emb, "vec_id")
+        emb = _union([scale_embeddings(emb, c, estep) for c in range(factor)])
+    wr(emb, "embeddings")
 
     ev = rd("events")
-    evstep = _max_plus_one(ev, "event_id")
-    ustep = _max_plus_one(ev, "user_id")
-    wr(
-        _union(
+    if scaled("events"):
+        evstep = _max_plus_one(ev, "event_id")
+        ustep = _max_plus_one(ev, "user_id")
+        ev = _union(
             [
                 _offset(ev, c, {"event_id": evstep, "user_id": ustep}).withColumn(
                     "ts", F.col("ts") + F.make_dt_interval(days=F.lit(c))
                 )
                 for c in range(factor)
             ]
-        ),
-        "events",
-    )
+        )
+    wr(ev, "events")
 
     li = rd("lineitem")
-    osteps = {
-        "l_orderkey": _max_plus_one(li, "l_orderkey"),
-        "l_partkey": _max_plus_one(li, "l_partkey"),
-        "l_suppkey": _max_plus_one(li, "l_suppkey"),
-    }
-    wr(_union([_offset(li, c, osteps) for c in range(factor)]), "lineitem")
+    if scaled("lineitem"):
+        osteps = {
+            "l_orderkey": _max_plus_one(li, "l_orderkey"),
+            "l_partkey": _max_plus_one(li, "l_partkey"),
+            "l_suppkey": _max_plus_one(li, "l_suppkey"),
+        }
+        li = _union([_offset(li, c, osteps) for c in range(factor)])
+    wr(li, "lineitem")
 
-    orders = rd("orders")
-    wr(
-        _union(
-            [
-                _offset(
-                    orders,
-                    c,
-                    {
-                        "o_orderkey": _max_plus_one(orders, "o_orderkey"),
-                        "o_custkey": _max_plus_one(orders, "o_custkey"),
-                    },
-                )
-                for c in range(factor)
-            ]
-        ),
-        "orders",
-    )
-
-    cust = rd("customer")
-    wr(
-        _union(
-            [_offset(cust, c, {"c_custkey": _max_plus_one(cust, "c_custkey")}) for c in range(factor)]
-        ),
-        "customer",
-    )
-    part = rd("part")
-    wr(
-        _union(
-            [_offset(part, c, {"p_partkey": _max_plus_one(part, "p_partkey")}) for c in range(factor)]
-        ),
-        "part",
-    )
-    sup = rd("supplier")
-    wr(
-        _union(
-            [_offset(sup, c, {"s_suppkey": _max_plus_one(sup, "s_suppkey")}) for c in range(factor)]
-        ),
-        "supplier",
-    )
+    for name, key in (
+        ("orders", ["o_orderkey", "o_custkey"]),
+        ("customer", ["c_custkey"]),
+        ("part", ["p_partkey"]),
+        ("supplier", ["s_suppkey"]),
+    ):
+        df = rd(name)
+        if scaled(name):
+            steps = {k: _max_plus_one(df, k) for k in key}
+            df = _union([_offset(df, c, steps) for c in range(factor)])
+        wr(df, name)
     print(f"done → {out}", flush=True)
 
 
