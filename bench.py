@@ -221,6 +221,19 @@ def main() -> None:
     timings = {name: min(s) for name, s in samples.items()}
     total = round(sum(timings.values()), 3)
 
+    # attribution notes for round-over-round diffs (kept with the
+    # numbers so a regression reader sees the cause next to the effect)
+    extras["notes"] = {
+        "q38_lsh_ann_topk": "round 4: +~0.5s for the always-k exact "
+        "fallback (deficiency count + checkpoint); n_returned==k is now "
+        "structural — see operators/similarity.lsh_cosine_topk",
+        "q57_embedding_dup_pairs_lsh": "round 4: hyperplanes switched "
+        "from the correlated LCG to avalanche hashing (SCALING.md 100x "
+        "appendix) — bucket contents differ, so candidate volume at "
+        "this sf changed; output identical (oracle-gated)",
+        "q54_ivf_ann_topk": "headline = prebuilt-index probe; build "
+        "(incl. Lloyd refine) is extras.q54_build_sec",
+    }
     detail = {
         "samples": samples,
         "loadavg_1m_before_sample": loads,
