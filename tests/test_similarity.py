@@ -502,3 +502,33 @@ def test_lsh_topk_exact_fallback_guarantees_k(spark):
         df, queries, k=5, bands=2, bits=12, dim=16, exact_fallback=False
     ).count()
     assert bare < 15
+
+
+def test_lsh_assign_extra_bits_and_center_paths_agree(emb):
+    """The Arrow and pure-SQL assignment paths must stay bit-identical
+    for the round-4 extensions too (sub-key reserve bits for hot-bucket
+    splitting; mean-centering)."""
+    from garden_net_backend_spark.operators.similarity import (
+        lsh_assign_buckets,
+    )
+
+    sl = emb.filter(F.col("vec_id") < 120)
+    mu = [
+        float(v)
+        for v in sl.agg(
+            *[F.avg(F.col("embedding")[i]).alias(str(i)) for i in range(64)]
+        ).collect()[0]
+    ]
+    kw = dict(bands=3, bits=5, extra_bits=7, center_vec=mu)
+    arrow = {
+        (r["id"], r["band"]): (r["bucket"], r["sub"])
+        for r in lsh_assign_buckets(sl, use_arrow=True, **kw).collect()
+    }
+    sql = {
+        (r["id"], r["band"]): (r["bucket"], r["sub"])
+        for r in lsh_assign_buckets(sl, use_arrow=False, **kw).collect()
+    }
+    assert arrow == sql
+    assert len(arrow) == 120 * 3
+    # sub-keys fit their bit budget
+    assert all(0 <= s < 2**7 for _, s in arrow.values())
