@@ -754,6 +754,10 @@ def embedding_dup_pairs_lsh(
     The 100× drill's corpus is exactly this shape. Off by default to
     keep the seeded bucket assignments of existing gates stable.
     """
+    if hot_mode not in ("drop", "split"):
+        # a typo ('Split') must not silently fall back to drop
+        # semantics — that's a recall change with no error
+        raise ValueError(f"hot_mode must be 'drop' or 'split', got {hot_mode!r}")
     base = corpus.select(id_col, vec_col)
     split = max_bucket_size is not None and hot_mode == "split"
     center_vec = None

@@ -268,6 +268,12 @@ def annotate_alias_overlap(
     out = nodes.join(F.broadcast(collapsed), "fragment", "left")
     for c in collapse_cols:
         out = out.withColumn(c, na_to_empty(F.col(c)))
+    if mus and "mgi_id" in extra_cols:
+        # the reference strips the ``MGI:`` prefix in the OVERLAP arm too
+        # (str_remove_all(...$mgi, fixed("MGI:")) right after the
+        # gene_names upper-casing, network_generator_lib.R:777), not only
+        # in the promoter name-join
+        out = out.withColumn("mgi_id", F.regexp_replace(F.col("mgi_id"), "MGI:", ""))
     if not mus and "alias" in extra_cols:
         # non-ASCII alias tokens (PKCβ etc.) break the reference's JSON
         # writer; scrubbed for output parity — the reference applies
@@ -301,7 +307,14 @@ def annotate_promoter_names(
     (ensembl, alias) — here ensembl_id_p/alias_p; mus collapses
     (ensembl, mgi) — mgi_id_p with the ``MGI:`` prefix stripped
     (str_remove_all at :830) — and REWRITES promoter gene_names to
-    sentence case (str_to_sentence at :822: 'HOXA6' → 'Hoxa6')."""
+    sentence case (str_to_sentence at :822: 'HOXA6' → 'Hoxa6').
+
+    Both branches curate bait tokens before the alias join (reference
+    network_generator_lib.R:679-689 homo / :786-796 mus): upper-case,
+    strip ``-\\d+\\b`` transcript suffixes (str_remove_all + str_trim),
+    and dedup tokens per fragment keeping first-occurrence order
+    (unique(str_split(...))); the mus sentence-case rebuild runs over
+    the CURATED tokens."""
     from ..functions.strings import na_to_empty
 
     mus = organism.lower().startswith("mus")
@@ -309,6 +322,17 @@ def annotate_promoter_names(
         "fragment",
         F.posexplode(F.split(F.col("gene_names"), " ")).alias("_pos", "_tok"),
     ).filter(F.col("_tok") != "")
+    # bait-token curation: '-\d+\b' suffix strip on the upper-cased token,
+    # then per-fragment dedup keeping the first occurrence (min _pos per
+    # curated token). Promoter-only data → tiny group-by, no scale cost.
+    toks = toks.withColumn(
+        "_ctok", F.upper(F.regexp_replace(F.col("_tok"), r"-\d+\b", ""))
+    )
+    toks = (
+        toks.groupBy("fragment", "_ctok")
+        .agg(F.min("_pos").alias("_pos"))
+        .select("fragment", "_pos", "_ctok")
+    )
     if mus:
         second = ("mgi_id", "_id2", "mgi_id_p")
     else:
@@ -324,7 +348,7 @@ def annotate_promoter_names(
         F.col("ensembl_id").alias("_ens"),
         id2.alias("_id2"),
     ).dropDuplicates(["_uname"])
-    joined = toks.join(F.broadcast(al), F.upper(F.col("_tok")) == F.col("_uname"), "left")
+    joined = toks.join(F.broadcast(al), F.col("_ctok") == F.col("_uname"), "left")
     agg_exprs = [
         F.array_join(
             F.transform(
@@ -338,14 +362,16 @@ def annotate_promoter_names(
         for c, out in [("_ens", "ensembl_id_p"), ("_id2", second[2])]
     ]
     if mus:
-        # mus rebuilds promoter gene_names sentence-cased per token
-        # (str_to_sentence(all_bait_names), network_generator_lib.R:822)
+        # mus rebuilds promoter gene_names sentence-cased over the
+        # CURATED tokens (str_to_sentence(all_bait_names),
+        # network_generator_lib.R:819-822 — all_bait_names is the
+        # suffix-stripped, deduped upper token)
         agg_exprs.append(
             F.array_join(
                 F.transform(
                     F.array_sort(
                         F.collect_list(
-                            F.struct(F.col("_pos"), F.col("_tok").alias("v"))
+                            F.struct(F.col("_pos"), F.col("_ctok").alias("v"))
                         )
                     ),
                     lambda s: F.initcap(F.lower(s["v"])),

@@ -93,7 +93,11 @@ def built(request, spark):
             "baits.tsv",
             [
                 "Chr\tStart\tEnd\tgene_id\tensembl_id\tregion",
-                "1\t100\t200\tHOXA6,HOXA-ALT\tENSG0003\tpromoter",
+                # HOXA6-1 exercises the bait-token curation: the '-\d+'
+                # transcript suffix strips to HOXA6, which then dedups
+                # against the existing HOXA6 token (reference
+                # network_generator_lib.R:683-689 homo / :790-796 mus)
+                "1\t100\t200\tHOXA6,HOXA6-1,HOXA-ALT\tENSG0003\tpromoter",
             ],
         ),
     )
@@ -134,16 +138,21 @@ def test_a2_collapse_order_quirks(built):
         assert oe["ensembl_id"] == "ENSG0001 ENSG0002"
         assert oe["hgnc_id"] == "HGNC:1 HGNC:2"
         assert "PKC" not in oe["alias"] and "ALIAS_A" in oe["alias"]
-        # homo promoter names are NOT rewritten
-        assert rows["1_100_200"]["gene_names"] == "HOXA6 HOXA-ALT"
+        # homo promoter names are NOT rewritten (bait overwrite stands,
+        # suffix intact — curation affects only the alias-join key)
+        assert rows["1_100_200"]["gene_names"] == "HOXA6 HOXA6-1 HOXA-ALT"
+        # curated tokens HOXA6 (dedup of HOXA6/HOXA6-1) + HOXA-ALT:
+        # one alias match, one positional NA
+        assert rows["1_100_200"]["ensembl_id_p"] == "ENSG0003 NA"
     else:
         # mus: other-end gene_names UPPERCASED (str_to_upper :777)
         assert oe["gene_names"] == "GENEA GENEB"
         assert oe["ensembl_id"] == "ENSMUSG0001 ENSMUSG0002"
-        # mgi collapse keeps the raw ids in the overlap arm
-        assert oe["mgi_id"] == "MGI:101 MGI:102"
-        # mus promoter names sentence-cased by the name-join (:822),
-        # and the bait overwrite ran first (HOXA6,HOXA-ALT)
+        # MGI: prefix stripped in the OVERLAP arm too
+        # (str_remove_all, network_generator_lib.R:777)
+        assert oe["mgi_id"] == "101 102"
+        # mus promoter names sentence-cased by the name-join (:822)
+        # over the CURATED tokens: HOXA6-1 → HOXA6 → deduped away
         assert rows["1_100_200"]["gene_names"] == "Hoxa6 Hoxa-alt"
         # MGI: prefix stripped in the promoter-join id (:830);
         # HOXA6 matches (case-insensitive name join), HOXA-ALT doesn't

@@ -158,3 +158,113 @@ def test_int64_negative_roundtrip():
     back = sm.RegisterTimer()
     back.ParseFromString(t.SerializeToString())
     assert back.expiryTimestampMs == -7
+
+
+def _make_message_class(fields):
+    """Concrete Message subclass over a hand-built descriptor (the same
+    wiring the builder does), for wire shapes StateMessage lacks."""
+    from garden_net_backend_spark._vendor.protoshim.google.protobuf import (
+        descriptor as d,
+    )
+    from garden_net_backend_spark._vendor.protoshim.google.protobuf.message import (
+        Message,
+    )
+
+    oneofs = [d.OneofDescriptor("alt", "T.alt")] if any(
+        f.oneof_index is not None for f in fields
+    ) else []
+    desc = d.Descriptor("T", "T", fields, oneofs=oneofs)
+    cls = type("T", (Message,), {"DESCRIPTOR": desc})
+    desc._concrete_class = cls
+    return cls
+
+
+def test_packed_fixed_width_decode():
+    """Packed repeated float/double/sfixed32 payloads step fixed-width
+    elements, not varints (spec: packed element encoding follows the
+    field's scalar wire type)."""
+    import struct
+
+    from garden_net_backend_spark._vendor.protoshim.google.protobuf import (
+        descriptor as d,
+    )
+
+    FD = d.FieldDescriptor
+    cls = _make_message_class(
+        [
+            FD("f", 1, FD.TYPE_FLOAT, FD.LABEL_REPEATED),
+            FD("dbl", 2, FD.TYPE_DOUBLE, FD.LABEL_REPEATED),
+            FD("sf", 3, FD.TYPE_SFIXED32, FD.LABEL_REPEATED),
+            FD("iv", 4, FD.TYPE_INT64, FD.LABEL_REPEATED),
+        ]
+    )
+    fpay = struct.pack("<ff", 1.5, -2.25)
+    dpay = struct.pack("<d", 3.75)
+    spay = struct.pack("<i", -9)
+    ipay = w.encode_varint(300) + w.encode_varint(1)
+    data = (
+        w.encode_tag(1, w.WIRE_LEN) + w.encode_varint(len(fpay)) + fpay
+        + w.encode_tag(2, w.WIRE_LEN) + w.encode_varint(len(dpay)) + dpay
+        + w.encode_tag(3, w.WIRE_LEN) + w.encode_varint(len(spay)) + spay
+        + w.encode_tag(4, w.WIRE_LEN) + w.encode_varint(len(ipay)) + ipay
+    )
+    m = cls()
+    m.ParseFromString(data)
+    assert list(m.f) == [1.5, -2.25]
+    assert list(m.dbl) == [3.75]
+    assert list(m.sf) == [-9]
+    assert list(m.iv) == [300, 1]
+
+
+def test_packed_fixed_truncated_raises():
+    from garden_net_backend_spark._vendor.protoshim.google.protobuf import (
+        descriptor as d,
+    )
+    from garden_net_backend_spark._vendor.protoshim.google.protobuf.message import (
+        DecodeError,
+    )
+
+    FD = d.FieldDescriptor
+    cls = _make_message_class([FD("f", 1, FD.TYPE_FLOAT, FD.LABEL_REPEATED)])
+    # 3 bytes cannot hold a 4-byte float element
+    data = w.encode_tag(1, w.WIRE_LEN) + w.encode_varint(3) + b"\x00\x01\x02"
+    with pytest.raises(DecodeError):
+        cls().ParseFromString(data)
+
+
+def test_whichoneof_scoped_to_named_oneof():
+    """WhichOneof must ignore non-oneof fields and honor last-set-wins
+    within the oneof (public API semantics)."""
+    from garden_net_backend_spark._vendor.protoshim.google.protobuf import (
+        descriptor as d,
+    )
+
+    FD = d.FieldDescriptor
+    cls = _make_message_class(
+        [
+            FD("flag", 1, FD.TYPE_BOOL, FD.LABEL_OPTIONAL),
+            FD("a", 2, FD.TYPE_INT64, FD.LABEL_OPTIONAL, oneof_index=0),
+            FD("b", 3, FD.TYPE_STRING, FD.LABEL_OPTIONAL, oneof_index=0),
+        ]
+    )
+    m = cls()
+    m.flag = True  # non-oneof field set FIRST (dict insertion order trap)
+    assert m.WhichOneof("alt") is None
+    m.a = 5
+    assert m.WhichOneof("alt") == "a"
+    m.b = "x"  # setting a sibling clears the other member
+    assert m.WhichOneof("alt") == "b"
+    assert not m.HasField("a")
+    assert m.flag is True  # non-oneof field untouched
+    with pytest.raises(ValueError):
+        m.WhichOneof("nope")
+
+
+def test_whichoneof_on_state_request():
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    req = sm.StateRequest(version=2, statefulProcessorCall=sm.StatefulProcessorCall())
+    back = sm.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    # version (a non-oneof field, set first) must not shadow the arm
+    assert back.WhichOneof("method") == "statefulProcessorCall"
