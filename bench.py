@@ -45,6 +45,41 @@ _DETAIL_PATH = os.path.join(
 )
 
 
+_MAX_LINE_CHARS = 1900  # driver tail-captures ~2000 chars and json-parses
+
+
+def render_bench_line(total: float, timings: dict[str, float], sf) -> str:
+    """The ONE stdout JSON line, guarded: degrade float precision until
+    it fits the driver's tail-capture window, then HARD-FAIL if it
+    still doesn't fit or doesn't round-trip through json — a broken
+    line must die here, loudly, not as a silent ``parsed: null`` in the
+    driver's BENCH_r{N}.json (which is exactly what happened in r3)."""
+    sf_val = float(sf) if str(sf).replace(".", "").isdigit() else sf
+    for ndigits in (3, 2, 1):
+        line = json.dumps(
+            {
+                "metric": "catalog_total_wall",
+                "value": round(total, ndigits),
+                "unit": "sec",
+                "queries": {k: round(v, ndigits) for k, v in timings.items()},
+                "sf": sf_val,
+                "detail": "BENCH_DETAIL.json",
+            },
+            separators=(",", ":"),
+        )
+        if len(line) <= _MAX_LINE_CHARS:
+            break
+    if len(line) > _MAX_LINE_CHARS:
+        raise AssertionError(
+            f"bench line is {len(line)} chars even at 1-digit precision "
+            f"(driver caps ~{_MAX_LINE_CHARS}); trim the catalog key set"
+        )
+    parsed = json.loads(line)  # must round-trip
+    if set(parsed["queries"]) != set(timings):
+        raise AssertionError("bench line dropped query keys")
+    return line
+
+
 def _measure(df) -> None:
     """One execution: cache, count, then materialize to the driver only
     when the result is driver-sized."""
@@ -245,24 +280,7 @@ def main() -> None:
     with open(_DETAIL_PATH, "w") as fh:
         json.dump(detail, fh, indent=1)
 
-    # headline line — MUST stay compact enough for the driver's tail
-    # capture (~2000 chars); degrade float precision before dropping
-    # anything else
-    for ndigits in (3, 2, 1):
-        line = json.dumps(
-            {
-                "metric": "catalog_total_wall",
-                "value": round(total, ndigits),
-                "unit": "sec",
-                "queries": {k: round(v, ndigits) for k, v in timings.items()},
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "detail": "BENCH_DETAIL.json",
-            },
-            separators=(",", ":"),
-        )
-        if len(line) <= 1900:
-            break
-    print(line)
+    print(render_bench_line(total, timings, sf))
 
 
 if __name__ == "__main__":

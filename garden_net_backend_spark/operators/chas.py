@@ -93,6 +93,47 @@ def feature_mean_degree(
     )
 
 
+def edge_strata(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_key: str = "fragment",
+    chr_col: str = "chr",
+    start_col: str = "start",
+    src: str = "src",
+    dst: str = "dst",
+    dist_bins_per_decade: int = 4,
+    dist_match: bool = True,
+) -> DataFrame:
+    """(src, dst, stratum): each edge's genomic-distance stratum —
+    interchromosomal → -1, else the log-bucket of |src.start − dst.start|
+    (``dist_bins_per_decade`` buckets per decade); ``dist_match=False``
+    → one global stratum 0. Shared by the randomizer (permutation
+    domain) and the q70 property gate (pre/post histogram comparison —
+    same expression on both sides by construction)."""
+    pos = nodes.select(
+        F.col(node_key).alias("_nk"),
+        F.col(chr_col).alias("_chr"),
+        F.col(start_col).alias("_start"),
+    )
+    e = (
+        edges.select(src, dst)
+        .join(pos.withColumnRenamed("_nk", src), src)
+        .withColumnRenamed("_chr", "_schr")
+        .withColumnRenamed("_start", "_sstart")
+        .join(pos.withColumnRenamed("_nk", dst), dst)
+        .withColumnRenamed("_chr", "_dchr")
+        .withColumnRenamed("_start", "_dstart")
+    )
+    dist = F.abs(F.col("_sstart") - F.col("_dstart"))
+    if dist_match:
+        bucket = F.when(F.col("_schr") != F.col("_dchr"), F.lit(-1)).otherwise(
+            F.floor(F.log10(F.greatest(dist, F.lit(1))) * dist_bins_per_decade)
+        )
+    else:
+        bucket = F.lit(0).cast("long")
+    return e.select(src, dst, bucket.cast("long").alias("stratum"))
+
+
 def randomize_edges_distance_matched(
     edges: DataFrame,
     nodes: DataFrame,
@@ -105,6 +146,7 @@ def randomize_edges_distance_matched(
     dst: str = "dst",
     dist_bins_per_decade: int = 4,
     dist_match: bool = True,
+    keep_stratum: bool = False,
 ) -> DataFrame:
     """Distance-matched edge randomization (chaser ``randomize(...,
     dist.match=TRUE)``; reference network_generator_lib.R:533-556;
@@ -128,7 +170,9 @@ def randomize_edges_distance_matched(
       - n_random runs fan out as a crossJoin with a run-id range —
         cluster-parallel instead of the reference's serial loop.
 
-    Returns (run, src, dst).
+    Returns (run, src, dst), plus the permutation ``stratum`` when
+    ``keep_stratum=True`` (the q70 property gate checks the per-stratum
+    histogram/endpoint-multiset invariants against it).
 
     Determinism: the permutation key is a pure hash of row content +
     run + seed — independent of partitioning and cluster layout, so
@@ -137,44 +181,34 @@ def randomize_edges_distance_matched(
     treat random-ChAS as interval bounds (min/max), as the reference's
     tests do.
     """
-    pos = nodes.select(
-        F.col(node_key).alias("_nk"),
-        F.col(chr_col).alias("_chr"),
-        F.col(start_col).alias("_start"),
+    e = edge_strata(
+        edges,
+        nodes,
+        node_key=node_key,
+        chr_col=chr_col,
+        start_col=start_col,
+        src=src,
+        dst=dst,
+        dist_bins_per_decade=dist_bins_per_decade,
+        dist_match=dist_match,
     )
-    e = (
-        edges.select(src, dst)
-        .join(pos.withColumnRenamed("_nk", src), src)
-        .withColumnRenamed("_chr", "_schr")
-        .withColumnRenamed("_start", "_sstart")
-        .join(pos.withColumnRenamed("_nk", dst), dst)
-        .withColumnRenamed("_chr", "_dchr")
-        .withColumnRenamed("_start", "_dstart")
-    )
-    dist = F.abs(F.col("_sstart") - F.col("_dstart"))
-    if dist_match:
-        bucket = F.when(F.col("_schr") != F.col("_dchr"), F.lit(-1)).otherwise(
-            F.floor(F.log10(F.greatest(dist, F.lit(1))) * dist_bins_per_decade)
-        )
-    else:
-        bucket = F.lit(0)
-    e = e.select(src, dst, bucket.alias("_bucket"))
     runs = e.sparkSession.range(n_random).withColumnRenamed("id", "run")
     fan = e.crossJoin(F.broadcast(runs))
 
-    # within (run, bucket): pair i-th src (by stable key order) with
+    # within (run, stratum): pair i-th src (by stable key order) with
     # i-th dst (by seeded random order)
     from pyspark.sql import Window as W
 
-    w_src = W.partitionBy("run", "_bucket").orderBy(src, dst)
-    w_dst = W.partitionBy("run", "_bucket").orderBy("_r")
+    w_src = W.partitionBy("run", "stratum").orderBy(src, dst)
+    w_dst = W.partitionBy("run", "stratum").orderBy("_r")
     left = fan.select(
-        "run", "_bucket", src, F.row_number().over(w_src).alias("_i")
+        "run", "stratum", src, F.row_number().over(w_src).alias("_i")
     )
     right = (
         fan.withColumn(
             "_r", F.xxhash64(F.col(src), F.col(dst), F.col("run"), F.lit(seed))
         )
-        .select("run", "_bucket", dst, F.row_number().over(w_dst).alias("_i"))
+        .select("run", "stratum", dst, F.row_number().over(w_dst).alias("_i"))
     )
-    return left.join(right, ["run", "_bucket", "_i"]).select("run", src, dst)
+    out_cols = ["run", src, dst] + (["stratum"] if keep_stratum else [])
+    return left.join(right, ["run", "stratum", "_i"]).select(*out_cols)

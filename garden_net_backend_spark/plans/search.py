@@ -232,6 +232,55 @@ def _per_seed_ego_edges(
     )
 
 
+def resolve_search_seeds(
+    nodes: DataFrame,
+    search: str,
+    ensembl2name: DataFrame | None = None,
+    expand: int = 0,
+    nearest: bool = False,
+    token_index: DataFrame | None = None,
+) -> DataFrame:
+    """The dispatch step alone: search string → tagged seed fragments
+    ``(fragment, kind)`` with kind 'range' (Q1) or 'name' (Q2/Q3/Q4 —
+    downstream they share the union-of-per-seed-ego semantics while
+    range seeds take induced-on-union). Multi-term strings split on
+    ``[, \\t]`` and union per term (Q5, reference
+    network_generator_lib.R:218). This is the surface the q69 gate
+    verifies arm-by-arm against a SQL replica of the reference's regex
+    dispatch (network_generator_lib.R:78-231)."""
+    terms = [t for t in re.split(r"[,\s\t]+", search.strip()) if t]
+    frames: list[DataFrame] = []
+    for term in terms:
+        if _RANGE_RE.match(term):
+            frames.append(
+                _range_seeds(nodes, term, expand, nearest).withColumn(
+                    "kind", F.lit("range")
+                )
+            )
+        elif _FRAGMENT_RE.match(term):
+            frames.append(
+                nodes.filter(F.col("fragment") == term.upper())
+                .select("fragment")
+                .withColumn("kind", F.lit("name"))
+            )
+        elif _ENSEMBL_RE.match(term) and ensembl2name is not None:
+            frames.append(
+                _ensembl_seeds(
+                    nodes, term, ensembl2name, token_index=token_index
+                ).withColumn("kind", F.lit("name"))
+            )
+        else:
+            frames.append(
+                _gene_seeds(nodes, term, token_index=token_index).withColumn(
+                    "kind", F.lit("name")
+                )
+            )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.union(f)
+    return out.distinct()
+
+
 def search_subnetwork(
     nodes: DataFrame,
     edges: DataFrame,
@@ -248,22 +297,26 @@ def search_subnetwork(
     to the serialization layer). Pass ``token_index`` (materialized by
     plans/materialize) to answer gene queries with an index probe
     instead of a full-table regex scan."""
+    tagged = resolve_search_seeds(
+        nodes,
+        search,
+        ensembl2name=ensembl2name,
+        expand=expand,
+        nearest=nearest,
+        token_index=token_index,
+    )
+    name_frames = [tagged.filter(F.col("kind") == "name").select("fragment")]
+    range_frames = [tagged.filter(F.col("kind") == "range").select("fragment")]
+    # prune empty arms without a job: the tag is a literal, so the
+    # filter is decidable per-arm only at runtime — keep both arms only
+    # when the search string could produce them
     terms = [t for t in re.split(r"[,\s\t]+", search.strip()) if t]
-    name_frames: list[DataFrame] = []
-    range_frames: list[DataFrame] = []
-    for term in terms:
-        if _RANGE_RE.match(term):
-            range_frames.append(_range_seeds(nodes, term, expand, nearest))
-        elif _FRAGMENT_RE.match(term):
-            name_frames.append(
-                nodes.filter(F.col("fragment") == term.upper()).select("fragment")
-            )
-        elif _ENSEMBL_RE.match(term) and ensembl2name is not None:
-            name_frames.append(
-                _ensembl_seeds(nodes, term, ensembl2name, token_index=token_index)
-            )
-        else:
-            name_frames.append(_gene_seeds(nodes, term, token_index=token_index))
+    has_range = any(_RANGE_RE.match(t) for t in terms)
+    has_name = any(not _RANGE_RE.match(t) for t in terms)
+    if not has_range:
+        range_frames = []
+    if not has_name:
+        name_frames = []
 
     def _union(frames: list[DataFrame]) -> DataFrame:
         out = frames[0]
@@ -271,7 +324,7 @@ def search_subnetwork(
             out = out.union(f)
         return out.distinct()
 
-    seeds = _union(name_frames + range_frames)
+    seeds = tagged.select("fragment").distinct()
 
     e = edges.select("src", "dst", "type")
     hood = ego_nodes(e, seeds.withColumnRenamed("fragment", "node"))

@@ -3321,3 +3321,433 @@ def q67_alias_overlap_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = annotate_alias_overlap(nodes, alias_db)
     return out.select("fragment", "gene_names", "ensembl_id", "alias", "gene_type")
+
+
+# =====================================================================
+# q68: bait-name + promoter-alias annotation suite (SURVEY J3+J11 —
+# folding the domain-only annotation joins into the oracle catalog;
+# judge r4 task 3)
+# =====================================================================
+
+# The q63 synthetic network body up to the vertex collapse, shared by
+# the annotation/search gates (keeps the replicas literally identical).
+_SYNTH_VCOL_SQL = """
+    inter AS (
+      SELECT CAST(l_orderkey % 5 + 1 AS VARCHAR) AS baitChr,
+             (l_partkey % 1000) * 100 AS baitStart,
+             (l_partkey % 1000) * 100 + 99 AS baitEnd,
+             'GENE' || CAST(l_partkey % 50 AS VARCHAR) AS baitName,
+             CAST(l_suppkey % 5 + 1 AS VARCHAR) AS oeChr,
+             (l_orderkey % 1000) * 100 AS oeStart,
+             (l_orderkey % 1000) * 100 + 99 AS oeEnd,
+             'AUX' || CAST(l_orderkey % 40 AS VARCHAR) AS oeName
+      FROM lineitem WHERE l_quantity > 30),
+    keyed AS (
+      SELECT *,
+        baitChr || '_' || CAST(baitStart AS VARCHAR) || '_' || CAST(baitEnd AS VARCHAR) AS bf,
+        oeChr || '_' || CAST(oeStart AS VARCHAR) || '_' || CAST(oeEnd AS VARCHAR) AS oef
+      FROM inter),
+    verts AS (
+      SELECT bf AS fragment, baitName AS g, baitChr AS chr,
+             baitStart AS vstart, baitEnd AS vend, 'P' AS vtype FROM keyed
+      UNION ALL
+      SELECT oef, oeName, oeChr, oeStart, oeEnd, 'O' FROM keyed),
+    vcol AS (
+      SELECT fragment, chr, vstart, vend,
+             max(vtype) AS vtype,
+             coalesce(max(CASE WHEN g <> '' THEN g END), '') AS gene_names
+      FROM verts GROUP BY fragment, chr, vstart, vend)
+"""
+
+
+@register(
+    "q68_annotation_suite",
+    f"""
+    WITH {_SYNTH_VCOL_SQL},
+      bait AS (
+        SELECT DISTINCT
+          CAST(o_orderkey % 5 + 1 AS VARCHAR) AS chr,
+          ((o_orderkey // 5) % 1000) * 100 AS bstart,
+          'BG' || CAST(((o_orderkey // 5) % 1000) % 80 AS VARCHAR) || ',' ||
+          'BG' || CAST(((o_orderkey // 5) % 1000) % 80 AS VARCHAR) || '-' ||
+          CAST(((o_orderkey // 5) % 1000) % 3 + 1 AS VARCHAR) || ',' ||
+          'ALT' || CAST(((o_orderkey // 5) % 1000) % 50 AS VARCHAR) AS gene_id
+        FROM orders),
+      bkeyed AS (
+        SELECT chr || '_' || CAST(bstart AS VARCHAR) || '_' ||
+               CAST(bstart + 99 AS VARCHAR) AS fragment, gene_id
+        FROM bait),
+      j3 AS (
+        SELECT v.fragment, v.vtype,
+               CASE WHEN v.vtype = 'P' AND b.gene_id IS NOT NULL
+                    THEN replace(b.gene_id, ',', ' ')
+                    ELSE v.gene_names END AS gene_names
+        FROM vcol v LEFT JOIN bkeyed b ON v.fragment = b.fragment),
+      alias_db AS (
+        SELECT DISTINCT
+          CASE WHEN p_partkey % 2 = 0 THEN 'BG' || CAST(p_partkey % 80 AS VARCHAR)
+               ELSE 'ALT' || CAST(p_partkey % 50 AS VARCHAR) END AS gene_name,
+          CASE WHEN p_partkey % 2 = 0 THEN 'EB' || CAST(p_partkey % 80 AS VARCHAR)
+               ELSE 'EA' || CAST(p_partkey % 50 AS VARCHAR) END AS ens,
+          CASE WHEN p_partkey % 2 = 0 THEN 'XB' || CAST(p_partkey % 80 AS VARCHAR)
+               ELSE 'XA' || CAST(p_partkey % 50 AS VARCHAR) END AS ali
+        FROM part),
+      toks AS (
+        SELECT fragment, unnest(arr) AS tok, unnest(range(1, len(arr) + 1)) AS pos
+        FROM (SELECT fragment, string_split(gene_names, ' ') AS arr
+              FROM j3 WHERE vtype = 'P')),
+      cur AS (
+        SELECT fragment,
+               upper(regexp_replace(tok, '-[0-9]+\\b', '', 'g')) AS ct,
+               pos
+        FROM toks WHERE tok <> ''),
+      ded AS (SELECT fragment, ct, MIN(pos) AS pos FROM cur GROUP BY fragment, ct),
+      joined AS (
+        SELECT d.fragment, d.pos, a.ens, a.ali
+        FROM ded d LEFT JOIN alias_db a ON upper(a.gene_name) = d.ct),
+      coll AS (
+        SELECT fragment,
+               string_agg(coalesce(ens, 'NA'), ' ' ORDER BY pos) AS ep,
+               string_agg(coalesce(ali, 'NA'), ' ' ORDER BY pos) AS ap
+        FROM joined GROUP BY fragment)
+    SELECT j.fragment, j.gene_names,
+           CASE WHEN c.ep IS NULL OR c.ep = 'NA' THEN '' ELSE c.ep END AS ensembl_id_p,
+           CASE WHEN c.ap IS NULL OR c.ap = 'NA' THEN '' ELSE c.ap END AS alias_p
+    FROM j3 j LEFT JOIN coll c ON j.fragment = c.fragment
+    """,
+    doc="Annotation-join suite over a synthesized fixture (the q67 "
+    "technique; judge r4 task 3): J3 bait-name conditional overwrite — "
+    "promoters matching the HindIII bait table get gene_names replaced "
+    "by the comma→space gene_id (reference "
+    "network_generator_lib.R:869-884) — composed with J11 promoter "
+    "name-alias join: gene_names tokens CURATED (upper-case, '-N' "
+    "transcript-suffix strip, per-fragment dedup keeping first-"
+    "occurrence order, reference :679-689) then broadcast-joined to the "
+    "alias DB by name and re-collapsed positionally with literal 'NA' "
+    "for misses then ''-cleanup (reference :694-733). Bait/alias tables "
+    "derive deterministically from orders/part so the oracle rebuilds "
+    "the whole chain in SQL.",
+)
+def q68_annotation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.network_build import (
+        annotate_bait_names,
+        annotate_promoter_names,
+        build_network,
+    )
+
+    nodes, _edges = build_network(_synthetic_pchic(spark, sf_dir), wt_threshold=30.0)
+    o = _t(spark, sf_dir, "orders")
+    kk = F.expr("o_orderkey div 5") % 1000
+    baits = o.select(
+        (F.col("o_orderkey") % 5 + 1).cast("string").alias("Chr"),
+        (kk * 100).alias("Start"),
+        (kk * 100 + 99).alias("End"),
+        F.concat_ws(
+            ",",
+            F.concat(F.lit("BG"), (kk % 80).cast("string")),
+            F.concat(
+                F.lit("BG"),
+                (kk % 80).cast("string"),
+                F.lit("-"),
+                (kk % 3 + 1).cast("string"),
+            ),
+            F.concat(F.lit("ALT"), (kk % 50).cast("string")),
+        ).alias("gene_id"),
+    ).distinct()
+    p = _t(spark, sf_dir, "part")
+    even = F.col("p_partkey") % 2 == 0
+    alias_db = p.select(
+        F.when(even, F.concat(F.lit("BG"), (F.col("p_partkey") % 80).cast("string")))
+        .otherwise(F.concat(F.lit("ALT"), (F.col("p_partkey") % 50).cast("string")))
+        .alias("gene_name"),
+        F.when(even, F.concat(F.lit("EB"), (F.col("p_partkey") % 80).cast("string")))
+        .otherwise(F.concat(F.lit("EA"), (F.col("p_partkey") % 50).cast("string")))
+        .alias("ensembl_id"),
+        F.when(even, F.concat(F.lit("XB"), (F.col("p_partkey") % 80).cast("string")))
+        .otherwise(F.concat(F.lit("XA"), (F.col("p_partkey") % 50).cast("string")))
+        .alias("alias"),
+    ).distinct()
+    out = annotate_promoter_names(
+        annotate_bait_names(nodes, baits), alias_db, organism="homo_sapiens"
+    )
+    return out.select("fragment", "gene_names", "ensembl_id_p", "alias_p")
+
+
+# =====================================================================
+# q69: search-dispatch suite (SURVEY Q1/Q2/Q4/Q5 — folding the
+# domain-only search arms into the oracle catalog; judge r4 task 3)
+# =====================================================================
+
+
+@register(
+    "q69_search_dispatch",
+    f"""
+    WITH {_SYNTH_VCOL_SQL},
+      ens AS (
+        SELECT DISTINCT lower('GENE' || CAST(p_partkey % 50 AS VARCHAR)) AS nm
+        FROM part
+        WHERE lower('ENSG' || CAST(p_partkey AS VARCHAR)) = 'ensg7')
+    SELECT 'range' AS gate, fragment, 'range' AS kind
+    FROM vcol WHERE chr = '2' AND vstart <= 40500 AND vend >= 29500
+    UNION ALL
+    SELECT 'range_nearest', fragment, 'range'
+    FROM (SELECT fragment FROM vcol WHERE chr = '3'
+          ORDER BY vstart DESC LIMIT 1)
+    UNION ALL
+    SELECT 'fragment', fragment, 'name'
+    FROM vcol WHERE fragment = '1_50000_50099'
+    UNION ALL
+    SELECT 'ensembl', v.fragment, 'name'
+    FROM vcol v JOIN ens ON regexp_matches(lower(v.gene_names),
+                                           '\\b' || ens.nm || '\\b')
+    UNION ALL
+    SELECT 'multi', fragment, 'name'
+    FROM vcol WHERE regexp_matches(lower(gene_names), '\\bgene5\\b')
+               OR regexp_matches(lower(gene_names), '\\bgene7\\b')
+    UNION ALL
+    SELECT 'mixed', fragment, kind FROM (
+      SELECT fragment, 'name' AS kind FROM vcol
+      WHERE regexp_matches(lower(gene_names), '\\bgene5\\b')
+      UNION
+      SELECT fragment, 'range' FROM vcol
+      WHERE chr = '2' AND vstart <= 40000 AND vend >= 30000)
+    """,
+    doc="Search-dispatch suite (reference search dispatch, "
+    "network_generator_lib.R:78-231; judge r4 task 3), tagged union over "
+    "plans/search.resolve_search_seeds on the q63 network: Q1 range "
+    "±expand (chr:start-end → overlap filter) and the no-overlap "
+    "NEAREST fallback (:177-193), Q2 fragment-id exact lookup, Q4 "
+    "ensembl-id translate via ensembl2name then token probe (:95-99), "
+    "Q5 multi-term split-union incl. a mixed name+range term (:218). "
+    "Spark answers gene arms from the inverted token index (equi-join); "
+    "the oracle keeps the reference's word-boundary regex — the gate "
+    "proves the equivalence arm by arm.",
+)
+def q69_search_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.network_build import build_network
+    from .plans.search import build_token_index, resolve_search_seeds
+
+    nodes, _edges = build_network(
+        _synthetic_pchic(spark, sf_dir), wt_threshold=30.0, materialize=True
+    )
+    nodes = nodes.localCheckpoint(eager=False)
+    tok = build_token_index(nodes).localCheckpoint(eager=False)
+    e2n = _t(spark, sf_dir, "part").select(
+        F.concat(F.lit("ENSG"), F.col("p_partkey").cast("string")).alias(
+            "ensembl_id"
+        ),
+        F.concat(F.lit("GENE"), (F.col("p_partkey") % 50).cast("string")).alias(
+            "gene_name"
+        ),
+    )
+    arms = [
+        ("range", resolve_search_seeds(nodes, "2:30000-40000", expand=500,
+                                       token_index=tok)),
+        ("range_nearest", resolve_search_seeds(nodes, "3:9999999",
+                                               token_index=tok)),
+        ("fragment", resolve_search_seeds(nodes, "1_50000_50099",
+                                          token_index=tok)),
+        ("ensembl", resolve_search_seeds(nodes, "ENSG7", ensembl2name=e2n,
+                                         token_index=tok)),
+        ("multi", resolve_search_seeds(nodes, "GENE5,GENE7", token_index=tok)),
+        ("mixed", resolve_search_seeds(nodes, "GENE5,2:30000-40000",
+                                       token_index=tok)),
+    ]
+    out = None
+    for gate, df in arms:
+        part = df.select(F.lit(gate).alias("gate"), "fragment", "kind")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+# =====================================================================
+# q70: distance-matched randomization property gate (SURVEY A6/G12 —
+# the last §2 rows that had no oracle-derived coverage; judge r4 task 2)
+# =====================================================================
+
+_RAND_ORACLE_SQL = f"""
+    WITH e AS ({_GRAPH_EDGES_SQL}),
+      stats AS (
+        SELECT COUNT(*) AS n_edges,
+               COUNT(DISTINCT src) AS n_unique_src,
+               COUNT(DISTINCT dst) AS n_unique_dst,
+               COUNT(CASE WHEN src % 5 <> dst % 5 THEN 1 END) AS n_interchrom_src_dst
+        FROM e)
+    SELECT m.mode, CAST(r.run AS BIGINT) AS run,
+           s.n_edges, s.n_unique_src, s.n_unique_dst,
+           CASE WHEN m.mode = 'dist' THEN s.n_interchrom_src_dst
+                ELSE CAST(0 AS BIGINT) END AS n_interchrom_stratum,
+           TRUE AS src_multiset_ok,
+           TRUE AS dst_multiset_ok,
+           TRUE AS stratum_histogram_ok,
+           TRUE AS same_seed_deterministic,
+           TRUE AS cross_seed_diverges
+    FROM (VALUES ('dist'), ('free')) AS m(mode)
+    CROSS JOIN (VALUES (0), (1), (2)) AS r(run)
+    CROSS JOIN stats s
+"""
+
+
+def _rand_graph(spark: SparkSession, sf_dir: str):
+    """The q22 graph + synthesized genomic positions: chr = id % 5,
+    start = (id · 1237) mod 1e7 — integer-exact in both engines, with
+    pair distances spanning ~7 decades so the log strata are populated."""
+    edges = _graph_edges(spark, sf_dir)
+    n = (
+        edges.select(F.col("src").alias("fragment"))
+        .union(edges.select(F.col("dst").alias("fragment")))
+        .distinct()
+    )
+    nodes = n.select(
+        "fragment",
+        (F.col("fragment") % 5).cast("string").alias("chr"),
+        ((F.col("fragment") * 1237) % 10000000).alias("start"),
+    )
+    return nodes, edges
+
+
+def _rand_property_rows(mode: str, nodes, edges) -> DataFrame:
+    """Per-run verdict row for one randomization mode ('dist' =
+    chaser dist.match=T, 'free' = dist.match=F). Counts are
+    oracle-recomputed from the parquet tables; the booleans are
+    structural invariants of a correct stratified permutation, computed
+    honestly here and asserted as literals by the oracle (q38 pattern).
+    """
+    from .operators.chas import edge_strata, randomize_edges_distance_matched
+
+    dm = mode == "dist"
+
+    def mh(*cols):
+        # order-independent multiset fingerprint: decimal sum of per-row
+        # hashes (no bigint overflow under ANSI mode)
+        return F.sum(F.xxhash64(*cols).cast("decimal(38,0)"))
+
+    strata = edge_strata(edges, nodes, dist_match=dm)
+    orig = strata.groupBy("stratum").agg(
+        F.count("*").alias("o_n"),
+        mh(F.col("src")).alias("o_sh"),
+        mh(F.col("dst")).alias("o_dh"),
+    )
+    orig_tot = orig.agg(
+        F.count("*").alias("o_strata"), F.sum("o_n").alias("o_edges")
+    )
+
+    def rand(seed):
+        return randomize_edges_distance_matched(
+            edges, nodes, n_random=3, seed=seed, dist_match=dm, keep_stratum=True
+        )
+
+    main = rand(42).localCheckpoint(eager=False)
+
+    per_stratum = (
+        main.groupBy("run", "stratum")
+        .agg(
+            F.count("*").alias("n"),
+            mh(F.col("src")).alias("sh"),
+            mh(F.col("dst")).alias("dh"),
+        )
+        .join(F.broadcast(orig), "stratum", "left")
+    )
+    per_run = per_stratum.groupBy("run").agg(
+        F.count("*").alias("n_strata"),
+        F.sum("n").alias("n_edges"),
+        F.min(
+            F.col("o_n").isNotNull() & (F.col("n") == F.col("o_n"))
+        ).alias("_hist_pre"),
+        F.min(
+            (F.col("n") == F.col("o_n")) & (F.col("sh") == F.col("o_sh"))
+        ).alias("src_multiset_ok"),
+        F.min(
+            (F.col("n") == F.col("o_n")) & (F.col("dh") == F.col("o_dh"))
+        ).alias("dst_multiset_ok"),
+    )
+    uniq = main.groupBy("run").agg(
+        F.countDistinct("src").alias("n_unique_src"),
+        F.countDistinct("dst").alias("n_unique_dst"),
+        F.sum(F.when(F.col("stratum") == -1, 1).otherwise(0)).alias(
+            "n_interchrom_stratum"
+        ),
+    )
+
+    def pair_fp(r):
+        # multiset fingerprint of the full (run, stratum, src, dst) output
+        return r.groupBy("run").agg(
+            F.count("*").alias("_c"),
+            F.sum(
+                F.xxhash64("stratum", "src", "dst").cast("decimal(38,0)")
+            ).alias("_h"),
+        )
+
+    fp_main = pair_fp(main)
+    fp_same = pair_fp(rand(42)).select(
+        "run", F.col("_c").alias("_c2"), F.col("_h").alias("_h2")
+    )
+    fp_other = pair_fp(rand(43)).select(
+        "run", F.col("_c").alias("_c3"), F.col("_h").alias("_h3")
+    )
+    det = (
+        fp_main.join(fp_same, "run")
+        .join(fp_other, "run")
+        .join(F.broadcast(orig_tot))
+        .select(
+            "run",
+            ((F.col("_c") == F.col("_c2")) & (F.col("_h") == F.col("_h2"))).alias(
+                "same_seed_deterministic"
+            ),
+            # a different seed must produce a different permutation —
+            # vacuously true only on degenerate graphs with < 64 free
+            # permutation slots (identity probability ≤ 2⁻⁶⁴ above that,
+            # i.e. structurally impossible, keeping the gate
+            # deterministic on ANY corpus incl. regen drills)
+            (
+                (F.col("o_edges") - F.col("o_strata") < 64)
+                | (F.col("_h") != F.col("_h3"))
+                | (F.col("_c") != F.col("_c3"))
+            ).alias("cross_seed_diverges"),
+        )
+    )
+    return (
+        per_run.join(uniq, "run")
+        .join(det, "run")
+        .join(F.broadcast(orig_tot))
+        .select(
+            F.lit(mode).alias("mode"),
+            "run",
+            "n_edges",
+            "n_unique_src",
+            "n_unique_dst",
+            "n_interchrom_stratum",
+            "src_multiset_ok",
+            "dst_multiset_ok",
+            (
+                F.col("_hist_pre") & (F.col("n_strata") == F.col("o_strata"))
+            ).alias("stratum_histogram_ok"),
+            "same_seed_deterministic",
+            "cross_seed_diverges",
+        )
+    )
+
+
+@register(
+    "q70_randomization_properties",
+    _RAND_ORACLE_SQL,
+    doc="Distance-matched edge randomization null model (SURVEY A6/G12: "
+    "chaser randomize(dist.match=T/F), reference "
+    "network_generator_lib.R:533-556 / merge_features.R:79-103) as a "
+    "derived-property verdict gate (q38 pattern): per (mode, run) — "
+    "edge count, endpoint-distinct counts and the interchromosomal-"
+    "stratum size recomputed independently by the oracle from the "
+    "parquet tables; per-stratum histogram equality pre/post rewiring, "
+    "endpoint multiset preservation per stratum (order-independent "
+    "hash-sum fingerprints), same-seed bit-determinism and cross-seed "
+    "divergence (guarded vacuous below 64 permutation slots so the "
+    "property stays deterministic on any corpus) computed distributed "
+    "and asserted as literals. Both reference modes gated: 'dist' = "
+    "net/pp (dist.match=T), 'free' = po (dist.match=F, one stratum).",
+)
+def q70_randomization_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, edges = _rand_graph(spark, sf_dir)
+    edges = edges.localCheckpoint(eager=False)
+    return _rand_property_rows("dist", nodes, edges).unionByName(
+        _rand_property_rows("free", nodes, edges)
+    )
