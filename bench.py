@@ -229,7 +229,8 @@ def main() -> None:
         from garden_net_backend_spark.queries import _synthetic_pchic
 
         nodes, edges = build_network(
-            _synthetic_pchic(spark, sf_dir), wt_threshold=30.0, materialize=True
+            _synthetic_pchic(spark, sf_dir), wt_threshold=30.0, materialize=True,
+            with_degree=False,  # serving recomputes per-subnet degree
         )
         tables = write_bucketed_search_tables(nodes, build_token_index(nodes))
         bnodes = spark.table(tables["nodes"])
@@ -268,6 +269,27 @@ def main() -> None:
         "this sf changed; output identical (oracle-gated)",
         "q54_ivf_ann_topk": "headline = prebuilt-index probe; build "
         "(incl. Lloyd refine) is extras.q54_build_sec",
+        "q66_feature_merge_chas": "round 5: chas() now broadcasts the "
+        "network-sized feature grid (both lookups) so the 466k-row "
+        "symmetrized edge stream never shuffles (was: Spark broadcast "
+        "the EDGE side off stat-less checkpoints, then shuffled the "
+        "1.4M-row edge×feature intermediate, ~3.5s) — the r4 +12% "
+        "quiet drift attributed to that join shape plus sibling load; "
+        "also with_degree=False skips the unused nodes.degree join",
+        "q65_network_metadata_bundle": "round 5: with_degree=False "
+        "(bundle recomputes degrees itself) + davg/triples merged to "
+        "one deg pass; r4 +18% was load-inflated — r5 per-stage drill "
+        "pinned the structural costs (build 2.1s, nodes ckpt 0.9s, "
+        "aggregates ~1.3s, triangles 1.2s)",
+        "q45_scalar_misc": "round 5: dedup_rep/rep_split arms moved to "
+        "q71_cluster_representatives — the ~5s 'plan build' was their "
+        "inherently-eager connected-components solve (pair-join eval + "
+        "bounded driver union-find), now billed to the gate that does "
+        "the work; q45's builder is fully lazy",
+        "q71_cluster_representatives": "new in round 5 (split from "
+        "q45): runtime = exact-Jaccard pair join + CC driver solve + "
+        "two arm scans — the former q45 _plan_build cost, now "
+        "attributed honestly",
     }
     detail = {
         "samples": samples,

@@ -31,12 +31,24 @@ def chas(
     value_col: str = "value",
     src: str = "src",
     dst: str = "dst",
+    broadcast_features: bool = False,
 ) -> DataFrame:
     """Per-feature assortativity → (feature, chas).
 
     ``features`` is long-form ``(node_key, feature, value)`` — the dense
     output of ``overlap_aggregate`` plugs in directly.
-    """
+
+    ``broadcast_features=True`` broadcasts BOTH feature lookups: the
+    edge stream then never shuffles — two map-side hash joins + a
+    partial-agg-per-feature, zero wide exchanges. Right whenever the
+    feature grid is network-sized (the serving/metadata paths: ~10⁶
+    nodes × ~10² features tops). The default leaves the strategy to
+    Catalyst/AQE for pipeline-scale feature tables that outgrow a
+    broadcast — there the shuffle-on-key SortMergeJoin IS the correct
+    100 TB plan. (Without the hint, checkpointed inputs carry no stats
+    and Spark has been observed broadcasting the EDGE side — 466k rows
+    — then shuffling the edge×feature intermediate, ~3.5s of the q66
+    gate; the hint turns that into <1s with no shuffle.)"""
     sym = symmetrize(edges, src, dst)
     f_src = features.select(
         F.col(node_key).alias("src"),
@@ -48,6 +60,8 @@ def chas(
         F.col(feature_col).alias("feature"),
         F.col(value_col).alias("y"),
     )
+    if broadcast_features:
+        f_src, f_dst = F.broadcast(f_src), F.broadcast(f_dst)
     paired = sym.join(f_src, "src").join(f_dst, ["dst", "feature"])
     return paired.groupBy("feature").agg(
         exact_corr(F.col("x"), F.col("y")).alias("chas")

@@ -114,8 +114,10 @@ def _random_chas_interval(
         F.col("fragment").alias("dst"), "feature", F.col("value").alias("y")
     )
     per_run = (
-        sym.join(f_src, "src")
-        .join(f_dst, ["dst", "feature"])
+        # network-sized feature grid → broadcast lookups, the n_random-
+        # fanned edge stream stays shuffle-free (chas docstring)
+        sym.join(F.broadcast(f_src), "src")
+        .join(F.broadcast(f_dst), ["dst", "feature"])
         .groupBy("run", "feature")
         .agg(exact_corr(F.col("x"), F.col("y")).alias("chas"))
     )
@@ -154,7 +156,7 @@ def _metrics_for_subset(
     }
     ch = {
         r["feature"]: (round(r["chas"], 6) if r["chas"] is not None else None)
-        for r in chas(sub_edges, features_sub).collect()
+        for r in chas(sub_edges, features_sub, broadcast_features=True).collect()
     }
     md = {
         r["feature"]: r["mean_degree"]

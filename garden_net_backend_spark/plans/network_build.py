@@ -152,6 +152,7 @@ def build_network(
     chromosome: str | None = None,
     hic_mode: bool = False,
     materialize: bool = False,
+    with_degree: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Full §3.1 steps 2-8: scan → threshold → typing → chromosome view
     → vertices + simplified edges with per-node degree. Returns
@@ -164,7 +165,13 @@ def build_network(
     ~3×. With it, the chain runs once and every downstream consumer
     (vertex collapse, degree join, search, metrics) reads the
     materialized block — the in-session analogue of the S9 serving
-    tables."""
+    tables.
+
+    ``with_degree=False`` skips the per-node degree aggregation + join
+    — for consumers that never read ``nodes.degree`` (metadata bundles
+    recomputing degrees from their own edge subset, annotation and
+    search-seed paths) it removes one shuffle-join from the nodes
+    lineage for free."""
     inter = filter_threshold(interactions, wt_threshold)
     inter = with_fragment_keys(inter)
     inter = type_edges(inter, hic_mode)
@@ -175,12 +182,13 @@ def build_network(
     edges = derive_edges(inter)
     if materialize:
         edges = edges.localCheckpoint(eager=True)
-    deg = degrees(edges.select("src", "dst"))
-    nodes = (
-        nodes.join(deg, nodes["fragment"] == deg["node"], "left")
-        .drop("node")
-        .withColumn("degree", F.coalesce(F.col("degree"), F.lit(0)))
-    )
+    if with_degree:
+        deg = degrees(edges.select("src", "dst"))
+        nodes = (
+            nodes.join(deg, nodes["fragment"] == deg["node"], "left")
+            .drop("node")
+            .withColumn("degree", F.coalesce(F.col("degree"), F.lit(0)))
+        )
     return nodes, edges
 
 

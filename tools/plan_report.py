@@ -131,6 +131,39 @@ CASES = [
         "ONE shuffle, not three",
         ["Window", "Exchange", "Sort"],
     ),
+    (
+        "q66_feature_merge_chas",
+        "ChAS metrics: the network-sized feature grid is broadcast into "
+        "BOTH endpoint lookups (round 5) — the symmetrized edge stream "
+        "flows scan → two BroadcastHashJoins → partial agg per feature "
+        "with no wide exchange of the edge×feature intermediate "
+        "(stat-less checkpoints previously made Spark broadcast the "
+        "466k-row EDGE side and shuffle 1.4M rows)",
+        ["BroadcastHashJoin", "BroadcastExchange", "partial_count", "Exchange"],
+    ),
+    (
+        "q68_annotation_suite",
+        "Annotation suite: bait-name table and curated alias table both "
+        "broadcast; the promoter token explode is a Generate chain and "
+        "the positional re-collapse a hash aggregation — no shuffle "
+        "larger than the promoter token set",
+        ["BroadcastHashJoin", "Generate", "HashAggregate", "Exchange"],
+    ),
+    (
+        "q69_search_dispatch",
+        "Search dispatch: every gene/ensembl arm probes the token index "
+        "with an equi-join (no full-table rlike in any seed path); range "
+        "arms are pushed predicates over the checkpointed node table",
+        ["BroadcastHashJoin", "rlike", "Join"],
+    ),
+    (
+        "q70_randomization_properties",
+        "Randomization gate: the run fan-out is a broadcast of the 3-row "
+        "run range; permutations are two row_number windows sharing the "
+        "(run, stratum) partitioning; every verdict reduces via "
+        "map-side-combinable aggregates on that same key",
+        ["Window", "partial_sum", "BroadcastExchange", "Exchange"],
+    ),
 ]
 
 

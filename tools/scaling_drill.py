@@ -1,11 +1,15 @@
-"""SCALING.md drill (judge r3 task 3): time the most expensive catalog
-queries at the bench scale (sf0.1) and at a ~10x synthetic scale-up
-(tools/make_scale_data.py output), print per-query wall times and
-ratios. Super-linear ratios beyond shuffle-log factors flag 100x
-hazards no sf0.1 bench can see.
+"""SCALING.md drill (judge r3 task 3; full-catalog coverage judge r4
+task 5): time catalog queries at the bench scale (sf0.1) and at a ~10x
+synthetic scale-up (tools/make_scale_data.py output), print per-query
+wall times and ratios. Super-linear ratios beyond shuffle-log factors
+flag 100x hazards no sf0.1 bench can see.
 
-Usage: python tools/scaling_drill.py [small_dir] [big_dir] [q ...]
-Writes SCALING_RAW.json next to the repo root.
+Usage: python tools/scaling_drill.py [small_dir] [big_dir] [q ...|all]
+``all`` (or no query args) runs the ENTIRE catalog. Each sample is
+load-gated: the drill waits (bounded) for the 1-min loadavg to fall
+under --quiet-load before timing, so sibling-container bursts don't
+masquerade as super-linear scaling (the r4 drill's q30/q66 false
+positives). Writes SCALING_RAW.json next to the repo root.
 """
 
 from __future__ import annotations
@@ -20,28 +24,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from garden_net_backend_spark.queries import CATALOG
 from garden_net_backend_spark.session import get_session
 
-DEFAULT_QUERIES = [
-    "q23_node_metrics",
-    "q29_content_dedup",
-    "q30_ngram_jaccard_dedup",
-    "q31_minhash_lsh_dedup",
-    "q32_simhash_dedup",
-    "q38_lsh_ann_topk",
-    "q45_scalar_misc",
-    "q51_approx_distinct",
-    "q54_ivf_ann_topk",
-    "q56_embedding_dup_pairs",
-    "q57_embedding_dup_pairs_lsh",
-    "q64_search_ego_subnetwork",
-    "q65_network_metadata_bundle",
-    "q66_feature_merge_chas",
-]
+_QUIET_LOAD = float(os.environ.get("DRILL_QUIET_LOAD", "5.0"))
+_MAX_WAIT_PER_SAMPLE_SEC = float(os.environ.get("DRILL_MAX_WAIT", "60"))
+
+
+def _wait_quiet() -> float:
+    waited = 0.0
+    while os.getloadavg()[0] >= _QUIET_LOAD and waited < _MAX_WAIT_PER_SAMPLE_SEC:
+        time.sleep(5.0)
+        waited += 5.0
+    return waited
 
 
 def main() -> None:
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scaledata/sf1"
-    names = sys.argv[3:] or DEFAULT_QUERIES
+    names = sys.argv[3:]
+    if not names or names == ["all"]:
+        names = list(CATALOG)
     spark = get_session("scaling_drill")
     # warm JVM + python worker pool once
     CATALOG["q01_pricing_summary"].spark_fn(spark, small).collect()
@@ -52,6 +52,8 @@ def main() -> None:
     out: dict[str, dict] = {}
     for sf_dir, key in ((small, "small"), (big, "big")):
         for name in names:
+            _wait_quiet()
+            load0 = round(os.getloadavg()[0], 1)
             t0 = time.time()
             df = CATALOG[name].spark_fn(spark, sf_dir)
             df.persist()
@@ -65,8 +67,8 @@ def main() -> None:
             rec = out.setdefault(name, {})
             rec[key] = el
             rec[f"{key}_rows"] = n
-            rec[f"{key}_load"] = round(os.getloadavg()[0], 1)
-            print(f"{key:5s} {name:32s} {el:8.2f}s  {n} rows", flush=True)
+            rec[f"{key}_load"] = load0
+            print(f"{key:5s} {name:32s} {el:8.2f}s  {n} rows  load {load0}", flush=True)
             del df
             import gc
 
