@@ -49,7 +49,16 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING_RAW.json",
+    )
+    # merge-incremental: chunked invocations (the full catalog exceeds
+    # one sitting) accumulate into the same raw file
     out: dict[str, dict] = {}
+    if os.path.exists(path) and os.environ.get("DRILL_FRESH") != "1":
+        with open(path) as fh:
+            out = json.load(fh)
     for sf_dir, key in ((small, "small"), (big, "big")):
         for name in names:
             _wait_quiet()
@@ -74,12 +83,8 @@ def main() -> None:
 
             gc.collect()
     for name, rec in out.items():
-        if rec.get("small"):
+        if rec.get("small") and rec.get("big") is not None:
             rec["ratio"] = round(rec["big"] / rec["small"], 2)
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "SCALING_RAW.json",
-    )
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(json.dumps({n: r.get("ratio") for n, r in out.items()}, sort_keys=True))
