@@ -161,6 +161,7 @@ def randomize_edges_distance_matched(
     dist_bins_per_decade: int = 4,
     dist_match: bool = True,
     keep_stratum: bool = False,
+    strata: DataFrame | None = None,
 ) -> DataFrame:
     """Distance-matched edge randomization (chaser ``randomize(...,
     dist.match=TRUE)``; reference network_generator_lib.R:533-556;
@@ -194,8 +195,14 @@ def randomize_edges_distance_matched(
     whose output depends on partition assignment). Goldens should still
     treat random-ChAS as interval bounds (min/max), as the reference's
     tests do.
+
+    ``strata`` short-circuits the internal :func:`edge_strata` call
+    with a precomputed (and typically checkpointed) ``(src, dst,
+    stratum)`` frame — callers that invoke the randomizer several
+    times over the same edge set (the q70 gate's determinism/
+    divergence probes) then pay the stratification joins once.
     """
-    e = edge_strata(
+    e = strata if strata is not None else edge_strata(
         edges,
         nodes,
         node_key=node_key,

@@ -351,11 +351,22 @@ def annotate_promoter_names(
         id2 = F.regexp_replace(F.col(second[0]), "MGI:", "")
     else:
         id2 = F.col(second[0])
-    al = alias_db.select(
-        F.upper(F.col("gene_name")).alias("_uname"),
-        F.col("ensembl_id").alias("_ens"),
-        id2.alias("_id2"),
-    ).dropDuplicates(["_uname"])
+    # one row per upper-cased name, pick pinned by (ensembl, id2) sort —
+    # a bare dropDuplicates picks whichever partition arrives first, a
+    # nondeterminism if an alias DB ever carries duplicate gene names
+    # with different payloads (real DBs don't; the guard costs one
+    # combinable min aggregate)
+    al = (
+        alias_db.select(
+            F.upper(F.col("gene_name")).alias("_uname"),
+            F.struct(
+                F.col("ensembl_id").alias("_ens"), id2.alias("_id2")
+            ).alias("_payload"),
+        )
+        .groupBy("_uname")
+        .agg(F.min("_payload").alias("_payload"))
+        .select("_uname", F.col("_payload._ens").alias("_ens"), F.col("_payload._id2").alias("_id2"))
+    )
     joined = toks.join(F.broadcast(al), F.col("_ctok") == F.col("_uname"), "left")
     agg_exprs = [
         F.array_join(

@@ -46,7 +46,7 @@ from ..operators.graph import (
     induced_subgraph,
     symmetrize,
 )
-from ..operators.interval import nearest_interval_join, range_query
+from ..operators.interval import range_query
 
 _RANGE_RE = re.compile(r"^(([12]?[0-9])|([XYxy])):(\d+)(-(\d+))?$")
 _FRAGMENT_RE = re.compile(r"^(([12]?[0-9])|([XYxy]))_\d+_\d+$", re.IGNORECASE)
@@ -172,19 +172,35 @@ def _range_seeds(
     hits = range_query(nodes, chrom, qstart, qend, expand=expand).select("fragment")
     if nearest or hits.limit(1).isEmpty():
         # fallback/nearest mode: single closest fragment (reference
-        # network_generator_lib.R:177-193)
-        q = nodes.sparkSession.createDataFrame(
-            [(chrom, qstart - expand, qend + expand)], "chr string, qs long, qe long"
+        # network_generator_lib.R:177-193). ONE query point needs no
+        # as-of machinery: a chromosome-pruned filter + one combinable
+        # min(struct) aggregate — same winner and the same
+        # (distance, start, end, id) tie-break as the generic
+        # nearest_interval_join kernel (q20/J7), at a fraction of the
+        # stages (the union-sort kernel cost ~2.8s of the q69 gate for
+        # a 1-row query; this is one scan). This is also the serving
+        # shape: an interactive query touches one chromosome partition,
+        # not a global union-sort.
+        qs2, qe2 = qstart - expand, qend + expand
+        dist = F.greatest(
+            F.col("start") - F.lit(qe2), F.lit(qs2) - F.col("end"), F.lit(0)
         )
-        nn = nearest_interval_join(
-            q,
-            nodes.select("chr", "start", "end", "fragment"),
-            on="chr",
-            query_range=("qs", "qe"),
-            target_range=("start", "end"),
-            target_id="fragment",
+        best = (
+            nodes.filter(F.col("chr") == chrom)
+            .agg(
+                F.min(
+                    F.struct(
+                        dist.alias("_d"),
+                        F.col("start").alias("_s"),
+                        F.col("end").alias("_e"),
+                        F.col("fragment").alias("_f"),
+                    )
+                ).alias("_b")
+            )
+            .filter(F.col("_b").isNotNull())
+            .select(F.col("_b._f").alias("fragment"))
         )
-        return nn.select("fragment")
+        return best
     return hits
 
 

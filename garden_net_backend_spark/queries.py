@@ -3583,7 +3583,10 @@ def _rand_property_rows(mode: str, nodes, edges) -> DataFrame:
         # hashes (no bigint overflow under ANSI mode)
         return F.sum(F.xxhash64(*cols).cast("decimal(38,0)"))
 
-    strata = edge_strata(edges, nodes, dist_match=dm)
+    # stratify once, checkpoint, and feed the SAME frame to the orig
+    # aggregates and all four randomizer invocations (main + determinism
+    # + divergence probes) — the stratification joins run once
+    strata = edge_strata(edges, nodes, dist_match=dm).localCheckpoint(eager=False)
     orig = strata.groupBy("stratum").agg(
         F.count("*").alias("o_n"),
         mh(F.col("src")).alias("o_sh"),
@@ -3595,7 +3598,8 @@ def _rand_property_rows(mode: str, nodes, edges) -> DataFrame:
 
     def rand(seed):
         return randomize_edges_distance_matched(
-            edges, nodes, n_random=3, seed=seed, dist_match=dm, keep_stratum=True
+            edges, nodes, n_random=3, seed=seed, dist_match=dm,
+            keep_stratum=True, strata=strata,
         )
 
     main = rand(42).localCheckpoint(eager=False)
