@@ -3166,10 +3166,14 @@ def q66_feature_merge_chas(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synthetic_pchic(spark, sf_dir), wt_threshold=30.0, materialize=True,
         with_degree=False,
     )
-    # nodes feeds the overlap grid + metrics, edges feeds chas + degrees
-    # — materialize=True runs the scan→typing chain once; nodes then
-    # checkpoints cheaply on top of it
-    nodes = nodes.localCheckpoint(eager=True)
+    # nodes feeds ONLY the overlap grid (fragment + coordinates), edges
+    # feed chas + degrees — materialize=True runs the scan→typing chain
+    # once; checkpoint just the coordinate projection so column pruning
+    # drops the gene-name string work the grid never reads (the q65
+    # trick, round 5)
+    nodes = nodes.select("fragment", "chr", "start", "end").localCheckpoint(
+        eager=True
+    )
     part = _t(spark, sf_dir, "part")
     intervals = part.select(
         (F.col("p_partkey") % 5 + 1).cast("string").alias("chr"),

@@ -123,3 +123,53 @@ def test_chas_broadcast_features_identical(spark, nodes):
         for r in chas(edges, feats, broadcast_features=True).collect()
     }
     assert plain == bcast and len(plain) == 2
+
+
+def test_randomizer_adversarial_graph_invariants(spark):
+    """Invariants on a graph the q70 gate's corpus never produces:
+    duplicate coordinates (distance-0 pairs), interchromosomal edges
+    (stratum -1), a singleton stratum, and n_random close to |E|."""
+    from collections import Counter, defaultdict
+
+    ndf = spark.createDataFrame(
+        [
+            ("A", "1", 0, 10),
+            ("B", "1", 0, 10),  # duplicate coords → zero distance
+            ("C", "1", 5, 15),
+            ("D", "2", 0, 10),
+            ("E", "2", 1_000_000, 1_000_100),
+            ("F", "3", 7, 17),
+        ],
+        "fragment string, chr string, start long, end long",
+    )
+    edf = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "C"), ("A", "D"), ("D", "E"), ("E", "F")],
+        "src string, dst string",
+    )
+    orig = [
+        (r["src"], r["dst"], r["stratum"])
+        for r in edge_strata(edf, ndf).collect()
+    ]
+    assert {st for _, _, st in orig} >= {-1}  # cross-chr stratum present
+    rand = randomize_edges_distance_matched(
+        edf, ndf, n_random=5, seed=3, keep_stratum=True
+    )
+    rows = rand.collect()
+
+    def by_stratum(triples):
+        out = defaultdict(lambda: (Counter(), Counter()))
+        for s, d, st in triples:
+            out[st][0][s] += 1
+            out[st][1][d] += 1
+        return out
+
+    want = by_stratum(orig)
+    for run in range(5):
+        es = [
+            (r["src"], r["dst"], r["stratum"]) for r in rows if r["run"] == run
+        ]
+        assert len(es) == 6  # histogram: every edge exactly once
+        got = by_stratum(es)
+        assert got.keys() == want.keys()
+        for st in want:
+            assert got[st] == want[st]  # per-stratum endpoint multisets
