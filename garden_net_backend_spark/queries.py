@@ -3526,6 +3526,85 @@ def q69_search_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# q72: chromosome / pseudo-chromosome / Hi-C views (SURVEY F2+F3+S2 —
+# folds the last domain-only filter semantics into the oracle catalog)
+# =====================================================================
+
+
+@register(
+    "q72_chromosome_views",
+    """
+    WITH inter AS (
+      SELECT CAST(l_orderkey % 5 + 1 AS VARCHAR) AS baitChr,
+             (l_partkey % 1000) * 100 AS baitStart,
+             (l_partkey % 1000) * 100 + 99 AS baitEnd,
+             CAST(l_suppkey % 5 + 1 AS VARCHAR) AS oeChr,
+             (l_orderkey % 1000) * 100 AS oeStart,
+             (l_orderkey % 1000) * 100 + 99 AS oeEnd
+      FROM lineitem WHERE l_quantity > 30),
+      keyed AS (
+        SELECT *,
+          baitChr || '_' || CAST(baitStart AS VARCHAR) || '_' || CAST(baitEnd AS VARCHAR) AS bf,
+          oeChr || '_' || CAST(oeStart AS VARCHAR) || '_' || CAST(oeEnd AS VARCHAR) AS oef
+        FROM inter),
+      baits AS (SELECT DISTINCT bf AS bkey FROM keyed),
+      typed AS (
+        SELECT k.*, CASE WHEN b.bkey IS NOT NULL THEN 'P-P' ELSE 'P-O' END AS type
+        FROM keyed k LEFT JOIN baits b ON k.oef = b.bkey),
+      c2 AS (SELECT least(bf, oef) AS s, greatest(bf, oef) AS d, type
+             FROM typed WHERE (baitChr = '2' OR oeChr = '2') AND bf <> oef),
+      pp AS (SELECT least(bf, oef) AS s, greatest(bf, oef) AS d, type
+             FROM typed WHERE type = 'P-P' AND bf <> oef),
+      hic AS (SELECT DISTINCT least(bf, oef) AS s, greatest(bf, oef) AS d
+              FROM keyed WHERE bf <> oef)
+    SELECT 'chr2' AS gate, s AS src, d AS dst, MIN(type) AS type
+    FROM c2 GROUP BY s, d
+    UNION ALL
+    SELECT 'pp', s, d, MIN(type) FROM pp GROUP BY s, d
+    UNION ALL
+    SELECT 'hic', s, d, 'O-O' FROM hic
+    """,
+    doc="Network view suite (SURVEY F2/F3/S2; reference "
+    "network_generator_lib.R:315-317, network_generator.R:81-85,59): "
+    "the per-chromosome view keeps every interaction TOUCHING the "
+    "chromosome (interchromosomal edges included) with edge typing "
+    "computed on the FULL network first; the 'PP' pseudo-chromosome "
+    "view keeps P-P interactions only; Hi-C mode types every edge "
+    "O-O. Each arm runs the real build_network pipeline "
+    "(threshold → keys → typing → view filter → igraph-simplify) and "
+    "emits its simplified edge list; the oracle replicates all three "
+    "from lineitem.",
+)
+def q72_chromosome_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.network_build import (
+        derive_edges,
+        filter_chromosome,
+        filter_threshold,
+        type_edges,
+        with_fragment_keys,
+    )
+
+    # the three views share the scan→threshold→keys→typing prefix —
+    # run it once (checkpointed) and fork the view filters off it,
+    # exactly how the serving layer would read the S9 typed table
+    base = type_edges(
+        with_fragment_keys(filter_threshold(_synthetic_pchic(spark, sf_dir), 30.0))
+    ).localCheckpoint(eager=False)
+    arms = [
+        ("chr2", derive_edges(filter_chromosome(base, "2"))),
+        ("pp", derive_edges(filter_chromosome(base, "PP"))),
+        # Hi-C mode retypes every edge O-O (type_edges(hic_mode=True)
+        # is a literal — applied over the shared base)
+        ("hic", derive_edges(base.withColumn("type", F.lit("O-O")))),
+    ]
+    out = None
+    for gate, edges in arms:
+        arm = edges.select(F.lit(gate).alias("gate"), "src", "dst", "type")
+        out = arm if out is None else out.unionByName(arm)
+    return out
+
+
+# =====================================================================
 # q70: distance-matched randomization property gate (SURVEY A6/G12 —
 # the last §2 rows that had no oracle-derived coverage; judge r4 task 2)
 # =====================================================================
