@@ -290,6 +290,16 @@ def main() -> None:
         "q45): runtime = exact-Jaccard pair join + CC driver solve + "
         "two arm scans — the former q45 _plan_build cost, now "
         "attributed honestly",
+        "q68_annotation_suite": "new in round 5: J3+J11 annotation "
+        "suite (bait overwrite + curated promoter alias join)",
+        "q69_search_dispatch": "new in round 5: Q1/Q2/Q4/Q5 dispatch "
+        "arms over resolve_search_seeds; nearest fallback is a "
+        "single-aggregate plan",
+        "q70_randomization_properties": "new in round 5: A6/G12 "
+        "derived-property verdicts, both dist.match modes, shared "
+        "strata checkpoint",
+        "q72_chromosome_views": "new in round 5: chr/PP/Hi-C view "
+        "semantics off one typed-interaction checkpoint",
     }
     detail = {
         "samples": samples,
