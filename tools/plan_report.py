@@ -164,6 +164,22 @@ CASES = [
         "map-side-combinable aggregates on that same key",
         ["Window", "partial_sum", "BroadcastExchange", "Exchange"],
     ),
+    (
+        "q71_cluster_representatives",
+        "Cluster representatives: the near-dup pair emitter is the "
+        "inverted-index hash equi-join (no pairwise product); the solved "
+        "(dup → representative) map re-joins the corpus as a BROADCAST — "
+        "dup-count-sized, never corpus-sized",
+        ["BroadcastHashJoin", "Generate", "Exchange", "Join"],
+    ),
+    (
+        "q72_chromosome_views",
+        "View suite: all three views fork off one checkpointed typed "
+        "scan; each is a pushed filter + one partial-aggregated "
+        "min(struct) collapse — no window sort, no re-scan of the raw "
+        "interactions per view",
+        ["HashAggregate", "partial_min", "Scan ExistingRDD", "Exchange"],
+    ),
 ]
 
 
