@@ -300,6 +300,13 @@ def main() -> None:
         "strata checkpoint",
         "q72_chromosome_views": "new in round 5: chr/PP/Hi-C view "
         "semantics off one typed-interaction checkpoint",
+        "q64_search_ego_subnetwork": "headline = cold build + token "
+        "index + search (warm bucketed serving is "
+        "extras.q64_warm_serving_min_sec). Round-5 A/B: checkpointing "
+        "seeds/sub_edges inside search_subnetwork measured ~0.5s "
+        "SLOWER — Spark's ReusedExchange already dedupes the ego-join "
+        "subplans within the single action, so the extra "
+        "materialization barriers only add cost; kept the lazy plan",
     }
     detail = {
         "samples": samples,
