@@ -3670,13 +3670,29 @@ def _rand_property_rows(mode: str, nodes, edges) -> DataFrame:
     # aggregates and all four randomizer invocations (main + determinism
     # + divergence probes) — the stratification joins run once
     strata = edge_strata(edges, nodes, dist_match=dm).localCheckpoint(eager=False)
+    # o_cds/o_cdd feed the divergence guard's free-slot count: a
+    # stratum whose src OR dst side is constant is permutation-
+    # invariant (identical endpoints permute to the same pair
+    # multiset), so its rows carry no divergence entropy — free_b =
+    # min(distinct_src, distinct_dst) − 1, summed. Folded into the ONE
+    # per-stratum aggregate rather than separate multiplicity shuffles.
     orig = strata.groupBy("stratum").agg(
         F.count("*").alias("o_n"),
         mh(F.col("src")).alias("o_sh"),
         mh(F.col("dst")).alias("o_dh"),
+        # approx (HLL++, deterministic) — exact multi-distinct would
+        # Expand the row stream ×3 under the decimal hash sums; the
+        # guard only compares the summed slots against a 64 threshold,
+        # where HLL's small-range correction is effectively exact
+        F.approx_count_distinct("src").alias("o_cds"),
+        F.approx_count_distinct("dst").alias("o_cdd"),
     )
     orig_tot = orig.agg(
-        F.count("*").alias("o_strata"), F.sum("o_n").alias("o_edges")
+        F.count("*").alias("o_strata"),
+        F.sum("o_n").alias("o_edges"),
+        F.sum(
+            F.greatest(F.least("o_cds", "o_cdd") - 1, F.lit(0))
+        ).alias("o_free"),
     )
 
     def rand(seed):
@@ -3744,11 +3760,13 @@ def _rand_property_rows(mode: str, nodes, edges) -> DataFrame:
             ),
             # a different seed must produce a different permutation —
             # vacuously true only on degenerate graphs with < 64 free
-            # permutation slots (identity probability ≤ 2⁻⁶⁴ above that,
-            # i.e. structurally impossible, keeping the gate
-            # deterministic on ANY corpus incl. regen drills)
+            # permutation slots (o_free discounts strata whose src or
+            # dst side is constant, where any permutation is output-
+            # invariant; above 64 genuinely free slots the identical-
+            # output probability is astronomically small, keeping the
+            # gate deterministic on ANY corpus incl. regen drills)
             (
-                (F.col("o_edges") - F.col("o_strata") < 64)
+                (F.col("o_free") < 64)
                 | (F.col("_h") != F.col("_h3"))
                 | (F.col("_c") != F.col("_c3"))
             ).alias("cross_seed_diverges"),
