@@ -46,3 +46,30 @@ def test_hopeless_overflow_raises():
 def test_non_numeric_sf_passthrough():
     t = _timings(5)
     assert json.loads(render_bench_line(1.0, t, "custom"))["sf"] == "custom"
+
+
+def test_property_any_catalog_shape_fits_or_raises():
+    """Property (hypothesis): for ANY plausible catalog shape the line
+    either fits the driver window with the full key set intact, or
+    raises — it never silently emits an oversize/lossy line."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    keys = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789_", min_size=3, max_size=48
+    )
+    vals = st.floats(
+        min_value=0.0, max_value=9999.0, allow_nan=False, allow_infinity=False
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.dictionaries(keys, vals, min_size=1, max_size=90))
+    def check(t):
+        try:
+            line = render_bench_line(sum(t.values()), t, "0.1")
+        except AssertionError:
+            return  # loud failure is the contract for hopeless shapes
+        assert len(line) <= _MAX_LINE_CHARS
+        assert set(json.loads(line)["queries"]) == set(t)
+
+    check()
