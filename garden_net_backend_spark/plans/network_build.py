@@ -382,9 +382,15 @@ def annotate_promoter_names(
     ]
     if mus:
         # mus rebuilds promoter gene_names sentence-cased over the
-        # CURATED tokens (str_to_sentence(all_bait_names),
-        # network_generator_lib.R:819-822 — all_bait_names is the
-        # suffix-stripped, deduped upper token)
+        # CURATED tokens. DELIBERATE DIVERGENCE, not reference parity:
+        # generate_alias_mus COMPUTES str_to_sentence(all_bait_names)
+        # in its collapsed tibble (network_generator_lib.R:819-822) but
+        # then assigns only mgi/ensembl/gene_type back to the vertex
+        # table (R:833-835) — the sentence-cased column is apparent
+        # dead code there. We write it back on purpose so mus promoter
+        # display names actually carry the curation (suffix-stripped,
+        # deduped, sentence-cased) the reference computes and drops;
+        # pinned as OUR contract by the organism goldens.
         agg_exprs.append(
             F.array_join(
                 F.transform(

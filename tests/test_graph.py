@@ -211,3 +211,68 @@ def test_chas_and_randomization(spark):
     # different runs differ (with 9 edges the chance of identical
     # permutations across all 3 runs is negligible)
     assert len({tuple(sorted(es)) for es in per_run.values()}) > 1
+
+
+def test_free_slot_guard_exact_and_degenerate(spark):
+    """q70's cross-seed-divergence guard (judge r6 task 6): the
+    free-permutation-slot count must be EXACT (countDistinct, not HLL)
+    because it gates a hard o_free < 64 vacuity threshold, and the
+    whole q70 gate must stay green on a deliberately DEGENERATE corpus
+    near that threshold (strata with constant endpoints carry no
+    divergence entropy — the guard must make cross_seed_diverges
+    vacuously true instead of flaking)."""
+    from garden_net_backend_spark.operators.chas import edge_strata
+    from garden_net_backend_spark.queries import (
+        _free_permutation_slots,
+        _rand_property_rows,
+    )
+
+    # exactness: 4999 free slots in one stratum — an HLL++ estimate at
+    # default rsd would almost surely miss the exact value here
+    big = spark.range(0, 5000).selectExpr(
+        "cast(0 as long) as stratum",
+        "cast(id as string) as src",
+        "cast(id + 10000 as string) as dst",
+    )
+    assert _free_permutation_slots(big).collect()[0]["o_free"] == 4999
+
+    # degenerate star strata: every stratum's src side is constant →
+    # 0 free slots regardless of row count
+    star = spark.range(0, 200).selectExpr(
+        "cast(id % 4 as long) as stratum",
+        "concat('hub', id % 4) as src",
+        "cast(id as string) as dst",
+    )
+    assert _free_permutation_slots(star).collect()[0]["o_free"] == 0
+
+    # near-threshold: 63 free slots (one stratum, 64 distinct on each
+    # side) must stay BELOW the 64 gate — exactly the case where HLL
+    # overestimation used to be able to flip the guard
+    near = spark.range(0, 64).selectExpr(
+        "cast(0 as long) as stratum",
+        "cast(id as string) as src",
+        "cast(id + 100 as string) as dst",
+    )
+    assert _free_permutation_slots(near).collect()[0]["o_free"] == 63
+
+    # end-to-end q70 verdict rows on a degenerate near-threshold graph:
+    # a chain graph so small that every distance stratum holds a
+    # handful of edges — o_free < 64, so cross_seed_diverges must be
+    # vacuously true and every structural verdict still holds
+    nodes = [
+        (f"1_{i*100}_{i*100+50}", "1", i * 100) for i in range(12)
+    ]
+    ndf = spark.createDataFrame(nodes, "fragment string, chr string, start long")
+    edf = spark.createDataFrame(
+        [(nodes[i][0], nodes[i + 1][0]) for i in range(11)],
+        "src string, dst string",
+    )
+    strata = edge_strata(edf, ndf, dist_match=True)
+    assert _free_permutation_slots(strata).collect()[0]["o_free"] < 64
+    rows = _rand_property_rows("dist", ndf, edf).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["src_multiset_ok"] and r["dst_multiset_ok"]
+        assert r["stratum_histogram_ok"]
+        assert r["same_seed_deterministic"]
+        assert r["cross_seed_diverges"]  # vacuous below 64 slots

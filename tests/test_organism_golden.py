@@ -9,7 +9,12 @@ behavior (SURVEY §2.4): homo collapses (ensembl, name, alias, hgnc,
 gene_type) and ASCII-scrubs aliases; mus collapses (ensembl, name,
 gene_type, mgi), UPPERCASES other-end gene names
 (network_generator_lib.R:777) and sentence-cases promoter names in the
-name-join (str_to_sentence, :822) with the MGI: prefix stripped (:830).
+name-join with the MGI: prefix stripped (:830). The sentence-case
+write-back is a DELIBERATE divergence: the reference computes
+str_to_sentence(all_bait_names) (:819-822) but never assigns it back
+to the vertex table (:833-835 assigns only mgi/ensembl/gene_type) —
+we keep the computed curation instead of reproducing that apparent
+dead code (see plans/network_build.annotate_promoter_names).
 """
 
 import json
@@ -151,8 +156,10 @@ def test_a2_collapse_order_quirks(built):
         # MGI: prefix stripped in the OVERLAP arm too
         # (str_remove_all, network_generator_lib.R:777)
         assert oe["mgi_id"] == "101 102"
-        # mus promoter names sentence-cased by the name-join (:822)
-        # over the CURATED tokens: HOXA6-1 → HOXA6 → deduped away
+        # mus promoter names sentence-cased by the name-join over
+        # the CURATED tokens: HOXA6-1 → HOXA6 → deduped away.
+        # Deliberate divergence — the reference computes this
+        # (:819-822) but drops it (:833-835); OUR contract keeps it
         assert rows["1_100_200"]["gene_names"] == "Hoxa6 Hoxa-alt"
         # MGI: prefix stripped in the promoter-join id (:830);
         # HOXA6 matches (case-insensitive name join), HOXA-ALT doesn't

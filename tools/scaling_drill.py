@@ -28,6 +28,19 @@ _QUIET_LOAD = float(os.environ.get("DRILL_QUIET_LOAD", "5.0"))
 _MAX_WAIT_PER_SAMPLE_SEC = float(os.environ.get("DRILL_MAX_WAIT", "60"))
 
 
+def _git_rev() -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def _wait_quiet() -> float:
     waited = 0.0
     while os.getloadavg()[0] >= _QUIET_LOAD and waited < _MAX_WAIT_PER_SAMPLE_SEC:
@@ -77,6 +90,9 @@ def main() -> None:
             rec[key] = el
             rec[f"{key}_rows"] = n
             rec[f"{key}_load"] = load0
+            rec[f"{key}_rev"] = _git_rev()  # merge-incremental file mixes
+            # runs — stamp each sample so stale-code samples are
+            # identifiable after a plan change
             print(f"{key:5s} {name:32s} {el:8.2f}s  {n} rows  load {load0}", flush=True)
             del df
             import gc

@@ -1,0 +1,145 @@
+"""Serving-path 10x drill (judge r5 task 6 / r6 next-round task 4):
+time the WARM interactive search path — bucketed node/token tables,
+pinned edges — at bench scale (sf0.1) and at the ~10x synthetic
+scale-up, plus the full memoized serve_search miss/hit path
+(plans/serving.py). The r6 change under test: per-seed ego broadcast
+choice is AQE-delegated (plans/search.py) — this drill proves the
+delegated plan holds its ~1s-class warm latency at 10x.
+
+Usage: python tools/serving_drill.py [small_dir] [big_dir]
+Defaults: /root/testdata/sf0.1 /tmp/scaledata/sf1
+Writes SERVING_RAW.json at the repo root; paste the table into
+SCALING.md's serving section.
+
+Every timed sample is load-gated like tools/scaling_drill.py (waits
+bounded for 1-min loadavg < DRILL_QUIET_LOAD, default 5.0) so sibling-
+container bursts don't masquerade as scale regressions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from garden_net_backend_spark.session import get_session
+
+_QUIET_LOAD = float(os.environ.get("DRILL_QUIET_LOAD", "5.0"))
+_MAX_WAIT_PER_SAMPLE_SEC = float(os.environ.get("DRILL_MAX_WAIT", "60"))
+_TERMS = ["GENE12", "GENE7", "GENE23"]  # distinct → no cross-sample memo
+
+
+def _wait_quiet() -> float:
+    waited = 0.0
+    while os.getloadavg()[0] >= _QUIET_LOAD and waited < _MAX_WAIT_PER_SAMPLE_SEC:
+        time.sleep(5.0)
+        waited += 5.0
+    return waited
+
+
+def drill_scale(spark, sf_dir: str, tag: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from garden_net_backend_spark.plans.materialize import (
+        write_bucketed_search_tables,
+    )
+    from garden_net_backend_spark.plans.network_build import build_network
+    from garden_net_backend_spark.plans.search import (
+        build_token_index,
+        search_subnetwork,
+    )
+    from garden_net_backend_spark.plans.serving import ResultCache, serve_search
+    from garden_net_backend_spark.queries import _synthetic_pchic
+
+    rec: dict = {"sf_dir": sf_dir}
+
+    # ingest-side cost (billed separately, like bench extras): network
+    # build + token index + bucketed table write
+    t0 = time.time()
+    nodes, edges = build_network(
+        _synthetic_pchic(spark, sf_dir), wt_threshold=30.0, materialize=True,
+        with_degree=False,
+    )
+    tables = write_bucketed_search_tables(
+        nodes, build_token_index(nodes), prefix=f"svd_{tag}"
+    )
+    bnodes = spark.table(tables["nodes"])
+    btokens = spark.table(tables["token_index"])
+    edges = edges.persist()
+    rec["edges"] = edges.count()
+    rec["nodes"] = bnodes.count()
+    rec["build_sec"] = round(time.time() - t0, 2)
+
+    # warm search path (bench q64_warm_serving analogue): bucketed
+    # equi-joins + pinned edges, per-subnet degree recomputed
+    warm, loads = [], []
+    for term in _TERMS:
+        _wait_quiet()
+        loads.append(round(os.getloadavg()[0], 1))
+        t0 = time.time()
+        sub_nodes, _sub_edges = search_subnetwork(
+            bnodes, edges, term, token_index=btokens
+        )
+        sub_nodes.select("fragment", "type", "searched", "degree").collect()
+        warm.append(round(time.time() - t0, 3))
+    rec["warm_search_sec"] = warm
+    rec["warm_search_min_sec"] = min(warm)
+    rec["warm_search_load"] = loads
+
+    # full serve_search miss path (search + cytoscape JSON + cache put)
+    cache = ResultCache(f"/tmp/serving_drill_cache_{tag}")
+    cache.clear()
+    miss = []
+    for term in _TERMS:
+        _wait_quiet()
+        t0 = time.time()
+        _result, was_hit = serve_search(
+            cache, bnodes, edges, term, token_index=btokens
+        )
+        assert not was_hit
+        miss.append(round(time.time() - t0, 3))
+    rec["serve_miss_sec"] = miss
+    rec["serve_miss_min_sec"] = min(miss)
+
+    # memo hit: O(1) file read, must never launch a Spark job
+    t0 = time.time()
+    _result, was_hit = serve_search(
+        cache, bnodes, edges, _TERMS[0], token_index=btokens
+    )
+    assert was_hit
+    rec["serve_hit_sec"] = round(time.time() - t0, 4)
+
+    edges.unpersist()
+    return rec
+
+
+def main() -> None:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scaledata/sf1"
+    spark = get_session("serving_drill")
+    # warm JVM + python worker pool once (not billed to any sample)
+    spark.range(0, 1 << 15, 1, spark.sparkContext.defaultParallelism).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+
+    out = {
+        "small": drill_scale(spark, small, "s"),
+        "big": drill_scale(spark, big, "b"),
+        "quiet_load_threshold": _QUIET_LOAD,
+    }
+    for k in ("warm_search_min_sec", "serve_miss_min_sec"):
+        out[f"ratio_{k}"] = round(out["big"][k] / out["small"][k], 2)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SERVING_RAW.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
