@@ -204,14 +204,88 @@ def _range_seeds(
     return hits
 
 
-def _per_seed_ego_edges(e: DataFrame, seeds: DataFrame) -> DataFrame:
+def pin_serving_adjacency(
+    edges: DataFrame, partitions: int | None = None
+) -> DataFrame:
+    """Serving-side adjacency index: the symmetrized edge list
+    range-partitioned and SORTED by src, cached. Built once at ingest
+    (next to the bucketed node/token tables) so that per-request seed
+    probes with literal predicates (`src IN (seed...)`) prune cached
+    batches via their min/max stats instead of scanning the whole edge
+    table — Spark's InMemoryTableScan keeps per-batch stats, and the
+    sort makes each seed touch O(1) batches. This is the local-mode
+    analogue of the 100 TB layout: an edge table bucketed+sorted by
+    src where a seed probe reads only the matching buckets' row
+    groups, not the corpus. Pass the result to ``search_subnetwork``
+    as ``pinned_sym``."""
+    spark = edges.sparkSession
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    sym = (
+        symmetrize(edges.select("src", "dst"))
+        .repartitionByRange(partitions, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    sym.count()
+    return sym
+
+
+# literal fast path cap: above this many seeds the IN-list predicate
+# stops being a win (plan-size growth) and the join path is the right
+# plan anyway (a huge seed set ~ a batch query, not interactive)
+_SEED_LITERAL_CAP = 2048
+
+
+def _seed_adjacency(e: DataFrame, seeds: DataFrame) -> DataFrame:
+    """(s, x) pairs where x ∈ {s} ∪ N(s) — the per-seed ego node sets
+    in one frame. ONE symmetrized scan of the edge table + one dedup;
+    both the ego edge set AND the subnetwork node set derive from this
+    single frame (the same DataFrame object feeds both plan branches,
+    so the distinct's Exchange is reused instead of the 10×-corpus
+    edge table being scanned once per consumer — the round-7 serving
+    drill measured the duplicate-scan shape before this factoring)."""
+    s = seeds.select(F.col("fragment").alias("s"))
+    sym = symmetrize(e.select("src", "dst"))
+    return (
+        sym.join(F.broadcast(s), sym["src"] == F.col("s"))
+        .select("s", F.col("dst").alias("x"))
+        .union(s.select("s", F.col("s").alias("x")))
+        .distinct()
+    )
+
+
+def _seed_adjacency_pruned(sym: DataFrame, seed_list: list[str]) -> DataFrame:
+    """(s, x) seed adjacency off a ``pin_serving_adjacency`` frame:
+    the literal IN-list predicate reaches the cached scan, whose
+    per-batch min/max stats on the sorted src column skip every batch
+    holding no seed — per-request cost scales with the SEEDS' degree,
+    not the corpus. Output ≡ ``_seed_adjacency`` on the same seed set
+    (pinned by tests)."""
+    spark = sym.sparkSession
+    if not seed_list:
+        return spark.createDataFrame([], "s string, x string")
+    self_rows = spark.createDataFrame([(x,) for x in seed_list], "s string")
+    probed = sym.filter(F.col("src").isin(seed_list)).select(
+        F.col("src").alias("s"), F.col("dst").alias("x")
+    )
+    return probed.union(
+        self_rows.select("s", F.col("s").alias("x"))
+    ).distinct()
+
+
+def _per_seed_ego_edges(
+    e: DataFrame, seeds: DataFrame, adj: DataFrame | None = None
+) -> DataFrame:
     """Union of per-seed induced ego edge sets (reference
     make_ego_graph per matched vertex + union_graphs_with_attributes,
     network_generator_lib.R:86,122): an edge (u,v) qualifies iff SOME
     seed s has both u and v inside {s} ∪ N(s). Distinct from the
     induced subgraph over the union, which would also admit edges
     between neighbors of different seeds. Implemented as two
-    equi-joins against the seed adjacency.
+    equi-joins against the seed adjacency (pass a precomputed
+    ``_seed_adjacency`` frame via ``adj`` to share it with the node-set
+    branch).
 
     Broadcast choice is AQE-DELEGATED (judge r5 task 5): no hint is
     attached, so the small-vs-hub decision happens at runtime from the
@@ -224,14 +298,8 @@ def _per_seed_ego_edges(e: DataFrame, seeds: DataFrame) -> DataFrame:
     shuffle path instead of being forced through a driver broadcast —
     pinned by tests/test_network_build.py
     test_search_hub_seed_shuffle_fallback."""
-    s = seeds.select(F.col("fragment").alias("s"))
-    sym = symmetrize(e.select("src", "dst"))
-    adj = (
-        sym.join(F.broadcast(s), sym["src"] == F.col("s"))
-        .select("s", F.col("dst").alias("x"))
-        .union(s.select("s", F.col("s").alias("x")))
-        .distinct()
-    )
+    if adj is None:
+        adj = _seed_adjacency(e, seeds)
     cand = e.join(adj.withColumnRenamed("x", "src"), "src")
     return (
         cand.join(
@@ -322,6 +390,7 @@ def search_subnetwork(
     expand: int = 0,
     nearest: bool = False,
     token_index: DataFrame | None = None,
+    pinned_sym: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dispatch → seeds → union of per-seed ego graphs (name terms) /
     induced-on-union (range terms) → per-subnet degree. Returns
@@ -329,7 +398,11 @@ def search_subnetwork(
     sub_edges). Empty seeds → empty frames (the "{}" sentinel belongs
     to the serialization layer). Pass ``token_index`` (materialized by
     plans/materialize) to answer gene queries with an index probe
-    instead of a full-table regex scan."""
+    instead of a full-table regex scan, and ``pinned_sym``
+    (``pin_serving_adjacency``) to answer the name-seed adjacency
+    probe with a batch-pruned literal scan instead of a full edge scan
+    (serving deployments; ≤ _SEED_LITERAL_CAP seeds — above the cap,
+    or without the pin, the AQE-delegated join path runs)."""
     tagged = resolve_search_seeds(
         nodes,
         search,
@@ -361,15 +434,40 @@ def search_subnetwork(
     seeds = tagged.select("fragment").distinct()
 
     e = edges.select("src", "dst", "type")
-    hood = ego_nodes(e, seeds.withColumnRenamed("fragment", "node"))
+    # the subnetwork node set (hood) and the ego edge set both derive
+    # from ONE _seed_adjacency frame per arm — ego_nodes(e, A ∪ B) ≡
+    # ∪ per-arm (arm ∪ N(arm)), and sharing the frame lets Spark reuse
+    # the adjacency Exchange instead of re-scanning the edge table for
+    # each consumer (2 full scans saved per request at 10× corpus)
+    hood_parts: list[DataFrame] = []
     edge_parts: list[DataFrame] = []
     if name_frames:
-        edge_parts.append(_per_seed_ego_edges(e, _union(name_frames)))
+        nseeds = _union(name_frames)
+        adj = None
+        if pinned_sym is not None:
+            # serving fast path: collect the (interactive-small) seed
+            # set and probe the sorted pinned adjacency with literals —
+            # one tiny job on the bucketed token index buys batch-
+            # pruned scans for the whole downstream ego plan
+            rows = nseeds.limit(_SEED_LITERAL_CAP + 1).collect()
+            if len(rows) <= _SEED_LITERAL_CAP:
+                adj = _seed_adjacency_pruned(
+                    pinned_sym, [r["fragment"] for r in rows]
+                )
+        if adj is None:
+            adj = _seed_adjacency(e, nseeds)
+        hood_parts.append(adj.select(F.col("x").alias("node")))
+        edge_parts.append(_per_seed_ego_edges(e, None, adj=adj))
     if range_frames:
         rhood = ego_nodes(
             e, _union(range_frames).withColumnRenamed("fragment", "node")
         )
+        hood_parts.append(rhood)
         edge_parts.append(induced_subgraph(e, rhood))
+    hood = hood_parts[0]
+    for p in hood_parts[1:]:
+        hood = hood.union(p)
+    hood = hood.distinct()
     sub_edges = edge_parts[0]
     for p in edge_parts[1:]:
         sub_edges = sub_edges.union(p).distinct()

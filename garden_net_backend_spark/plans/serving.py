@@ -109,13 +109,16 @@ def serve_search(
     expand: int = 0,
     ensembl2name: DataFrame | None = None,
     token_index: DataFrame | None = None,
+    pinned_sym: DataFrame | None = None,
 ) -> tuple[str, bool]:
     """One HTTP search request, memoized: (cytoscape JSON, was_hit).
 
-    Miss path = search_subnetwork (token-index probe) → cytoscape
-    serialization → cache put. The "{}" empty-result sentinel is cached
-    too, exactly as the reference caches its 3-byte output before the
-    404 check (backend.py:94-103)."""
+    Miss path = search_subnetwork (token-index probe; pass
+    ``pinned_sym`` from plans.search.pin_serving_adjacency for
+    batch-pruned seed probes) → cytoscape serialization → cache put.
+    The "{}" empty-result sentinel is cached too, exactly as the
+    reference caches its 3-byte output before the 404 check
+    (backend.py:94-103)."""
     from .network_build import to_cytoscape_json
     from .search import search_subnetwork
 
@@ -131,6 +134,7 @@ def serve_search(
         expand=expand,
         nearest=nearest,
         token_index=token_index,
+        pinned_sym=pinned_sym,
     )
     from pyspark.sql import functions as F
 

@@ -3633,15 +3633,13 @@ def q67_annotation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "proves the equivalence arm by arm.",
 )
 def q69_search_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .plans.network_build import build_network
-    from .plans.search import build_token_index, resolve_search_seeds
+    from .plans.search import resolve_search_seeds
 
-    nodes, _edges = build_network(
-        _synthetic_pchic(spark, sf_dir), wt_threshold=30.0, materialize=True,
-        with_degree=False,
-    )
-    nodes = nodes.localCheckpoint(eager=False)
-    tok = build_token_index(nodes).localCheckpoint(eager=False)
+    # fork off the shared family build (identical chain: threshold→
+    # keys→typing→derive_vertices at wt=30.0 — see _shared_network);
+    # bench bills the build once as extras.family_shared_build_sec
+    ent = _shared_network(spark, sf_dir)
+    nodes, tok = ent["nodes"], ent["token_index"]
     e2n = _t(spark, sf_dir, "part").select(
         F.concat(F.lit("ENSG"), F.col("p_partkey").cast("string")).alias(
             "ensembl_id"
@@ -3721,20 +3719,13 @@ def q69_search_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "from lineitem.",
 )
 def q72_chromosome_views(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .plans.network_build import (
-        derive_edges,
-        filter_chromosome,
-        filter_threshold,
-        type_edges,
-        with_fragment_keys,
-    )
+    from .plans.network_build import derive_edges, filter_chromosome
 
     # the three views share the scan→threshold→keys→typing prefix —
-    # run it once (checkpointed) and fork the view filters off it,
-    # exactly how the serving layer would read the S9 typed table
-    base = type_edges(
-        with_fragment_keys(filter_threshold(_synthetic_pchic(spark, sf_dir), 30.0))
-    ).localCheckpoint(eager=False)
+    # it IS the family's shared typed table (_shared_network), exactly
+    # how the serving layer would read the S9 typed table; the view
+    # filters fork off the one checkpointed frame
+    base = _shared_network(spark, sf_dir)["typed"]
     arms = [
         ("chr2", derive_edges(filter_chromosome(base, "2"))),
         ("pp", derive_edges(filter_chromosome(base, "PP"))),

@@ -299,3 +299,64 @@ def test_grid_positions_checker_contract(network):
     for e in node_els:
         rows.setdefault(e["data"]["chr"], set()).add(e["position"]["y"] // 200)
     assert min(rows["1"]) < min(rows["X"])
+
+
+def test_search_pinned_adjacency_equivalence(network, spark):
+    """The serving fast path (pin_serving_adjacency + literal seed
+    probe, batch-pruned cached scan) must return EXACTLY the join
+    path's subnetwork — nodes, flags, degrees, and edges."""
+    from garden_net_backend_spark.plans.search import (
+        build_token_index,
+        pin_serving_adjacency,
+        search_subnetwork,
+    )
+
+    nodes, edges = network
+    tok = build_token_index(nodes)
+    sym = pin_serving_adjacency(edges)
+    try:
+        for term in ("Hoxa6", "Sox2,Xist", "NOMATCH"):
+            base_n, base_e = search_subnetwork(
+                nodes, edges, term, token_index=tok
+            )
+            fast_n, fast_e = search_subnetwork(
+                nodes, edges, term, token_index=tok, pinned_sym=sym
+            )
+            key_cols = ["fragment", "searched", "degree"]
+            assert sorted(
+                tuple(r[c] for c in key_cols) for r in base_n.collect()
+            ) == sorted(tuple(r[c] for c in key_cols) for r in fast_n.collect())
+            assert sorted(
+                (r["src"], r["dst"]) for r in base_e.collect()
+            ) == sorted((r["src"], r["dst"]) for r in fast_e.collect())
+    finally:
+        sym.unpersist()
+
+
+def test_pinned_adjacency_scan_is_batch_prunable(network, spark):
+    """The pinned adjacency's seed probe must be a LITERAL In filter
+    over the cached sorted frame (InMemoryTableScan with a pushed
+    In-predicate — the shape whose per-batch stats prune non-matching
+    batches), not a join that scans every row."""
+    from garden_net_backend_spark.plans.search import (
+        _seed_adjacency_pruned,
+        pin_serving_adjacency,
+    )
+
+    _nodes, edges = network
+    sym = pin_serving_adjacency(edges)
+    try:
+        adj = _seed_adjacency_pruned(sym, ["1_100_200"])
+        plan = adj._jdf.queryExecution().executedPlan().toString()
+        # the literal predicate must be PUSHED INTO the cached scan
+        # (the bracketed filter list on the InMemoryTableScan node) —
+        # that is what engages per-batch stat pruning
+        scan_node = plan.split("InMemoryTableScan", 1)
+        assert len(scan_node) == 2, plan
+        assert "1_100_200" in scan_node[1][:200], plan
+        assert adj.count() >= 1
+        # empty seed list: clean empty frame, no job on the pinned scan
+        empty = _seed_adjacency_pruned(sym, [])
+        assert empty.count() == 0 and empty.columns == ["s", "x"]
+    finally:
+        sym.unpersist()

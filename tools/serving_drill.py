@@ -6,10 +6,16 @@ scale-up, plus the full memoized serve_search miss/hit path
 choice is AQE-delegated (plans/search.py) — this drill proves the
 delegated plan holds its ~1s-class warm latency at 10x.
 
-Usage: python tools/serving_drill.py [small_dir] [big_dir]
-Defaults: /root/testdata/sf0.1 /tmp/scaledata/sf1
+Usage: python tools/serving_drill.py [sf_dir] [factor]
+Defaults: /root/testdata/sf0.1 10
 Writes SERVING_RAW.json at the repo root; paste the table into
 SCALING.md's serving section.
+
+The big corpus is a NETWORK-level scale-up (_scale_network): the
+tools/make_scale_data.py table scale-up does not work here because the
+synthetic PCHiC derivation is modulo-capped — 10x fact rows collapse
+to the same 5k-node simplified network (verified: the first drill run
+measured identical node/edge counts at both "scales").
 
 Every timed sample is load-gated like tools/scaling_drill.py (waits
 bounded for 1-min loadavg < DRILL_QUIET_LOAD, default 5.0) so sibling-
@@ -40,7 +46,58 @@ def _wait_quiet() -> float:
     return waited
 
 
-def drill_scale(spark, sf_dir: str, tag: str) -> dict:
+def _scale_network(nodes, edges, factor: int, shared_genes: bool = True):
+    """N disjoint fragment-key copies of the network. Needed because
+    the synthetic PCHiC derivation is modulo-capped: 10× fact rows
+    collapse to the SAME 5k-node simplified network, so scaling the
+    parquet inputs does not scale the serving corpus.
+
+    ``shared_genes=True``: copies SHARE the gene namespace — the shape
+    of a natively-N×-bigger organism network where a gene search
+    matches N× seeds, so the ego fan-out AND the result size genuinely
+    grow (the throughput axis). ``shared_genes=False``: each copy gets
+    its own gene namespace ("K3GENE12"), so a GENE12 search returns
+    the SAME subnetwork off an N× corpus — pure per-request latency at
+    fixed output (the latency axis)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    def remap_nodes(c):
+        out = nodes.withColumn(
+            "fragment", F.concat(F.lit(f"c{c}_"), F.col("fragment"))
+        )
+        if not shared_genes and c > 0:
+            out = out.withColumn(
+                "gene_names",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("gene_names"), " "),
+                        lambda t: F.concat(F.lit(f"K{c}"), t),
+                    ),
+                    " ",
+                ),
+            )
+        return out
+
+    def remap_edges(c):
+        out = edges
+        for col in ("src", "dst"):
+            out = out.withColumn(col, F.concat(F.lit(f"c{c}_"), F.col(col)))
+        return out
+
+    nodes_n = reduce(
+        lambda a, b: a.unionByName(b), [remap_nodes(c) for c in range(factor)]
+    )
+    edges_n = reduce(
+        lambda a, b: a.unionByName(b), [remap_edges(c) for c in range(factor)]
+    )
+    return nodes_n, edges_n
+
+
+def drill_scale(
+    spark, sf_dir: str, tag: str, factor: int = 1, shared_genes: bool = True
+) -> dict:
     from pyspark.sql import functions as F
 
     from garden_net_backend_spark.plans.materialize import (
@@ -49,12 +106,15 @@ def drill_scale(spark, sf_dir: str, tag: str) -> dict:
     from garden_net_backend_spark.plans.network_build import build_network
     from garden_net_backend_spark.plans.search import (
         build_token_index,
+        pin_serving_adjacency,
         search_subnetwork,
     )
     from garden_net_backend_spark.plans.serving import ResultCache, serve_search
     from garden_net_backend_spark.queries import _synthetic_pchic
 
-    rec: dict = {"sf_dir": sf_dir}
+    rec: dict = {
+        "sf_dir": sf_dir, "factor": factor, "shared_genes": shared_genes,
+    }
 
     # ingest-side cost (billed separately, like bench extras): network
     # build + token index + bucketed table write
@@ -63,6 +123,9 @@ def drill_scale(spark, sf_dir: str, tag: str) -> dict:
         _synthetic_pchic(spark, sf_dir), wt_threshold=30.0, materialize=True,
         with_degree=False,
     )
+    if factor > 1:
+        nodes, edges = _scale_network(nodes, edges, factor, shared_genes)
+        edges = edges.localCheckpoint(eager=True)
     tables = write_bucketed_search_tables(
         nodes, build_token_index(nodes), prefix=f"svd_{tag}"
     )
@@ -71,6 +134,9 @@ def drill_scale(spark, sf_dir: str, tag: str) -> dict:
     edges = edges.persist()
     rec["edges"] = edges.count()
     rec["nodes"] = bnodes.count()
+    # serving adjacency index (sorted+cached symmetrized edges): built
+    # once at ingest, buys batch-pruned literal seed probes per request
+    sym = pin_serving_adjacency(edges)
     rec["build_sec"] = round(time.time() - t0, 2)
 
     # warm search path (bench q64_warm_serving analogue): bucketed
@@ -81,7 +147,7 @@ def drill_scale(spark, sf_dir: str, tag: str) -> dict:
         loads.append(round(os.getloadavg()[0], 1))
         t0 = time.time()
         sub_nodes, _sub_edges = search_subnetwork(
-            bnodes, edges, term, token_index=btokens
+            bnodes, edges, term, token_index=btokens, pinned_sym=sym
         )
         sub_nodes.select("fragment", "type", "searched", "degree").collect()
         warm.append(round(time.time() - t0, 3))
@@ -97,7 +163,7 @@ def drill_scale(spark, sf_dir: str, tag: str) -> dict:
         _wait_quiet()
         t0 = time.time()
         _result, was_hit = serve_search(
-            cache, bnodes, edges, term, token_index=btokens
+            cache, bnodes, edges, term, token_index=btokens, pinned_sym=sym
         )
         assert not was_hit
         miss.append(round(time.time() - t0, 3))
@@ -107,18 +173,19 @@ def drill_scale(spark, sf_dir: str, tag: str) -> dict:
     # memo hit: O(1) file read, must never launch a Spark job
     t0 = time.time()
     _result, was_hit = serve_search(
-        cache, bnodes, edges, _TERMS[0], token_index=btokens
+        cache, bnodes, edges, _TERMS[0], token_index=btokens, pinned_sym=sym
     )
     assert was_hit
     rec["serve_hit_sec"] = round(time.time() - t0, 4)
 
     edges.unpersist()
+    sym.unpersist()
     return rec
 
 
 def main() -> None:
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scaledata/sf1"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     spark = get_session("serving_drill")
     # warm JVM + python worker pool once (not billed to any sample)
     spark.range(0, 1 << 15, 1, spark.sparkContext.defaultParallelism).mapInPandas(
@@ -127,11 +194,19 @@ def main() -> None:
 
     out = {
         "small": drill_scale(spark, small, "s"),
-        "big": drill_scale(spark, big, "b"),
+        # latency axis: 10x corpus, per-copy gene namespace -> a GENE
+        # search returns the SAME subnetwork (fixed output)
+        "big_fixed_output": drill_scale(
+            spark, small, "bf", factor=factor, shared_genes=False
+        ),
+        # throughput axis: 10x corpus, shared namespace -> 10x seeds,
+        # 10x result rows per request
+        "big_fanout": drill_scale(spark, small, "b", factor=factor),
         "quiet_load_threshold": _QUIET_LOAD,
     }
-    for k in ("warm_search_min_sec", "serve_miss_min_sec"):
-        out[f"ratio_{k}"] = round(out["big"][k] / out["small"][k], 2)
+    for big in ("big_fixed_output", "big_fanout"):
+        for k in ("warm_search_min_sec", "serve_miss_min_sec"):
+            out[f"ratio_{big}_{k}"] = round(out[big][k] / out["small"][k], 2)
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SERVING_RAW.json",
