@@ -61,6 +61,19 @@ def main() -> None:
     spark.range(0, 1 << 15, 1, spark.sparkContext.defaultParallelism).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # pre-warm the shared family build per sf dir (same attribution as
+    # bench.py's extras.family_shared_build_sec: the gates' numbers
+    # should measure their own work, not whichever gate ran first)
+    _FAMILY = {
+        "q63_network_build_slice", "q64_search_ego_subnetwork",
+        "q67_annotation_suite", "q69_search_dispatch",
+        "q72_chromosome_views",
+    }
+    if _FAMILY & set(names):
+        from garden_net_backend_spark.queries import warm_shared_network
+
+        for sf_dir in (small, big):
+            warm_shared_network(spark, sf_dir)
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
