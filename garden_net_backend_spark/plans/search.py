@@ -170,38 +170,51 @@ def _range_seeds(
     qstart = int(m.group(4))
     qend = int(m.group(6)) if m.group(6) else qstart
     hits = range_query(nodes, chrom, qstart, qend, expand=expand).select("fragment")
-    if nearest or hits.limit(1).isEmpty():
-        # fallback/nearest mode: single closest fragment (reference
-        # network_generator_lib.R:177-193). ONE query point needs no
-        # as-of machinery: a chromosome-pruned filter + one combinable
-        # min(struct) aggregate — same winner and the same
-        # (distance, start, end, id) tie-break as the generic
-        # nearest_interval_join kernel (q20/J7), at a fraction of the
-        # stages (the union-sort kernel cost ~2.8s of the q69 gate for
-        # a 1-row query; this is one scan). This is also the serving
-        # shape: an interactive query touches one chromosome partition,
-        # not a global union-sort.
-        qs2, qe2 = qstart - expand, qend + expand
-        dist = F.greatest(
-            F.col("start") - F.lit(qe2), F.lit(qs2) - F.col("end"), F.lit(0)
+    # nearest/fallback candidate: single closest fragment (reference
+    # network_generator_lib.R:177-193). ONE query point needs no as-of
+    # machinery: a chromosome-pruned filter + one combinable
+    # min(struct) aggregate — same winner and the same
+    # (distance, start, end, id) tie-break as the generic
+    # nearest_interval_join kernel (q20/J7), at a fraction of the
+    # stages (the union-sort kernel cost ~2.8s of the q69 gate for a
+    # 1-row query; this is one scan). This is also the serving shape:
+    # an interactive query touches one chromosome partition, not a
+    # global union-sort.
+    qs2, qe2 = qstart - expand, qend + expand
+    dist = F.greatest(
+        F.col("start") - F.lit(qe2), F.lit(qs2) - F.col("end"), F.lit(0)
+    )
+    best = (
+        nodes.filter(F.col("chr") == chrom)
+        .agg(
+            F.min(
+                F.struct(
+                    dist.alias("_d"),
+                    F.col("start").alias("_s"),
+                    F.col("end").alias("_e"),
+                    F.col("fragment").alias("_f"),
+                )
+            ).alias("_b")
         )
-        best = (
-            nodes.filter(F.col("chr") == chrom)
-            .agg(
-                F.min(
-                    F.struct(
-                        dist.alias("_d"),
-                        F.col("start").alias("_s"),
-                        F.col("end").alias("_e"),
-                        F.col("fragment").alias("_f"),
-                    )
-                ).alias("_b")
-            )
-            .filter(F.col("_b").isNotNull())
-            .select(F.col("_b._f").alias("fragment"))
-        )
+        .filter(F.col("_b").isNotNull())
+        .select(F.col("_b._f").alias("fragment"))
+    )
+    if nearest:
         return best
-    return hits
+    # "hits if any, else nearest" folded into ONE lazy plan (the r6
+    # verdict flagged the previous hits.limit(1).isEmpty() here — an
+    # eager driver action PER RANGE TERM on the interactive path):
+    # tag hits priority 1 and the fallback priority 2, keep the rows
+    # at the global min priority via a broadcast semi-join on the
+    # 1-row min-priority aggregate (an equi-join — no BNLJ, so the
+    # assert_scalable_plan guardrail holds). The fallback aggregate now
+    # always runs, but it is one chromosome-pruned combinable min —
+    # cheaper than the driver-synchronized job it replaces.
+    tagged = hits.select("fragment", F.lit(1).alias("_p")).unionByName(
+        best.select("fragment", F.lit(2).alias("_p"))
+    )
+    mp = tagged.agg(F.min("_p").alias("_p"))
+    return tagged.join(F.broadcast(mp), "_p", "left_semi").select("fragment")
 
 
 def pin_serving_adjacency(
