@@ -89,7 +89,10 @@ BENCH_NOTES = {
     "q29_content_dedup": "suite = r5 q29 (exact dedup + span/excise "
     "arms) + former q71 cluster-representative arms, incl. their "
     "inherently-eager connected-components solve (pair-join eval + "
-    "bounded driver union-find) — expected ≈ 6.6s of r5 parts",
+    "bounded driver union-find). r7 quiet observed 7.4s vs ≈6.6s sum "
+    "of r5 parts — the +0.8s is the union wrapper re-deriving the "
+    "shared doc scan per arm branch; within budget, not a plan "
+    "regression (10x drill ratio 3.96, dup-volume-sized as designed)",
     "q30_jaccard_dedup_suite": "suite = prefix-filtered exact Jaccard "
     "headline (Bayardo/Xiao AllPairs-PPJoin, r5 task 3) + former q31 "
     "MinHash+LSH arm — expected ≈ 4.5s of r5 parts",
