@@ -88,3 +88,53 @@ def test_empty_sentinel_cached(spark):
     out2, hit2 = serve_search(cache, nodes, edges, "NoSuchGeneXYZ",
                               token_index=build_token_index(nodes))
     assert out2 == "{}" and hit2
+
+
+def test_serving_drill_scale_network_axes(spark):
+    """tools/serving_drill._scale_network underpins the SCALING.md
+    serving ratios — pin its two axes: N disjoint fragment-key copies
+    (nodes/edges ×N, no cross-copy edges), gene namespace shared
+    (fanout axis) vs per-copy (fixed-output axis)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    try:
+        from serving_drill import _scale_network
+    finally:
+        sys.path.pop(0)
+
+    from pyspark.sql import functions as F
+
+    nodes = spark.createDataFrame(
+        [("1_10_20", "GENE1 GENE2"), ("1_30_40", "GENE2")],
+        "fragment string, gene_names string",
+    )
+    edges = spark.createDataFrame(
+        [("1_10_20", "1_30_40")], "src string, dst string"
+    )
+
+    n3, e3 = _scale_network(nodes, edges, 3, shared_genes=True)
+    assert n3.count() == 6 and e3.count() == 3
+    # copies are disjoint: every edge stays within its copy prefix
+    cross = e3.filter(
+        F.split("src", "_")[0] != F.split("dst", "_")[0]
+    ).count()
+    assert cross == 0
+    # fanout axis: the SAME gene token appears in every copy
+    assert (
+        n3.filter(F.col("gene_names").contains("GENE2")).count() == 6
+    )
+
+    nf, _ef = _scale_network(nodes, edges, 3, shared_genes=False)
+    # fixed-output axis: original tokens only in copy 0; copies c>0
+    # carry K{c}-prefixed namespaces
+    per_copy = {
+        r["fragment"].split("_")[0]: r["gene_names"]
+        for r in nf.filter(F.col("fragment").endswith("1_10_20")).collect()
+    }
+    assert per_copy["c0"] == "GENE1 GENE2"
+    assert per_copy["c1"] == "K1GENE1 K1GENE2"
+    assert per_copy["c2"] == "K2GENE1 K2GENE2"
