@@ -58,39 +58,47 @@ def _scale_network(nodes, edges, factor: int, shared_genes: bool = True):
     grow (the throughput axis). ``shared_genes=False``: each copy gets
     its own gene namespace ("K3GENE12"), so a GENE12 search returns
     the SAME subnetwork off an N× corpus — pure per-request latency at
-    fixed output (the latency axis)."""
-    from functools import reduce
+    fixed output (the latency axis).
 
+    Implemented as ONE crossJoin with a broadcast copy-id range, not an
+    N-branch union — a 100-branch union plan took Catalyst minutes to
+    even checkpoint at factor 100, while this shape is O(1) plan nodes
+    at any factor (and is the idiom a real N× replication job would
+    use)."""
     from pyspark.sql import functions as F
 
-    def remap_nodes(c):
-        out = nodes.withColumn(
-            "fragment", F.concat(F.lit(f"c{c}_"), F.col("fragment"))
-        )
-        if not shared_genes and c > 0:
-            out = out.withColumn(
-                "gene_names",
+    spark = nodes.sparkSession
+    copies = F.broadcast(
+        spark.range(factor).select(F.col("id").cast("int").alias("_c"))
+    )
+    pref = F.concat(F.lit("c"), F.col("_c"), F.lit("_"))
+
+    nodes_n = (
+        nodes.crossJoin(copies)
+        .withColumn("fragment", F.concat(pref, F.col("fragment")))
+    )
+    if not shared_genes:
+        # copy 0 keeps the original namespace; copies c>0 get K{c}-
+        # prefixed tokens
+        tok_pref = F.concat(F.lit("K"), F.col("_c"))
+        nodes_n = nodes_n.withColumn(
+            "gene_names",
+            F.when(F.col("_c") == 0, F.col("gene_names")).otherwise(
                 F.array_join(
                     F.transform(
                         F.split(F.col("gene_names"), " "),
-                        lambda t: F.concat(F.lit(f"K{c}"), t),
+                        lambda t: F.concat(tok_pref, t),
                     ),
                     " ",
-                ),
-            )
-        return out
-
-    def remap_edges(c):
-        out = edges
-        for col in ("src", "dst"):
-            out = out.withColumn(col, F.concat(F.lit(f"c{c}_"), F.col(col)))
-        return out
-
-    nodes_n = reduce(
-        lambda a, b: a.unionByName(b), [remap_nodes(c) for c in range(factor)]
-    )
-    edges_n = reduce(
-        lambda a, b: a.unionByName(b), [remap_edges(c) for c in range(factor)]
+                )
+            ),
+        )
+    nodes_n = nodes_n.drop("_c")
+    edges_n = (
+        edges.crossJoin(copies)
+        .withColumn("src", F.concat(pref, F.col("src")))
+        .withColumn("dst", F.concat(pref, F.col("dst")))
+        .drop("_c")
     )
     return nodes_n, edges_n
 
@@ -192,22 +200,27 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
-    out = {
-        "small": drill_scale(spark, small, "s"),
-        # latency axis: 10x corpus, per-copy gene namespace -> a GENE
+    axes = os.environ.get("DRILL_AXES", "small,fixed,fanout").split(",")
+    out = {"factor": factor, "quiet_load_threshold": _QUIET_LOAD}
+    if "small" in axes:
+        out["small"] = drill_scale(spark, small, "s")
+    if "fixed" in axes:
+        # latency axis: Nx corpus, per-copy gene namespace -> a GENE
         # search returns the SAME subnetwork (fixed output)
-        "big_fixed_output": drill_scale(
+        out["big_fixed_output"] = drill_scale(
             spark, small, "bf", factor=factor, shared_genes=False
-        ),
-        # throughput axis: 10x corpus, shared namespace -> 10x seeds,
-        # 10x result rows per request
-        "big_fanout": drill_scale(spark, small, "b", factor=factor),
-        "quiet_load_threshold": _QUIET_LOAD,
-    }
+        )
+    if "fanout" in axes:
+        # throughput axis: Nx corpus, shared namespace -> Nx seeds,
+        # Nx result rows per request
+        out["big_fanout"] = drill_scale(spark, small, "b", factor=factor)
     for big in ("big_fixed_output", "big_fanout"):
-        for k in ("warm_search_min_sec", "serve_miss_min_sec"):
-            out[f"ratio_{big}_{k}"] = round(out[big][k] / out["small"][k], 2)
-    path = os.path.join(
+        if big in out and "small" in out:
+            for k in ("warm_search_min_sec", "serve_miss_min_sec"):
+                out[f"ratio_{big}_{k}"] = round(
+                    out[big][k] / out["small"][k], 2
+                )
+    path = os.environ.get("DRILL_OUT") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SERVING_RAW.json",
     )
