@@ -477,10 +477,14 @@ def search_subnetwork(
         )
         hood_parts.append(rhood)
         edge_parts.append(induced_subgraph(e, rhood))
+    # NOTE: no .distinct() on hood — its only consumer is the left_semi
+    # membership join below, which is duplicate-insensitive, so a dedup
+    # here is one pure extra Exchange+HashAggregate per interactive
+    # search (the ego_nodes/adj branches already produce set-like but
+    # possibly overlapping node lists)
     hood = hood_parts[0]
     for p in hood_parts[1:]:
         hood = hood.union(p)
-    hood = hood.distinct()
     sub_edges = edge_parts[0]
     for p in edge_parts[1:]:
         sub_edges = sub_edges.union(p).distinct()
