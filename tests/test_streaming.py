@@ -3,8 +3,10 @@ SAME result executed as a stream (file source, availableNow trigger,
 memory sink) as in batch — plus watermark late-data behavior."""
 
 import json
+import os
 import shutil
 import tempfile
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -30,12 +32,23 @@ def events_json_dir(spark):
     rows = ev.collect()
     files = 4
     per = (len(rows) + files - 1) // files
+    now = time.time()
     for i in range(files):
         with open(f"{d}/part{i}.json", "w") as fh:
             for r in rows[i * per : (i + 1) * per]:
                 rec = r.asDict()
                 rec["ts"] = rec["ts"].strftime("%Y-%m-%dT%H:%M:%S.%f")
                 fh.write(json.dumps(rec) + "\n")
+        # FileStreamSource orders candidate files by MODIFICATION TIME;
+        # four files written back-to-back can land on the same mtime
+        # tick, and a tie lets a chronologically-later file into an
+        # earlier micro-batch — the sessionize equivalence tests then
+        # flake with start>end sessions (seen once in a loaded full-
+        # suite run). Pin strictly increasing mtimes so arrival order
+        # is the chronological order the capped-session contract
+        # assumes (the upload-queue shape: one file per trigger, in
+        # order).
+        os.utime(f"{d}/part{i}.json", (now - (files - i) * 10,) * 2)
     yield d
     shutil.rmtree(d, ignore_errors=True)
 
