@@ -33,6 +33,7 @@ family gate's number measures that gate's own work.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -137,6 +138,11 @@ def render_bench_line(total: float, timings: dict[str, float], sf) -> str:
     driver's BENCH_r{N}.json (which is exactly what happened in r3)."""
     try:
         sf_val = float(sf)
+        # non-finite floats serialize as non-RFC 'NaN'/'Infinity' —
+        # json.loads here accepts them but a strict driver parser would
+        # yield parsed:null, the exact failure this guard prevents
+        if not math.isfinite(sf_val):
+            sf_val = str(sf)
     except (TypeError, ValueError):
         sf_val = sf
     for ndigits in (3, 2, 1):
@@ -306,6 +312,7 @@ def main() -> None:
     # search). Serving reads the bucketed S9 tables instead; this extra
     # proves the interactive latency those tables buy: zero-Exchange
     # equi-joins on the bucketed node/token tables, edges pinned.
+    edges = sym = None  # unpersisted in the finally even on error
     try:
         from garden_net_backend_spark.plans.materialize import (
             write_bucketed_search_tables,
@@ -354,12 +361,19 @@ def main() -> None:
             sub_nodes.select("fragment", "type", "searched", "degree").collect()
             pinned_samples.append(round(time.time() - t0, 3))
             _release()
-        sym.unpersist()
-        edges.unpersist()
         extras["q64_warm_serving_pinned_sec"] = pinned_samples
         extras["q64_warm_serving_pinned_min_sec"] = min(pinned_samples)
     except Exception as exc:  # never let an extra sink the bench line
         extras["q64_warm_serving_error"] = repr(exc)[:200]
+    finally:
+        # an error mid-sample must not leak cached blocks into the
+        # rest of the bench run
+        for _frame in (sym, edges):
+            if _frame is not None:
+                try:
+                    _frame.unpersist()
+                except Exception:
+                    pass
 
     _assign.unpersist()
 

@@ -191,7 +191,14 @@ def connected_components(
        with pointer jumping (``_cc_pointer_jumping``).
     """
     e = edges.select(src, dst).filter(F.col(src) != F.col(dst))
-    nparts = max(1, e.rdd.getNumPartitions())
+    # nparts seeds the contraction-pass repartition schedule. Resolved
+    # LAZILY (and from defaultParallelism, not df.rdd): under AQE,
+    # ``e.rdd.getNumPartitions()`` finalizes the adaptive plan by
+    # EXECUTING every shuffle stage of the (possibly expensive) edge
+    # emitter — profiled at +2.5s on the q29 near-dup pair join just to
+    # read a partition count that the bounded-solve fast path never
+    # uses.
+    nparts = None
     prev = None
     # the input edge chain is consumed twice before the first
     # contraction (size count + either toPandas or the union-find
@@ -263,6 +270,8 @@ def connected_components(
             # the checkpoint materialized — the input chain is done
             owned.unpersist()
             owned = None
+        if nparts is None:
+            nparts = max(1, edges.sparkSession.sparkContext.defaultParallelism)
         nparts = max(1, nparts // 8)
         e = e.repartition(nparts)
     if owned is not None:

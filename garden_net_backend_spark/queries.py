@@ -1176,7 +1176,7 @@ def q29_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.mixing import leakage_safe_split
 
     dup_pairs = ngram_jaccard_pairs(
-        docs, n=3, threshold=0.5, shingle="word"
+        docs, n=3, threshold=0.5, shingle="word", hash_keys=True
     ).select("id_a", "id_b")
     rep_df = dedup_representatives(docs, dup_pairs)
     rep = rep_df.select(
@@ -2968,11 +2968,15 @@ def _shared_network(spark: SparkSession, sf_dir: str) -> dict:
     from .plans.search import build_token_index
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    # evict entries from stopped/other sessions: a module-global cache
-    # otherwise pins localCheckpoint DataFrame refs for process
-    # lifetime (e.g. across the many SparkSessions of one pytest run)
-    for stale in [k for k in _SHARED_NET if k[0] != key[0]]:
-        del _SHARED_NET[stale]
+    # evict entries whose SparkContext has STOPPED: a module-global
+    # cache otherwise pins localCheckpoint DataFrame refs for process
+    # lifetime (e.g. across the many SparkSessions of one pytest run).
+    # Keyed on liveness, not appId mismatch, so two live alternating
+    # sessions in one process never thrash-evict each other's builds.
+    for stale_key, stale_ent in list(_SHARED_NET.items()):
+        sc = stale_ent.get("_sc")
+        if sc is None or sc._jsc is None or sc._jsc.sc().isStopped():
+            del _SHARED_NET[stale_key]
     ent = _SHARED_NET.get(key)
     if ent is None:
         typed = type_edges(
@@ -2988,6 +2992,7 @@ def _shared_network(spark: SparkSession, sf_dir: str) -> dict:
             "nodes": nodes,
             "edges": edges,
             "token_index": token_index,
+            "_sc": spark.sparkContext,
         }
         _SHARED_NET[key] = ent
     return ent

@@ -48,6 +48,16 @@ def test_non_numeric_sf_passthrough():
     assert json.loads(render_bench_line(1.0, t, "custom"))["sf"] == "custom"
 
 
+def test_non_finite_sf_degrades_to_string():
+    """'nan'/'inf' inputs must not emit non-RFC NaN/Infinity literals
+    (a strict driver-side parser would record parsed:null) — ADVICE r7."""
+    t = _timings(5)
+    for sf, expect in ((float("nan"), "nan"), ("inf", "inf"), ("-inf", "-inf")):
+        line = render_bench_line(1.0, t, sf)
+        assert json.loads(line)["sf"] == expect
+        assert "NaN" not in line and "Infinity" not in line
+
+
 def test_catalog_within_driver_correctness_window():
     """The driver's CORRECTNESS file records only the FIRST 50 SORTED
     query names (learned in r5: q68-q72 sorted past the window and got
