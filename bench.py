@@ -108,19 +108,22 @@ BENCH_NOTES = {
     "annotation arms (bait overwrite + curated promoter alias join) — "
     "expected ≈ 4.0s of r5 parts; forks off the shared family build "
     "(extras.family_shared_build_sec)",
-    "q63_network_build_slice": "round 7: ALL five family gates "
-    "(q63/q64/q67/q69/q72) fork off the shared build — "
+    "q63_network_build_slice": "round 8: ALL SEVEN family gates "
+    "(q63/q64/q65/q66/q67/q69/q72) fork off the shared build — "
     "warm_shared_network() is pre-materialized outside the timing "
     "window (extras.family_shared_build_sec), so each gate times only "
     "its own work; q69/q72 migrated onto the shared typed/nodes/token "
-    "checkpoints in round 7 (they rebuilt the identical chain before)",
+    "checkpoints in round 7, q65/q66 in round 8 (each rebuilt the "
+    "identical wt=30 materialize=True chain before)",
     "q66_feature_merge_chas": "round 5: chas() broadcasts the "
     "network-sized feature grid (both lookups) so the symmetrized "
-    "edge stream never shuffles; with_degree=False skips the unused "
-    "nodes.degree join",
-    "q65_network_metadata_bundle": "round 5: with_degree=False "
-    "(bundle recomputes degrees itself) + davg/triples merged to one "
-    "deg pass (structural costs pinned by the r5 drill)",
+    "edge stream never shuffles; round 8: forks off the shared family "
+    "build (was a private rebuild of the identical chain) — headline "
+    "times the grid merge + chas + mean-degree only",
+    "q65_network_metadata_bundle": "round 5: davg/triples merged to "
+    "one deg pass (structural costs pinned by the r5 drill); round 8: "
+    "forks off the shared family build — headline times the ~8 bundle "
+    "aggregates only",
     "q64_search_ego_subnetwork": "headline = cold token index + "
     "search off the shared family build (warm bucketed serving is "
     "extras.q64_warm_serving_min_sec). Round 6 dropped the eager "

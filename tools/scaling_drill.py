@@ -66,6 +66,7 @@ def main() -> None:
     # should measure their own work, not whichever gate ran first)
     _FAMILY = {
         "q63_network_build_slice", "q64_search_ego_subnetwork",
+        "q65_network_metadata_bundle", "q66_feature_merge_chas",
         "q67_annotation_suite", "q69_search_dispatch",
         "q72_chromosome_views",
     }
