@@ -1480,8 +1480,14 @@ _ANN_ORACLE_SQL = """
 """
 
 
-def _ann_property_gate(emb, queries, ann, k: int) -> DataFrame:
-    """Per-query verdict rows for an ANN result vs the exact baseline."""
+def _ann_property_gate(emb, queries, ann, k: int, exact=None) -> DataFrame:
+    """Per-query verdict rows for an ANN result vs the exact baseline.
+
+    ``exact`` lets a caller gating several ANN variants against the
+    SAME (corpus, queries, k) hand in one shared exact-baseline frame —
+    the brute-force scan is the gate's dominant cost, and each arm of a
+    suite re-deriving it doubles that for identical rows (q38 measured
+    −2s sharing it across the lsh+ivf arms)."""
     from .operators.similarity import cosine_similarity, cosine_topk
 
     # The ANN result (|Q|·k rows) is the expensive input — evaluate it
@@ -1490,7 +1496,8 @@ def _ann_property_gate(emb, queries, ann, k: int) -> DataFrame:
     # comparisons (by rank for domination, by membership for recall)
     # are broadcast lookups folded into the same row stream. Right sides
     # carry only fresh "_e*" names — no self-join ambiguity.
-    exact = cosine_topk(emb, queries, k=k)
+    if exact is None:
+        exact = cosine_topk(emb, queries, k=k)
     ex_rank = F.broadcast(
         exact.select(
             F.col("query_id").alias("_eq"),
@@ -1600,18 +1607,24 @@ def q38_suite_impl(spark: SparkSession, sf_dir: str, ivf_index=None) -> DataFram
     and reports the build separately as extras.ann_ivf_build_sec, so
     index construction is not billed to query latency (judge r3 task
     1); the correctness gate keeps the inline-build path."""
-    from .operators.similarity import lsh_cosine_topk
+    from .operators.similarity import cosine_topk, lsh_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
+    # both arms verify against the SAME exact baseline (same corpus,
+    # queries, k) — materialize the |Q|·k-row frame once, eagerly, so
+    # neither arm re-runs the brute-force decimal scan (measured −2s);
+    # checkpoint blocks are |Q|·k rows, dropped by the ContextCleaner
+    # when the caller releases the frame
+    exact = cosine_topk(emb, queries, k=5).localCheckpoint(eager=True)
     lsh = _ann_property_gate(
-        emb, queries, lsh_cosine_topk(emb, queries, k=5), k=5
+        emb, queries, lsh_cosine_topk(emb, queries, k=5), k=5, exact=exact
     ).select(F.lit("lsh").alias("gate"), "*")
-    ivf = _ivf_gate_impl(spark, sf_dir, index=ivf_index).select(
-        F.lit("ivf").alias("gate"), "*"
-    )
+    ivf = _ivf_gate_impl(
+        spark, sf_dir, index=ivf_index, emb=emb, queries=queries, exact=exact
+    ).select(F.lit("ivf").alias("gate"), "*")
     return lsh.unionByName(ivf)
 
 
@@ -2233,16 +2246,28 @@ def q49_union_merge_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_gate_impl(spark: SparkSession, sf_dir: str, index=None) -> DataFrame:
+def _ivf_gate_impl(
+    spark: SparkSession,
+    sf_dir: str,
+    index=None,
+    emb=None,
+    queries=None,
+    exact=None,
+) -> DataFrame:
     """The IVF arm of q38_ann_suite (the pre-round-6 q54 gate body):
     property-verdict rows for ivf_cosine_topk, optionally against a
-    prebuilt ``(centroids, assignments)`` index."""
+    prebuilt ``(centroids, assignments)`` index. ``emb``/``queries``/
+    ``exact`` let the suite share one corpus scan and one exact-baseline
+    frame across its arms."""
     from .operators.similarity import ivf_cosine_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
+    if emb is None:
+        emb = _t(spark, sf_dir, "embeddings")
+    if queries is None:
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
     return _ann_property_gate(
         emb,
         queries,
@@ -2256,6 +2281,7 @@ def _ivf_gate_impl(spark: SparkSession, sf_dir: str, index=None) -> DataFrame:
             index=index,
         ),
         k=5,
+        exact=exact,
     )
 
 
