@@ -55,10 +55,10 @@ from garden_net_backend_spark.session import get_session
 
 # queries that return a large row set → time .count() instead of .collect()
 _COUNT_ONLY_ABOVE = 100_000
-_TOTAL_BUDGET_SEC = 600.0  # the two interleaved passes stop refining
+_TOTAL_BUDGET_SEC = 600.0  # the interleaved passes stop refining
 # once spent (keeps the driver's bench step bounded under sibling load)
 _QUIET_LOAD = 4.0  # 1-min loadavg below this counts as a quiet host
-_QUIET_WAIT_BUDGET_SEC = 90.0  # max total time spent WAITING for quiet
+_QUIET_WAIT_BUDGET_SEC = 180.0  # max total time spent WAITING for quiet
 _DETAIL_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
 )
@@ -262,10 +262,16 @@ def main() -> None:
 
     for name in runners:
         sample(name)
-    for name in runners:
-        if time.time() - t_start > _TOTAL_BUDGET_SEC:
-            break
-        sample(name)
+    # two more interleaved passes, each gated on the global budget: on
+    # a quiet host three passes still fit well inside the budget, and
+    # under sustained sibling-container load (observed: 1-min loadavg
+    # 5-9 for tens of minutes) the extra pass gives every query one
+    # more chance to land its min outside a burst
+    for _pass in range(2):
+        for name in runners:
+            if time.time() - t_start > _TOTAL_BUDGET_SEC:
+                break
+            sample(name)
 
     # --- load-gated quiet pass (judge r3 task 6) -------------------
     # Both regular samples can land inside one sibling-container load

@@ -532,3 +532,22 @@ def test_lsh_assign_extra_bits_and_center_paths_agree(emb):
     assert len(arrow) == 120 * 3
     # sub-keys fit their bit budget
     assert all(0 <= s < 2**7 for _, s in arrow.values())
+
+
+def test_ann_property_gate_shared_exact_equivalent(spark, emb, queries):
+    # the q38 suite hands one materialized exact-baseline frame to both
+    # gate arms; the verdict rows must be identical to each arm
+    # recomputing the baseline itself
+    from garden_net_backend_spark.queries import _ann_property_gate
+
+    ann = lsh_cosine_topk(emb, queries, k=5)
+    solo = _ann_property_gate(emb, queries, ann, k=5).collect()
+    shared_exact = cosine_topk(emb, queries, k=5).localCheckpoint(eager=True)
+    shared = _ann_property_gate(
+        emb, queries, ann, k=5, exact=shared_exact
+    ).collect()
+    key = lambda r: r["query_id"]  # noqa: E731
+    assert sorted(map(tuple, solo), key=lambda t: t[0]) == sorted(
+        map(tuple, shared), key=lambda t: t[0]
+    )
+    assert len(solo) == queries.count()
