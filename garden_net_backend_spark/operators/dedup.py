@@ -148,6 +148,7 @@ def ngram_jaccard_pairs_prefix(
     n: int = 5,
     threshold: float = 0.5,
     shingle: str = "char",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via PREFIX FILTERING (AllPairs /
     PPJoin, Bayardo et al. 2007 / Xiao et al. 2008) — same output as
@@ -185,9 +186,16 @@ def ngram_jaccard_pairs_prefix(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
-    grams = with_shingles(
-        ensure_min_partitions(docs), text_col, "_grams", n, shingle
-    ).select(F.col(id_col).alias("_id"), "_grams")
+    # ``grams``: optional precomputed (id_col, _grams) distinct-shingle
+    # frame (with_shingles output, usually checkpointed) — lets a suite
+    # running several emitters over one corpus pay the text→shingle
+    # normalization once instead of per arm
+    if grams is None:
+        grams = with_shingles(
+            ensure_min_partitions(docs), text_col, "_grams", n, shingle
+        ).select(F.col(id_col).alias("_id"), "_grams")
+    else:
+        grams = grams.select(F.col(id_col).alias("_id"), "_grams")
     sh = grams.select("_id", F.explode("_grams").alias("_sh"))
     dfreq = sh.groupBy("_sh").agg(F.count("*").alias("_df"))
     ranked = sh.join(dfreq, "_sh")
@@ -250,6 +258,7 @@ def minhash_signatures(
     ngram: int = 5,
     seed: int = 42,
     shingle: str = "char",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures → (id, sig array<long>[num_hashes]).
 
@@ -271,10 +280,14 @@ def minhash_signatures(
         )
         for i in range(num_hashes)
     ]
-    sh = with_shingles(
-        ensure_min_partitions(docs), text_col, "_grams", ngram, shingle
-    ).select(
-        F.col(id_col).alias("id"), F.explode("_grams").alias("_g")
+    if grams is None:
+        grams = with_shingles(
+            ensure_min_partitions(docs), text_col, "_grams", ngram, shingle
+        ).select(F.col(id_col).alias("id"), "_grams")
+    else:
+        grams = grams.select(F.col(id_col).alias("id"), "_grams")
+    sh = grams.select(
+        "id", F.explode("_grams").alias("_g")
     ).select(
         "id", F.pmod(F.xxhash64(F.col("_g"), F.lit(seed)), F.lit(_MERSENNE)).alias("_x")
     )
@@ -331,6 +344,7 @@ def minhash_dedup_pairs(
     ngram: int = 5,
     seed: int = 42,
     shingle: str = "char",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded
     candidates → **exact** Jaccard verification of candidates only →
@@ -339,11 +353,16 @@ def minhash_dedup_pairs(
     are not checked (that's the 100 TB trade).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, ngram, seed, shingle)
-    cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
-    shing = with_shingles(docs, text_col, "_grams", ngram, shingle).select(
-        F.col(id_col).alias("id"), "_grams"
+    sigs = minhash_signatures(
+        docs, text_col, id_col, num_hashes, ngram, seed, shingle, grams=grams
     )
+    cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    if grams is None:
+        shing = with_shingles(docs, text_col, "_grams", ngram, shingle).select(
+            F.col(id_col).alias("id"), "_grams"
+        )
+    else:
+        shing = grams.select(F.col(id_col).alias("id"), "_grams")
     ga = shing.withColumnsRenamed({"id": "id_a", "_grams": "_ga"})
     gb = shing.withColumnsRenamed({"id": "id_b", "_grams": "_gb"})
     verified = (

@@ -1241,14 +1241,28 @@ _JACCARD_PAIRS_SQL = f"""
     "tests/test_dedup.py).",
 )
 def q30_jaccard_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.partitioning import ensure_min_partitions
+    from .functions.text import with_shingles
     from .operators.dedup import minhash_dedup_pairs, ngram_jaccard_pairs_prefix
 
     docs = _t(spark, sf_dir, "documents")
+    # both arms shingle the same corpus the same way (word trigrams) —
+    # normalize+split once, checkpoint the (doc_id, _grams) frame, and
+    # hand it to both emitters: without this the suite re-runs the
+    # text→shingle regex pipeline four times (prefix: index + verify;
+    # minhash: signatures + verify). Blocks are corpus-token-sized and
+    # dropped by the ContextCleaner with the frame.
+    grams = (
+        with_shingles(ensure_min_partitions(docs), "text", "_grams", 3, "word")
+        .select("doc_id", "_grams")
+        .localCheckpoint(eager=True)
+    )
     exact = ngram_jaccard_pairs_prefix(
-        docs, n=3, threshold=0.5, shingle="word"
+        docs, n=3, threshold=0.5, shingle="word", grams=grams
     ).select(F.lit("exact").alias("gate"), "id_a", "id_b", "jaccard")
     mh = minhash_dedup_pairs(
-        docs, threshold=0.5, num_hashes=64, bands=16, ngram=3, shingle="word"
+        docs, threshold=0.5, num_hashes=64, bands=16, ngram=3, shingle="word",
+        grams=grams,
     ).select(F.lit("minhash").alias("gate"), "id_a", "id_b", "jaccard")
     return exact.unionByName(mh)
 
