@@ -1125,24 +1125,52 @@ _SIMHASH_ORACLE_SQL = f"""
 )
 def q29_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import (
+        dedup_representatives,
         duplicated_spans,
         duplicated_window_positions,
         exact_dedup,
         excise_duplicate_spans,
+        ngram_jaccard_pairs,
     )
+    from .plans.mixing import leakage_safe_split
 
     docs = _t(spark, sf_dir, "documents")
-    # one fingerprint scan feeds both span arms (the precompute seam);
-    # eager localCheckpoint so the shared frame materializes once — dup
-    # positions are dup-volume-sized, never corpus-sized. Checkpoint,
-    # not persist(): the query function can't unpersist after its
-    # (lazy) result is consumed, and a persist here would pin executor
-    # memory for the rest of the session (ADVICE r3); checkpoint blocks
-    # are dropped by the ContextCleaner as soon as the caller releases
-    # the frame.
-    dpos = duplicated_window_positions(docs, min_tokens=8).localCheckpoint(
-        eager=True
-    )
+
+    # --- cluster-representative pair source (former q71, folded in
+    # round 6): the GATE feeds CC from the exact-Jaccard emitter (same
+    # word trigrams / τ=0.5 the oracle's closure uses) — feeding it
+    # from MinHash-LSH pairs would expose the gate to the LSH S-curve's
+    # ~64% collision odds at J=0.5; one missed borderline pair
+    # re-labels a whole cluster on a regenerated corpus. The LSH-fed
+    # representative path (production shape at 100 TB) stays pinned by
+    # the planted-dup recall tests in tests/test_dedup.py.
+    dup_pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, shingle="word", hash_keys=True
+    ).select("id_a", "id_b")
+
+    # The suite fronts two independent EAGER materializations — the
+    # window-fingerprint checkpoint (feeds span+excise) and the
+    # near-dup pair solve inside connected_components (feeds
+    # rep+split). Neither depends on the other and neither saturates
+    # the scheduler end-to-end (both have serial driver phases), so
+    # submit them from two threads and let the job scheduler overlap
+    # their stages — wall time ≈ max, not sum. Checkpoint, not
+    # persist(), for dpos: the query function can't unpersist after
+    # its lazy result is consumed (ADVICE r3); checkpoint blocks are
+    # dropped by the ContextCleaner when the caller releases the
+    # frame; dup positions are dup-volume-sized, never corpus-sized.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        f_dpos = pool.submit(
+            lambda: duplicated_window_positions(
+                docs, min_tokens=8
+            ).localCheckpoint(eager=True)
+        )
+        f_rep = pool.submit(dedup_representatives, docs, dup_pairs)
+        dpos = f_dpos.result()
+        rep_df = f_rep.result()
+
     ex = exact_dedup(docs).select(
         F.lit("exact").alias("gate"),
         F.col("doc_id").cast("string").alias("k"),
@@ -1164,21 +1192,6 @@ def q29_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k"),
         F.col("n_kept_tokens").cast("double").alias("val"),
     )
-    # --- cluster-representative arms (former q71, folded in round 6) --
-    # Pair source for the GATE is the exact-Jaccard emitter (same word
-    # trigrams / τ=0.5 the oracle's closure uses): feeding CC from
-    # MinHash-LSH pairs would expose the gate to the LSH S-curve's ~64%
-    # collision odds at J=0.5 — one missed borderline pair re-labels a
-    # whole cluster on a regenerated corpus. The LSH-fed representative
-    # path (production shape at 100 TB) stays pinned by the planted-dup
-    # recall tests in tests/test_dedup.py.
-    from .operators.dedup import dedup_representatives, ngram_jaccard_pairs
-    from .plans.mixing import leakage_safe_split
-
-    dup_pairs = ngram_jaccard_pairs(
-        docs, n=3, threshold=0.5, shingle="word", hash_keys=True
-    ).select("id_a", "id_b")
-    rep_df = dedup_representatives(docs, dup_pairs)
     rep = rep_df.select(
         F.lit("dedup_rep").alias("gate"),
         F.col("doc_id").cast("string").alias("k"),
