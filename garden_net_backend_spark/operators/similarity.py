@@ -831,6 +831,101 @@ def embedding_dup_pairs_lsh(
     return _exact_pair_scores(pair_vecs, threshold)
 
 
+def assign_nearest_cell(
+    corpus: DataFrame,
+    cells: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_id_col: str = "cell_id",
+    cell_vec_col: str = "centroid",
+) -> DataFrame:
+    """Voronoi assignment → (id, cell_id): each vector goes to its
+    max-cosine cell centroid; ties (and all-zero vectors, whose cosine
+    is 0 against every centroid) break to the lowest cell id, so the
+    assignment is a pure function of the data — deterministic under any
+    partitioning and reproducible by an exact-decimal SQL engine.
+
+    Centroid side is broadcast (k·dim values); the corpus scan is
+    embarrassingly parallel — one pass, no shuffle beyond the argmax
+    groupBy's map-side-combinable max_by."""
+    scored = corpus.select(id_col, vec_col).join(
+        F.broadcast(cells.select(cell_id_col, cell_vec_col))
+    ).select(
+        id_col,
+        cell_id_col,
+        cosine_similarity(F.col(vec_col), F.col(cell_vec_col)).alias("_cos"),
+    )
+    # argmax via max_by on a (cos, -cell_id) struct: one combinable
+    # aggregate, no window sort
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            F.col(cell_id_col),
+            F.struct(F.col("_cos"), -F.col(cell_id_col)),
+        ).alias(cell_id_col)
+    )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cells: DataFrame | None = None,
+    prescreen: bool = True,
+) -> DataFrame:
+    """SemDeDup-style cluster-blocked near-dup pairs → (id_a, id_b,
+    cosine ≥ threshold), comparing ONLY vectors that share a Voronoi
+    cell (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication").
+
+    Blocking strategy vs :func:`embedding_dup_pairs_lsh`: LSH bands
+    catch any high-cosine pair with S-curve probability; SemDeDup's
+    bet is that semantic duplicates co-locate in embedding-space
+    clusters, so within-cell all-pairs is both cheap (Σ|cell|² with
+    |cell| ≈ N/k) and high-recall for the near-dup regime. Recall is
+    exact WITHIN cells by construction; cross-cell pairs are unseen —
+    that is the documented trade (same contract as the paper).
+
+    ``cells``: optional (cell_id, centroid) frame — pass
+    ``ivf_build_index(...)`` centroids for the learned-clustering
+    production shape. Default: the ``n_cells`` lowest-id corpus
+    vectors act as deterministic seed centroids (reproducible by the
+    SQL oracle; the learned path is pinned by tests instead).
+
+    100 TB shape: assignment is one broadcast-join scan; the pair join
+    shuffles on cell_id (k ≈ √N keeps cells executor-sized; cap or
+    re-split hot cells exactly like the LSH hot-bucket modes)."""
+    base = corpus.select(id_col, vec_col)
+    if cells is None:
+        cells = (
+            base.orderBy(id_col)
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("_cell"), F.col(vec_col).alias("_cvec")
+            )
+        )
+    else:
+        cells = cells.select(
+            F.col(cells.columns[0]).alias("_cell"),
+            F.col(cells.columns[1]).alias("_cvec"),
+        )
+    assign = assign_nearest_cell(
+        base, cells, id_col, vec_col, "_cell", "_cvec"
+    )
+    tagged = base.join(assign, id_col)
+    a = tagged.select(
+        F.col("_cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = tagged.select(
+        F.col("_cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    pair_vecs = a.join(b, "_cell").filter(F.col("id_a") < F.col("id_b"))
+    if prescreen:
+        pair_vecs = _prescreen_pairs(pair_vecs, threshold)
+    return _exact_pair_scores(pair_vecs, threshold)
+
+
 def quantize_embeddings_int8(
     emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -2614,12 +2614,59 @@ _Q57_LSH_SQL = f"""
 """
 
 
+_Q56_SEM_SQL = f"""
+    WITH {_EMB_NORMS_SQL},
+      base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 800),
+      seeds AS (SELECT vec_id AS cell_id, embedding AS cvec
+                FROM base ORDER BY vec_id LIMIT 8),
+      sdot AS (
+        SELECT b.vec_id, s.cell_id,
+               CAST(SUM(CAST(CAST(b.embedding[i] AS DOUBLE)
+                             * CAST(s.cvec[i] AS DOUBLE)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        FROM base b, seeds s, dims
+        GROUP BY 1, 2),
+      scos AS (
+        SELECT d.vec_id, d.cell_id,
+               CASE WHEN nv.nrm * ns.nrm = 0 THEN 0.0
+                    ELSE d.dot / (SQRT(nv.nrm) * SQRT(ns.nrm)) END AS cos
+        FROM sdot d JOIN norms nv ON d.vec_id = nv.vec_id
+                    JOIN norms ns ON d.cell_id = ns.vec_id),
+      assign AS (
+        SELECT vec_id, cell_id FROM (
+          SELECT vec_id, cell_id,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, cell_id) AS rn
+          FROM scos) WHERE rn = 1),
+      pdots AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(SUM(CAST(CAST(x.embedding[i] AS DOUBLE)
+                             * CAST(y.embedding[i] AS DOUBLE)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        FROM assign a JOIN assign b
+               ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+             JOIN base x ON a.vec_id = x.vec_id
+             JOIN base y ON b.vec_id = y.vec_id, dims
+        GROUP BY 1, 2)
+    SELECT id_a, id_b, cosine FROM (
+      SELECT p.id_a, p.id_b,
+             CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                  ELSE ROUND(p.dot / (SQRT(na.nrm) * SQRT(nb.nrm)), 9)
+             END AS cosine
+      FROM pdots p JOIN norms na ON p.id_a = na.vec_id
+                   JOIN norms nb ON p.id_b = nb.vec_id)
+    WHERE cosine >= 0.3
+"""
+
+
 @register(
     "q56_embedding_dup_suite",
     f"""
     SELECT 'exact' AS gate, * FROM ({_Q56_EXACT_SQL})
     UNION ALL
     SELECT 'lsh', * FROM ({_Q57_LSH_SQL})
+    UNION ALL
+    SELECT 'semdedup', * FROM ({_Q56_SEM_SQL})
     """,
     doc="Embedding-cosine near-dup suite as one tagged union (former "
     "q56/q57 gates, merged in round 6 so the catalog fits the driver's "
@@ -2640,10 +2687,24 @@ _Q57_LSH_SQL = f"""
     "0.999-cosine pair misses all 8 seeded bands with probability ~2e-8 "
     "— deterministically zero here since the hash planes are seeded; "
     "the arm asserts recall AND exact precision/score parity, "
-    "replicating the float32 perturbation bit-exactly in SQL.",
+    "replicating the float32 perturbation bit-exactly in SQL. "
+    "'semdedup' arm — cluster-blocked near-dup (SemDeDup, Abbas et al. "
+    "2023): Voronoi-assign each vector to its max-cosine cell (ties "
+    "and zero vectors → lowest cell id), then exact-decimal all-pairs "
+    "WITHIN cells only. The gate seeds cells with the 8 lowest-id "
+    "corpus vectors so the oracle reproduces assignment + pairing + "
+    "scores bit-exactly from first principles; the learned-centroid "
+    "production shape (ivf_build_index k-means cells) is pinned by "
+    "tests/test_similarity.py. At 100 TB: assignment is one broadcast "
+    "scan, the pair join shuffles on cell_id (k ≈ √N keeps cells "
+    "executor-sized; hot cells cap/split like LSH hot buckets).",
 )
 def q56_embedding_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import embedding_dup_pairs, embedding_dup_pairs_lsh
+    from .operators.similarity import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_lsh,
+        semantic_dedup_pairs,
+    )
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     exact = embedding_dup_pairs(
@@ -2661,7 +2722,10 @@ def q56_embedding_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = embedding_dup_pairs_lsh(
         emb.unionByName(planted), threshold=0.9, bands=8, bits=8
     ).select(F.lit("lsh").alias("gate"), "id_a", "id_b", "cosine")
-    return exact.unionByName(lsh)
+    sem = semantic_dedup_pairs(
+        emb.filter(F.col("vec_id") < 800), threshold=0.3, n_cells=8
+    ).select(F.lit("semdedup").alias("gate"), "id_a", "id_b", "cosine")
+    return exact.unionByName(lsh).unionByName(sem)
 
 
 # (capped sessionization is gated inside q41_sessionization; the

@@ -551,3 +551,59 @@ def test_ann_property_gate_shared_exact_equivalent(spark, emb, queries):
         map(tuple, shared), key=lambda t: t[0]
     )
     assert len(solo) == queries.count()
+
+
+def test_semantic_dedup_blocked_subset_and_cell_recall(spark, emb):
+    # SemDeDup contract: exact precision (every emitted pair really has
+    # cosine >= tau) and exact recall WITHIN cells (every true pair
+    # whose endpoints share a cell is emitted)
+    from garden_net_backend_spark.operators.similarity import (
+        assign_nearest_cell,
+        embedding_dup_pairs,
+        semantic_dedup_pairs,
+    )
+
+    tau = 0.2
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in semantic_dedup_pairs(emb, threshold=tau, n_cells=4).collect()
+    }
+    truth = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_dup_pairs(emb, threshold=tau).collect()
+    }
+    assert set(got) <= set(truth)
+    assert all(truth[p] == c for p, c in got.items())  # identical scores
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid"))
+    )
+    cell = {
+        r["vec_id"]: r["cell_id"]
+        for r in assign_nearest_cell(emb, seeds).collect()
+    }
+    same_cell_truth = {p for p in truth if cell[p[0]] == cell[p[1]]}
+    assert set(got) == same_cell_truth
+
+
+def test_semantic_dedup_with_learned_ivf_centroids(spark, emb):
+    # production shape: cells = ivf_build_index k-means centroids; the
+    # same subset/precision contract must hold
+    from garden_net_backend_spark.operators.similarity import (
+        embedding_dup_pairs,
+        ivf_build_index,
+        semantic_dedup_pairs,
+    )
+
+    cents, _assign = ivf_build_index(emb, n_centroids=4, refine_iters=1)
+    got = semantic_dedup_pairs(emb, threshold=0.2, cells=cents).collect()
+    truth = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_dup_pairs(emb, threshold=0.2).collect()
+    }
+    assert len(got) > 0
+    assert all((r["id_a"], r["id_b"]) in truth for r in got)
+    # determinism across invocations
+    again = semantic_dedup_pairs(emb, threshold=0.2, cells=cents).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
