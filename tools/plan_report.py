@@ -35,13 +35,16 @@ CASES = [
     (
         "q30_jaccard_dedup_suite",
         "Jaccard dedup suite (exact + MinHash arms): the expensive text "
-        "normalization appears exactly ONCE (Generate-node barrier stops "
-        "HOF lambda re-inlining); the exact arm's candidate pairs come "
-        "from a prefix-filtered inverted-index hash equi-join on the "
-        "shingle (never all-pairs); the MinHash arm's signatures are one "
-        "explode + map-side-combinable min aggregates (partial_min "
-        "before the exchange)",
-        ["regexp_replace", "Generate", "partial_min", "Exchange", "Join"],
+        "normalization runs exactly ONCE — round 8 hoists the shared "
+        "word-trigram frame into an eager checkpoint both arms read "
+        "(`Scan ExistingRDD` below; the regex pipeline itself no longer "
+        "appears in the query-time plan at all), where it was previously "
+        "re-derived per arm behind a Generate barrier. The exact arm's "
+        "candidate pairs come from a prefix-filtered inverted-index hash "
+        "equi-join on the shingle (never all-pairs); the MinHash arm's "
+        "signatures are one explode + map-side-combinable min aggregates "
+        "(partial_min before the exchange)",
+        ["Scan ExistingRDD", "partial_min", "Exchange", "Join"],
     ),
     (
         "q23_node_metrics",
@@ -82,11 +85,14 @@ CASES = [
     ),
     (
         "q56_embedding_dup_suite",
-        "Embedding near-dup suite, LSH-blocked arm: candidate pairs from "
-        "an equi-join keyed (band, bucket) — never an all-pairs product; "
-        "Arrow-batched bucket assignment and numpy prescreen "
-        "(MapInPandas), exact re-check on survivors only",
-        ["MapInPandas", "Join", "Exchange"],
+        "Embedding near-dup suite: the LSH arm's candidate pairs come "
+        "from an equi-join keyed (band, bucket), the SemDeDup arm's from "
+        "an equi-join keyed on the Voronoi cell_id (assignment itself is "
+        "one broadcast scan + combinable max_by argmax) — never an "
+        "all-pairs product on the scale path; Arrow-batched bucket "
+        "assignment and numpy prescreen (MapInPandas), exact re-check on "
+        "survivors only",
+        ["MapInPandas", "Join", "Exchange", "max_by"],
     ),
     (
         "q64_search_ego_subnetwork",
@@ -123,7 +129,9 @@ CASES = [
         "cluster-representative arms (former q71): the near-dup pair "
         "emitter is the inverted-index hash equi-join, and the solved "
         "(dup → representative) map re-joins the corpus as a BROADCAST — "
-        "dup-count-sized, never corpus-sized",
+        "dup-count-sized, never corpus-sized. Round 8: the suite's two "
+        "eager materializations (fingerprint checkpoint, pair solve) are "
+        "submitted from two threads so their stages overlap",
         ["Generate", "Window", "BroadcastHashJoin", "Exchange", "Join"],
     ),
     (

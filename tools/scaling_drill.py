@@ -86,32 +86,56 @@ def main() -> None:
     if os.path.exists(path) and os.environ.get("DRILL_FRESH") != "1":
         with open(path) as fh:
             out = json.load(fh)
+    reps = int(os.environ.get("DRILL_REPS", "2"))
     for sf_dir, key in ((small, "small"), (big, "big")):
         for name in names:
-            _wait_quiet()
-            load0 = round(os.getloadavg()[0], 1)
-            t0 = time.time()
-            df = CATALOG[name].spark_fn(spark, sf_dir)
-            df.persist()
-            try:
-                n = df.count()
-                if n <= 100_000:
-                    df.collect()
-            finally:
-                df.unpersist()
-            el = round(time.time() - t0, 2)
+            # min of DRILL_REPS load-gated samples: a single sample is
+            # hostage to one sibling-container burst landing mid-run
+            # (observed: a 5s query sampling at 52s under a burst that
+            # arrived AFTER the load gate passed); the min of two
+            # decorrelates unless both runs are hit
+            best, best_load, n = None, None, 0
+            for _rep in range(max(1, reps)):
+                _wait_quiet()
+                load0 = round(os.getloadavg()[0], 1)
+                t0 = time.time()
+                df = CATALOG[name].spark_fn(spark, sf_dir)
+                df.persist()
+                try:
+                    n = df.count()
+                    if n <= 100_000:
+                        df.collect()
+                finally:
+                    df.unpersist()
+                el = round(time.time() - t0, 2)
+                if best is None or el < best:
+                    best, best_load = el, load0
+                del df
+                import gc
+
+                gc.collect()
             rec = out.setdefault(name, {})
-            rec[key] = el
+            # min-merge across runs at the SAME git rev: repeated drill
+            # invocations under bursty sibling load converge to the
+            # quiet minimum instead of the last run overwriting a
+            # better earlier sample; a rev change invalidates history
+            prev = rec.get(key)
+            if (
+                prev is not None
+                and rec.get(f"{key}_rev") == _git_rev()
+                and prev <= best
+            ):
+                best, best_load = prev, rec.get(f"{key}_load")
+            rec[key] = best
             rec[f"{key}_rows"] = n
-            rec[f"{key}_load"] = load0
+            rec[f"{key}_load"] = best_load
             rec[f"{key}_rev"] = _git_rev()  # merge-incremental file mixes
             # runs — stamp each sample so stale-code samples are
             # identifiable after a plan change
-            print(f"{key:5s} {name:32s} {el:8.2f}s  {n} rows  load {load0}", flush=True)
-            del df
-            import gc
-
-            gc.collect()
+            print(
+                f"{key:5s} {name:32s} {best:8.2f}s  {n} rows  load {best_load}",
+                flush=True,
+            )
     for name, rec in out.items():
         if rec.get("small") and rec.get("big") is not None:
             rec["ratio"] = round(rec["big"] / rec["small"], 2)
