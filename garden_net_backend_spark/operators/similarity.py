@@ -873,6 +873,7 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     cells: DataFrame | None = None,
     prescreen: bool = True,
+    assign: str = "exact",
 ) -> DataFrame:
     """SemDeDup-style cluster-blocked near-dup pairs → (id_a, id_b,
     cosine ≥ threshold), comparing ONLY vectors that share a Voronoi
@@ -893,7 +894,17 @@ def semantic_dedup_pairs(
     vectors act as deterministic seed centroids (reproducible by the
     SQL oracle; the learned path is pinned by tests instead).
 
-    100 TB shape: assignment is one broadcast-join scan; the pair join
+    ``assign``: "exact" scores every (vector, cell) with the
+    exact-decimal cosine — the oracle-reproducible gate path, O(N·k)
+    interpreted decimal folds, right when k is small. "arrow" routes
+    assignment through the same Arrow-batched numpy matmul the IVF
+    index uses (``_ivf_assign``) — the production path when k grows
+    with the corpus (k ≈ √N: the decimal path measured 100× slower at
+    N=200k, k=448; matmul assignment is seconds). Same argmax
+    tie-break (lowest cell id); results differ only if two cells tie
+    within float64 rounding of an exact cosine.
+
+    100 TB shape: assignment is one broadcast scan; the pair join
     shuffles on cell_id (k ≈ √N keeps cells executor-sized; cap or
     re-split hot cells exactly like the LSH hot-bucket modes)."""
     base = corpus.select(id_col, vec_col)
@@ -910,10 +921,17 @@ def semantic_dedup_pairs(
             F.col(cells.columns[0]).alias("_cell"),
             F.col(cells.columns[1]).alias("_cvec"),
         )
-    assign = assign_nearest_cell(
-        base, cells, id_col, vec_col, "_cell", "_cvec"
-    )
-    tagged = base.join(assign, id_col)
+    if assign == "arrow":
+        cent_rows = [(r["_cell"], list(r["_cvec"])) for r in cells.collect()]
+        cell_of = _ivf_assign(base, cent_rows, id_col, vec_col)
+        cell_of = cell_of.select(id_col, F.col("centroid_id").alias("_cell"))
+    elif assign == "exact":
+        cell_of = assign_nearest_cell(
+            base, cells, id_col, vec_col, "_cell", "_cvec"
+        )
+    else:
+        raise ValueError(f"unknown assign mode: {assign!r}")
+    tagged = base.join(cell_of, id_col)
     a = tagged.select(
         F.col("_cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
     )

@@ -607,3 +607,23 @@ def test_semantic_dedup_with_learned_ivf_centroids(spark, emb):
     # determinism across invocations
     again = semantic_dedup_pairs(emb, threshold=0.2, cells=cents).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_semantic_dedup_arrow_assignment_agrees(spark, emb):
+    # production (numpy matmul) vs gate (exact-decimal) assignment:
+    # identical pair sets on data without float64-level cell ties
+    from garden_net_backend_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    exact = semantic_dedup_pairs(
+        emb, threshold=0.2, n_cells=4, assign="exact"
+    ).collect()
+    arrow = semantic_dedup_pairs(
+        emb, threshold=0.2, n_cells=4, assign="arrow"
+    ).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, arrow))
+    import pytest
+
+    with pytest.raises(ValueError):
+        semantic_dedup_pairs(emb, assign="nope").collect()
