@@ -37,6 +37,7 @@ def curate_training_corpus(
     seed: int = 0,
     default_rate: float = 1.0,
     excise_spans_min_tokens: int | None = None,
+    pair_emitter=None,
 ) -> dict[str, DataFrame]:
     """Run the full curation chain → ``{"documents", "sequences",
     "audit"}``.
@@ -61,10 +62,17 @@ def curate_training_corpus(
         "gopher_keep", gopher_rules(F.col(text_col))["keep"]
     )
     quality = flagged.filter(F.col("gopher_keep"))
-    pairs = minhash_dedup_pairs(
-        quality, text_col=text_col, id_col=id_col,
-        threshold=dedup_threshold, shingle="word", ngram=3,
-    )
+    # ``pair_emitter``: optional quality_docs → (id_a, id_b, ...) frame
+    # — swap in any near-dup emitter (simhash_near_pairs, exact-Jaccard,
+    # semantic_dedup_pairs over an embedding join) for the default
+    # MinHash-LSH; representatives/split/audit plumbing is identical.
+    if pair_emitter is not None:
+        pairs = pair_emitter(quality)
+    else:
+        pairs = minhash_dedup_pairs(
+            quality, text_col=text_col, id_col=id_col,
+            threshold=dedup_threshold, shingle="word", ngram=3,
+        )
     reps = dedup_representatives(quality, pairs, id_col=id_col)
     enriched = leakage_safe_split(flagged, reps, id_col=id_col).join(
         reps, id_col, "left"

@@ -303,3 +303,31 @@ def test_unigram_nll_bruteforce_and_modes(spark):
     lm = docs.filter("doc_id < 2")
     scored = {r["doc_id"]: r["nll"] for r in unigram_nll(docs, lm_docs=lm).collect()}
     assert scored[2] > scored[0] + 1.0 and scored[2] > scored[1] + 1.0
+
+
+def test_curate_training_corpus_custom_pair_emitter(spark):
+    # the dedup stage accepts any near-dup emitter; an exact-Jaccard
+    # emitter must produce the same clustering on a corpus whose dups
+    # MinHash also catches
+    from garden_net_backend_spark.operators.dedup import ngram_jaccard_pairs
+    from garden_net_backend_spark.plans.pipeline import curate_training_corpus
+
+    base = " ".join(f"tok{i:02d}" for i in range(70))
+    rows = [
+        (0, base, "web"),
+        (1, base.replace("tok07", "mutant"), "web"),
+        (2, " ".join(f"other{i}" for i in range(80)), "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate_training_corpus(
+        docs,
+        rates={"web": 1.0},
+        tokens_per_seq=16,
+        pair_emitter=lambda q: ngram_jaccard_pairs(
+            q, n=3, threshold=0.7, shingle="word"
+        ),
+    )
+    d = {r["doc_id"]: r for r in out["documents"].collect()}
+    assert d[0]["representative"] == 0 and d[1]["representative"] == 0
+    assert d[2]["representative"] == 2
+    assert d[1]["selected"] is False
