@@ -58,7 +58,10 @@ _COUNT_ONLY_ABOVE = 100_000
 _TOTAL_BUDGET_SEC = 600.0  # the interleaved passes stop refining
 # once spent (keeps the driver's bench step bounded under sibling load)
 _QUIET_LOAD = 4.0  # 1-min loadavg below this counts as a quiet host
-_QUIET_WAIT_BUDGET_SEC = 180.0  # max total time spent WAITING for quiet
+_QUIET_WAIT_BUDGET_SEC = 420.0  # max total time spent WAITING for quiet
+# (observed: sibling bursts of loadavg 10-30 lasting several minutes,
+# with sub-minute quiet dips between them — a short budget exhausts
+# before the first dip; 7 min spans a burst)
 _DETAIL_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
 )
@@ -278,9 +281,12 @@ def main() -> None:
     # burst; give every query whose samples all ran hot one more shot
     # on a quiet host. The WAIT budget is global and bounded, so a
     # never-quiet host costs ≤ _QUIET_WAIT_BUDGET_SEC extra.
+    # SLOWEST-FIRST: on a day of sustained bursts the budget runs out
+    # mid-pass, so spend it where a hot sample inflates the headline
+    # most — the queries whose current min is largest.
     quiet: dict[str, float | None] = {}
     wait_left = _QUIET_WAIT_BUDGET_SEC
-    for name in runners:
+    for name in sorted(runners, key=lambda n: -min(samples[n])):
         if any(l < _QUIET_LOAD for l in loads[name]):
             # an existing sample already ran quiet — reuse, don't rerun
             quiet[name] = min(
