@@ -189,7 +189,10 @@ def ngram_jaccard_pairs_prefix(
     # ``grams``: optional precomputed (id_col, _grams) distinct-shingle
     # frame (with_shingles output, usually checkpointed) — lets a suite
     # running several emitters over one corpus pay the text→shingle
-    # normalization once instead of per arm
+    # normalization once instead of per arm. CONTRACT: when grams is
+    # given, ``n``/``shingle`` are IGNORED — the frame must have been
+    # built with the settings the caller intends, or the Jaccard
+    # values are silently computed over the wrong shingle measure
     if grams is None:
         grams = with_shingles(
             ensure_min_partitions(docs), text_col, "_grams", n, shingle
@@ -272,6 +275,11 @@ def minhash_signatures(
     the shingles. (A per-row higher-order-function variant re-inlines
     the shingle pipeline per hash function — 64× the compute; measured
     60× slower.)
+
+    ``grams``: optional precomputed (id_col, _grams) shingle frame.
+    CONTRACT: when given, ``ngram``/``shingle`` are IGNORED — the
+    caller owns keeping the precomputed shingles consistent with the
+    measure it wants (pass-through of the q30 shared-checkpoint seam).
     """
     coeffs = [
         (
@@ -351,6 +359,10 @@ def minhash_dedup_pairs(
     (id_a, id_b, jaccard ≥ threshold). Precision is exact; recall is
     the LSH S-curve (1−(1−s^r)^b) — pairs the bands never collide on
     are not checked (that's the 100 TB trade).
+
+    ``grams``: optional precomputed shingle frame; when given,
+    ``ngram``/``shingle`` are IGNORED (see minhash_signatures) — both
+    the signatures and the exact verification use the frame as-is.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
@@ -978,12 +990,29 @@ def excise_duplicate_spans_incremental(
 
 
 def dedup_representatives(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    keep_policy: str = "min_id",
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup CLUSTERING — the step that turns pairwise dedup output
     into a keep/drop decision → ``(id_col, representative)`` where
-    ``representative`` = min id of the document's near-dup cluster
-    (itself when it has no near-dups).
+    ``representative`` = the kept id of the document's near-dup
+    cluster (itself when it has no near-dups).
+
+    ``keep_policy`` picks the survivor per cluster:
+
+    - ``"min_id"`` (default): lowest id — cheap, deterministic, and
+      the shape every SQL oracle reproduces with a recursive CTE.
+    - ``"far_from_centroid"``: the SemDeDup recipe (Abbas et al. 2023
+      §2 keep the cluster member with the LOWEST cosine to its k-means
+      centroid — i.e. farthest, the most "informative" exemplar).
+      Requires ``scores``: an ``(id_col, cell_cosine)`` frame —
+      ``assign_nearest_cell(..., with_cosine=True)`` emits exactly
+      this. Ties break to min id, so the choice stays a pure function
+      of the data. Cost over min_id: one join of the CC output (dup
+      clusters only, tiny vs corpus) with scores + one min_by groupBy.
 
     Pairwise emitters (MinHash-LSH, SimHash, embedding blocking) leave
     transitive chains unresolved: A~B, B~C must collapse to ONE kept
@@ -997,12 +1026,39 @@ def dedup_representatives(
     """
     from .graph import connected_components
 
+    if keep_policy not in ("min_id", "far_from_centroid"):
+        raise ValueError(
+            f"keep_policy must be 'min_id' or 'far_from_centroid', got {keep_policy!r}"
+        )
+    if keep_policy == "far_from_centroid" and scores is None:
+        raise ValueError(
+            "keep_policy='far_from_centroid' needs scores=(id, cell_cosine) — "
+            "assign_nearest_cell(..., with_cosine=True) produces it"
+        )
     nodes = docs.select(F.col(id_col).alias("node"))
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     cc = connected_components(nodes, edges)
-    return cc.select(
-        F.col("node").alias(id_col),
-        F.col("component").alias("representative"),
+    if keep_policy == "min_id":
+        return cc.select(
+            F.col("node").alias(id_col),
+            F.col("component").alias("representative"),
+        )
+    sc = scores.select(
+        F.col(id_col).alias("node"), F.col(scores.columns[1]).alias("_cos")
+    )
+    # per component, keep the member FARTHEST from the centroid
+    # (lowest cosine; tie → min id) — min_by is map-side combinable
+    reps = (
+        cc.join(sc, "node")
+        .groupBy("component")
+        .agg(
+            F.min_by(
+                F.col("node"), F.struct(F.col("_cos"), F.col("node"))
+            ).alias("representative")
+        )
+    )
+    return cc.join(reps, "component").select(
+        F.col("node").alias(id_col), "representative"
     )

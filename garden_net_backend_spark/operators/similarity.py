@@ -838,8 +838,10 @@ def assign_nearest_cell(
     vec_col: str = "embedding",
     cell_id_col: str = "cell_id",
     cell_vec_col: str = "centroid",
+    with_cosine: bool = False,
 ) -> DataFrame:
-    """Voronoi assignment → (id, cell_id): each vector goes to its
+    """Voronoi assignment → (id, cell_id) — plus ``cell_cosine`` (the
+    winning cosine) when ``with_cosine``: each vector goes to its
     max-cosine cell centroid; ties (and all-zero vectors, whose cosine
     is 0 against every centroid) break to the lowest cell id, so the
     assignment is a pure function of the data — deterministic under any
@@ -848,7 +850,7 @@ def assign_nearest_cell(
     Centroid side is broadcast (k·dim values); the corpus scan is
     embarrassingly parallel — one pass, no shuffle beyond the argmax
     groupBy's map-side-combinable max_by."""
-    scored = corpus.select(id_col, vec_col).join(
+    scored = corpus.select(id_col, vec_col).crossJoin(
         F.broadcast(cells.select(cell_id_col, cell_vec_col))
     ).select(
         id_col,
@@ -857,12 +859,18 @@ def assign_nearest_cell(
     )
     # argmax via max_by on a (cos, -cell_id) struct: one combinable
     # aggregate, no window sort
-    return scored.groupBy(id_col).agg(
+    aggs = [
         F.max_by(
             F.col(cell_id_col),
             F.struct(F.col("_cos"), -F.col(cell_id_col)),
         ).alias(cell_id_col)
-    )
+    ]
+    if with_cosine:
+        # cosine to the WINNING centroid == the max cosine (that is
+        # what made it win); feeds the SemDeDup far-from-centroid
+        # keep policy (dedup_representatives)
+        aggs.append(F.max(F.col("_cos")).alias("cell_cosine"))
+    return scored.groupBy(id_col).agg(*aggs)
 
 
 def semantic_dedup_pairs(
@@ -874,6 +882,8 @@ def semantic_dedup_pairs(
     cells: DataFrame | None = None,
     prescreen: bool = True,
     assign: str = "exact",
+    max_cell_size: int | None = None,
+    hot_mode: str = "split",
 ) -> DataFrame:
     """SemDeDup-style cluster-blocked near-dup pairs → (id_a, id_b,
     cosine ≥ threshold), comparing ONLY vectors that share a Voronoi
@@ -905,8 +915,35 @@ def semantic_dedup_pairs(
     within float64 rounding of an exact cosine.
 
     100 TB shape: assignment is one broadcast scan; the pair join
-    shuffles on cell_id (k ≈ √N keeps cells executor-sized; cap or
-    re-split hot cells exactly like the LSH hot-bucket modes)."""
+    shuffles on cell_id — k ≈ √N keeps cells executor-sized ON
+    AVERAGE, but a learned clustering over a dup-heavy corpus (the
+    exact corpus SemDeDup targets) can park the duplicate mass in one
+    mega-cell, and the within-cell all-pairs join then goes |cell|²
+    unbounded. ``max_cell_size`` is the guard:
+
+    - ``hot_mode="drop"``: members of over-cap cells are discarded —
+      lossy screen, same contract as the LSH drop mode.
+    - ``hot_mode="split"`` (default): DISTANCE-RANK CHUNKING. Members
+      of a hot cell are ranked by cosine-to-centroid (desc, id asc
+      tie-break — fully deterministic) and cut into ceil(sz/cap)
+      contiguous chunks of ≤cap rows; pairs are generated within each
+      chunk AND across adjacent chunks. Work per cell drops from sz²
+      to ~2·sz·cap (bounded, linear in sz); precision stays exact.
+      Recall: pairs >1 chunk apart in centroid-cosine rank are unseen
+      — but a mega-cell of mutual near-dups has every cross-chunk pair
+      above threshold, so adjacent-chunk links keep the whole mass
+      TRANSITIVELY connected and connected-components dedup
+      (dedup_representatives) recovers the full cluster. Rank-chunking
+      is deliberately NOT the LSH reserve-sign-bit split: near-dups
+      agree on every further hyperplane (the anisotropy failure noted
+      at embedding_dup_pairs_lsh), so sign bits cannot shatter a
+      duplicate-mass mega-cell, while rank chunks always can. The rank
+      window sorts each cell in one task (O(sz·log sz), not sz²) —
+      fine far past the point the unguarded join would DNF."""
+    if hot_mode not in ("drop", "split"):
+        # mirror embedding_dup_pairs_lsh: a typo must not silently
+        # change recall semantics
+        raise ValueError(f"hot_mode must be 'drop' or 'split', got {hot_mode!r}")
     base = corpus.select(id_col, vec_col)
     if cells is None:
         cells = (
@@ -917,9 +954,27 @@ def semantic_dedup_pairs(
             )
         )
     else:
+        # bind by NAME when the frame uses a known centroid vocabulary
+        # (ivf_build_index emits centroid_id/centroid_vec;
+        # assign_nearest_cell's defaults are cell_id/centroid);
+        # positional binding is only a fallback for bare two-column
+        # frames — a wider frame with unknown names would silently
+        # mis-bind id and vector, so it is rejected instead.
+        names = set(cells.columns)
+        if {"centroid_id", "centroid_vec"} <= names:
+            idc, vc = "centroid_id", "centroid_vec"
+        elif {"cell_id", "centroid"} <= names:
+            idc, vc = "cell_id", "centroid"
+        elif len(cells.columns) == 2:
+            idc, vc = cells.columns
+        else:
+            raise ValueError(
+                "cells frame must have columns (centroid_id, centroid_vec) "
+                "or (cell_id, centroid), or exactly two columns "
+                f"(id, vector); got {cells.columns}"
+            )
         cells = cells.select(
-            F.col(cells.columns[0]).alias("_cell"),
-            F.col(cells.columns[1]).alias("_cvec"),
+            F.col(idc).alias("_cell"), F.col(vc).alias("_cvec")
         )
     if assign == "arrow":
         cent_rows = [(r["_cell"], list(r["_cvec"])) for r in cells.collect()]
@@ -932,6 +987,75 @@ def semantic_dedup_pairs(
     else:
         raise ValueError(f"unknown assign mode: {assign!r}")
     tagged = base.join(cell_of, id_col)
+    if max_cell_size is not None:
+        sizes = tagged.groupBy("_cell").agg(F.count("*").alias("_sz"))
+        if hot_mode == "drop":
+            tagged = tagged.join(
+                sizes.filter(F.col("_sz") <= max_cell_size).drop("_sz"), "_cell"
+            )
+        else:
+            # distance-rank chunking (see docstring). Ordering cosine
+            # is a plain double fold — only the ORDER matters here, and
+            # double HOF arithmetic is deterministic per row; the
+            # emitted pair scores below stay exact-decimal.
+            order_cos = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.col("_cvec"),
+                    lambda x, y: x.cast("double") * y.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            ranked = (
+                tagged.join(sizes, "_cell")
+                .join(F.broadcast(cells), "_cell")
+                .withColumn(
+                    "_rk",
+                    F.row_number().over(
+                        W.partitionBy("_cell").orderBy(
+                            order_cos.desc(), F.col(id_col)
+                        )
+                    ),
+                )
+                .withColumn(
+                    "_ck", F.floor((F.col("_rk") - 1) / F.lit(max_cell_size))
+                )
+                .withColumn(
+                    "_nck",
+                    F.ceil(F.col("_sz") / F.lit(max_cell_size)).cast("long"),
+                )
+            )
+            # each member lands on its own chunk key, plus the next
+            # chunk's key when one exists — within-chunk pairs match on
+            # the shared key, adjacent-chunk pairs on the higher one;
+            # cool cells (one chunk) emit exactly one key, zero overhead
+            keyed = ranked.select(
+                "_cell",
+                F.col(id_col),
+                F.explode(
+                    F.when(
+                        F.col("_ck") + 1 < F.col("_nck"),
+                        F.array(F.col("_ck"), F.col("_ck") + 1),
+                    ).otherwise(F.array(F.col("_ck")))
+                ).alias("_key"),
+            )
+            cand = (
+                keyed.alias("l")
+                .join(keyed.alias("r"), ["_cell", "_key"])
+                .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+                .select(
+                    F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"),
+                )
+                # a same-chunk pair whose chunk also emitted the +1 key
+                # matches on both keys
+                .distinct()
+            )
+            pair_vecs = _pair_vectors(cand, base, id_col, vec_col)
+            if prescreen:
+                pair_vecs = _prescreen_pairs(pair_vecs, threshold)
+            return _exact_pair_scores(pair_vecs, threshold)
     a = tagged.select(
         F.col("_cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
     )

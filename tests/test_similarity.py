@@ -627,3 +627,193 @@ def test_semantic_dedup_arrow_assignment_agrees(spark, emb):
 
     with pytest.raises(ValueError):
         semantic_dedup_pairs(emb, assign="nope").collect()
+
+
+def test_semantic_dedup_hot_cell_split_bounds_and_connects(spark):
+    """Round-9 guard (VERDICT r8 task 1): a planted mega-cluster — 30%
+    of the corpus near-identical, exactly the corpus SemDeDup targets —
+    must not send the within-cell pair join |cell|²-unbounded.
+    split mode: candidate work bounded to ~2·sz·cap AND the duplicate
+    mass stays one connected component (adjacent-chunk links chain).
+    drop mode: the mega-cell is discarded wholesale."""
+    import numpy as np
+
+    from garden_net_backend_spark.operators.dedup import dedup_representatives
+    from garden_net_backend_spark.operators.similarity import (
+        embedding_dup_pairs,
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    hub = rng.standard_normal(16)
+    rows = []
+    # 280 background vectors at LOW ids — the default n_cells=8 seed
+    # centroids come from here (diverse directions), so the whole
+    # near-identical mass below lands in ONE Voronoi cell (hot)
+    for i in range(280):
+        v = rng.standard_normal(16)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    # 120 near-identical vectors (the duplicate mass) at high ids
+    for i in range(1000, 1120):
+        v = hub + rng.standard_normal(16) * 1e-3
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cap = 16
+    guarded = semantic_dedup_pairs(
+        df, threshold=0.999, n_cells=8, max_cell_size=cap, hot_mode="split"
+    )
+    pairs = guarded.collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # precision: subset of the exact all-pairs truth
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(df, threshold=0.999).collect()
+    }
+    assert got <= truth and len(got) > 0
+    # bounded: the unguarded mega-cell would emit ≥ C(120,2)=7140
+    # candidate pairs; chunked emission is ≤ ~2·sz·cap
+    assert len(got) <= 2 * 120 * cap
+    assert len(got) < len(truth)  # the guard really dropped far pairs
+    # connectivity: CC over the guarded pairs recovers the FULL planted
+    # cluster as one component (adjacent-chunk links chain through)
+    reps = dedup_representatives(
+        df.select(F.col("vec_id")), guarded, id_col="vec_id"
+    ).collect()
+    rep_of = {r["vec_id"]: r["representative"] for r in reps}
+    planted_reps = {rep_of[i] for i in range(1000, 1120)}
+    assert planted_reps == {1000}
+    # drop mode: the hot cell is gone — no pair between planted members
+    dropped = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            df, threshold=0.999, n_cells=8, max_cell_size=cap, hot_mode="drop"
+        ).collect()
+    }
+    assert not any(a >= 1000 and b >= 1000 for a, b in dropped)
+    with pytest.raises(ValueError):
+        semantic_dedup_pairs(df, max_cell_size=cap, hot_mode="Split").collect()
+
+
+def test_semantic_dedup_guard_noop_on_cool_cells(spark, emb):
+    """A cap larger than every cell must reproduce the unguarded
+    output exactly (both modes) — the guard is pure insurance."""
+    from garden_net_backend_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    base = sorted(
+        map(tuple, semantic_dedup_pairs(emb, threshold=0.2, n_cells=4).collect())
+    )
+    n = emb.count()
+    for mode in ("split", "drop"):
+        got = sorted(
+            map(
+                tuple,
+                semantic_dedup_pairs(
+                    emb,
+                    threshold=0.2,
+                    n_cells=4,
+                    max_cell_size=int(n),
+                    hot_mode=mode,
+                ).collect(),
+            )
+        )
+        assert got == base, mode
+
+
+def test_semantic_dedup_cells_named_binding(spark, emb):
+    """ADVICE r8: a cells frame with extra/reordered columns binds by
+    NAME (centroid_id/centroid_vec or cell_id/centroid); unknown wide
+    frames are rejected instead of silently mis-binding."""
+    from garden_net_backend_spark.operators.similarity import (
+        ivf_build_index,
+        semantic_dedup_pairs,
+    )
+
+    cents, _ = ivf_build_index(emb, n_centroids=4, refine_iters=0)
+    base = sorted(
+        map(tuple, semantic_dedup_pairs(emb, threshold=0.2, cells=cents).collect())
+    )
+    # reorder + add a column: name binding must still find the pair
+    shuffled = cents.select(
+        F.lit("x").alias("junk"), "centroid_vec", "centroid_id"
+    )
+    got = sorted(
+        map(
+            tuple,
+            semantic_dedup_pairs(emb, threshold=0.2, cells=shuffled).collect(),
+        )
+    )
+    assert got == base
+    with pytest.raises(ValueError):
+        semantic_dedup_pairs(
+            emb,
+            threshold=0.2,
+            cells=cents.select(
+                F.col("centroid_id").alias("a"),
+                F.col("centroid_vec").alias("b"),
+                F.lit(1).alias("c"),
+            ),
+        )
+
+
+def test_dedup_representatives_keep_policy_far_from_centroid(spark):
+    """SemDeDup keep policy (Abbas 2023): keep the cluster member with
+    the LOWEST cosine to its centroid — on a fixture where that member
+    is NOT the min id, the two policies must differ as specified."""
+    import numpy as np
+
+    from garden_net_backend_spark.operators.dedup import dedup_representatives
+    from garden_net_backend_spark.operators.similarity import (
+        assign_nearest_cell,
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    hub = rng.standard_normal(8)
+    hub /= np.linalg.norm(hub)
+    rows = []
+    # cluster of 4 near-dups; id 7 is deliberately pushed farthest
+    # from the shared direction (largest perturbation)
+    for i, eps in [(3, 1e-4), (5, 2e-4), (7, 4e-3), (9, 1e-4)]:
+        v = hub + rng.standard_normal(8) * eps
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    # an isolated singleton
+    w = rng.standard_normal(8)
+    rows.append((11, (w / np.linalg.norm(w)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeds = df.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    pairs = semantic_dedup_pairs(df, threshold=0.99, cells=seeds)
+    scores = assign_nearest_cell(df, seeds, with_cosine=True).select(
+        "vec_id", "cell_cosine"
+    )
+    docs = df.select("vec_id")
+    min_id = {
+        r["vec_id"]: r["representative"]
+        for r in dedup_representatives(docs, pairs, id_col="vec_id").collect()
+    }
+    far = {
+        r["vec_id"]: r["representative"]
+        for r in dedup_representatives(
+            docs,
+            pairs,
+            id_col="vec_id",
+            keep_policy="far_from_centroid",
+            scores=scores,
+        ).collect()
+    }
+    assert {min_id[i] for i in (3, 5, 7, 9)} == {3}
+    assert {far[i] for i in (3, 5, 7, 9)} == {7}
+    # singleton keeps itself under both policies
+    assert min_id[11] == 11 and far[11] == 11
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dedup_representatives(docs, pairs, id_col="vec_id", keep_policy="nope")
+    with _pt.raises(ValueError):
+        dedup_representatives(
+            docs, pairs, id_col="vec_id", keep_policy="far_from_centroid"
+        )

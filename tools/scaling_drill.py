@@ -94,7 +94,7 @@ def main() -> None:
             # (observed: a 5s query sampling at 52s under a burst that
             # arrived AFTER the load gate passed); the min of two
             # decorrelates unless both runs are hit
-            best, best_load, n = None, None, 0
+            best, best_load, best_rows, n = None, None, 0, 0
             for _rep in range(max(1, reps)):
                 _wait_quiet()
                 load0 = round(os.getloadavg()[0], 1)
@@ -109,7 +109,7 @@ def main() -> None:
                     df.unpersist()
                 el = round(time.time() - t0, 2)
                 if best is None or el < best:
-                    best, best_load = el, load0
+                    best, best_load, best_rows = el, load0, n
                 del df
                 import gc
 
@@ -125,15 +125,20 @@ def main() -> None:
                 and rec.get(f"{key}_rev") == _git_rev()
                 and prev <= best
             ):
-                best, best_load = prev, rec.get(f"{key}_load")
+                # records written before the _load field existed carry
+                # None — keep the freshly measured load rather than
+                # re-stamping a null
+                best = prev
+                best_load = rec.get(f"{key}_load") or best_load
+                best_rows = rec.get(f"{key}_rows") or best_rows
             rec[key] = best
-            rec[f"{key}_rows"] = n
+            rec[f"{key}_rows"] = best_rows
             rec[f"{key}_load"] = best_load
             rec[f"{key}_rev"] = _git_rev()  # merge-incremental file mixes
             # runs — stamp each sample so stale-code samples are
             # identifiable after a plan change
             print(
-                f"{key:5s} {name:32s} {best:8.2f}s  {n} rows  load {best_load}",
+                f"{key:5s} {name:32s} {best:8.2f}s  {best_rows} rows  load {best_load}",
                 flush=True,
             )
     for name, rec in out.items():
