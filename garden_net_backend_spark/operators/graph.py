@@ -189,96 +189,98 @@ def connected_components(
        back. If ``max_iter`` contraction passes never get there
        (pathological), fall back to distributed min-label propagation
        with pointer jumping (``_cc_pointer_jumping``).
+
+    First touch is a LIMIT-PROBE (round 9): pull at most
+    ``collect_threshold + 1`` edge rows — one consumption of the
+    (possibly expensive) upstream chain both decides the path and, in
+    the common small-graph case (near-dup pair graphs, bench
+    networks), already holds the entire edge list for the bounded
+    solve. The round-8 shape persisted the chain and counted it before
+    collecting: on an already-checkpointed input (q23's bench graph)
+    the cache write was pure overhead (+1.2s quiet), and on an
+    expensive emitter (q29's pair join) the probe is strictly cheaper
+    too — one compute + Arrow transfer vs compute + cache write +
+    cache read.
     """
     e = edges.select(src, dst).filter(F.col(src) != F.col(dst))
-    # nparts seeds the contraction-pass repartition schedule. Resolved
-    # LAZILY (and from defaultParallelism, not df.rdd): under AQE,
+    probe = e.limit(collect_threshold + 1).toPandas()
+    if len(probe) <= collect_threshold:
+        return _cc_solve_bounded(probe, nodes, node_col, src, dst)
+    del probe
+    # Big graph: geometric contraction. Post-contraction frames are
+    # eager localCheckpoints, so loop counts are cheap aggregates over
+    # materialized blocks. nparts seeds the repartition schedule,
+    # resolved from defaultParallelism, never ``e.rdd`` (under AQE,
     # ``e.rdd.getNumPartitions()`` finalizes the adaptive plan by
-    # EXECUTING every shuffle stage of the (possibly expensive) edge
-    # emitter — profiled at +2.5s on the q29 near-dup pair join just to
-    # read a partition count that the bounded-solve fast path never
-    # uses.
+    # EXECUTING every shuffle stage of the edge emitter — profiled at
+    # +2.5s on the q29 pair join just to read a partition count).
     nparts = None
     prev = None
-    # the input edge chain is consumed twice before the first
-    # contraction (size count + either toPandas or the union-find
-    # pass) — persist it so an expensive upstream emitter (e.g. the
-    # near-dup pair join feeding dedup_representatives) runs once, not
-    # twice; post-contraction frames are eager localCheckpoints and
-    # need no cache
-    owned = e.persist()
     for _ in range(max_iter):
-        # size check BEFORE contracting: an already-small edge set
-        # (near-dup pair graphs, post-contraction forests) goes straight
-        # to the bounded solve — the count is one cheap aggregate,
-        # versus a full mapInPandas union-find pass + checkpoint
+        e = _forest_contract(e, src, dst).localCheckpoint(eager=True)
+        if nparts is None:
+            nparts = max(1, edges.sparkSession.sparkContext.defaultParallelism)
+        nparts = max(1, nparts // 8)
+        e = e.repartition(nparts)
         n = e.count()
         if n <= collect_threshold:
-            pdf = e.toPandas()
-            if owned is not None:
-                owned.unpersist()
-                owned = None
-            parent: dict = {}
-
-            def find(x):
-                r = x
-                while parent[r] != r:
-                    r = parent[r]
-                while parent[x] != r:
-                    parent[x], x = r, parent[x]
-                return r
-
-            for a, b in zip(pdf[src].values, pdf[dst].values):
-                a = a.item() if hasattr(a, "item") else a
-                b = b.item() if hasattr(b, "item") else b
-                if a not in parent:
-                    parent[a] = a
-                if b not in parent:
-                    parent[b] = b
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    parent[max(ra, rb)] = min(ra, rb)
-            mapping = [(k, find(k)) for k in parent]
-            spark = nodes.sparkSession
-            node_type = nodes.schema[node_col].dataType
-            from pyspark.sql.types import StructField, StructType
-
-            mdf = spark.createDataFrame(
-                mapping,
-                StructType(
-                    [
-                        StructField("node", node_type),
-                        StructField("_comp", node_type),
-                    ]
-                ),
-            )
-            return (
-                nodes.select(F.col(node_col).alias("node"))
-                .join(F.broadcast(mdf), "node", "left")
-                .select(
-                    "node",
-                    F.coalesce(F.col("_comp"), F.col("node")).alias("component"),
-                )
-            )
+            return _cc_solve_bounded(e.toPandas(), nodes, node_col, src, dst)
         if prev is not None and n >= prev * 0.9:
             # forest has plateaued at ~|V| > threshold — contraction
             # can't shrink further; finish distributed
             break
         prev = n
-        e = _forest_contract(e, src, dst).localCheckpoint(eager=True)
-        if owned is not None:
-            # the checkpoint materialized — the input chain is done
-            owned.unpersist()
-            owned = None
-        if nparts is None:
-            nparts = max(1, edges.sparkSession.sparkContext.defaultParallelism)
-        nparts = max(1, nparts // 8)
-        e = e.repartition(nparts)
-    if owned is not None:
-        # max_iter=0 skips the loop entirely — release the cache before
-        # handing the (unconsumed) chain to the distributed solver
-        owned.unpersist()
     return _cc_pointer_jumping(nodes, e, node_col, src, dst, max_iter)
+
+
+def _cc_solve_bounded(
+    pdf, nodes: DataFrame, node_col: str, src: str, dst: str
+) -> DataFrame:
+    """Driver-side union-find over a ≤collect_threshold edge list →
+    (node, component) joined back over the full node set (nodes absent
+    from every edge keep themselves as component)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pdf[src].values, pdf[dst].values):
+        a = a.item() if hasattr(a, "item") else a
+        b = b.item() if hasattr(b, "item") else b
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    mapping = [(k, find(k)) for k in parent]
+    spark = nodes.sparkSession
+    node_type = nodes.schema[node_col].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    mdf = spark.createDataFrame(
+        mapping,
+        StructType(
+            [
+                StructField("node", node_type),
+                StructField("_comp", node_type),
+            ]
+        ),
+    )
+    return (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(F.broadcast(mdf), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("_comp"), F.col("node")).alias("component"),
+        )
+    )
 
 
 def _cc_pointer_jumping(

@@ -38,6 +38,8 @@ def curate_training_corpus(
     default_rate: float = 1.0,
     excise_spans_min_tokens: int | None = None,
     pair_emitter=None,
+    keep_policy: str = "min_id",
+    keep_scores: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full curation chain → ``{"documents", "sequences",
     "audit"}``.
@@ -64,8 +66,13 @@ def curate_training_corpus(
     quality = flagged.filter(F.col("gopher_keep"))
     # ``pair_emitter``: optional quality_docs → (id_a, id_b, ...) frame
     # — swap in any near-dup emitter (simhash_near_pairs, exact-Jaccard,
-    # semantic_dedup_pairs over an embedding join) for the default
-    # MinHash-LSH; representatives/split/audit plumbing is identical.
+    # semantic_dedup_pairs over an embedding join — the third dedup
+    # family; composition-tested) for the default MinHash-LSH;
+    # representatives/split/audit plumbing is identical.
+    # ``keep_policy``/``keep_scores`` forward to dedup_representatives:
+    # pass keep_policy="far_from_centroid" with keep_scores =
+    # assign_nearest_cell(..., with_cosine=True) to reproduce the
+    # published SemDeDup survivor choice.
     if pair_emitter is not None:
         pairs = pair_emitter(quality)
     else:
@@ -73,7 +80,10 @@ def curate_training_corpus(
             quality, text_col=text_col, id_col=id_col,
             threshold=dedup_threshold, shingle="word", ngram=3,
         )
-    reps = dedup_representatives(quality, pairs, id_col=id_col)
+    reps = dedup_representatives(
+        quality, pairs, id_col=id_col,
+        keep_policy=keep_policy, scores=keep_scores,
+    )
     enriched = leakage_safe_split(flagged, reps, id_col=id_col).join(
         reps, id_col, "left"
     )

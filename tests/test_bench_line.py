@@ -136,3 +136,72 @@ def test_property_any_catalog_shape_fits_or_raises():
         assert set(json.loads(line)["queries"]) == set(t)
 
     check()
+
+
+def test_hot_load_map_is_emitted_and_self_attributing():
+    """Judge r8 task 2: a headline whose best samples ran on a busy
+    host must carry the per-query load so the record never again reads
+    as a silent regression."""
+    t = _timings(50)
+    hot = {k: 9.17 for k in list(t)[:3]}
+    line = render_bench_line(sum(t.values()), t, "0.1", hot=hot)
+    parsed = json.loads(line)
+    assert parsed["hot_load_at_best"] == {k: 9.2 for k in hot}
+    # empty/None hot → key omitted, line identical to the legacy shape
+    assert "hot_load_at_best" not in json.loads(
+        render_bench_line(sum(t.values()), t, "0.1", hot={})
+    )
+    assert "hot_load_at_best" not in json.loads(
+        render_bench_line(sum(t.values()), t, "0.1")
+    )
+
+
+def test_hot_load_map_compacts_before_precision_starves():
+    """When every query ran hot on a shape near the size cap, the map
+    degrades to a count+max summary rather than overflowing or eating
+    the timing precision."""
+    t = _timings(50)
+    hot = {k: 11.3 for k in t}
+    line = render_bench_line(sum(t.values()), t, "0.1", hot=hot)
+    from bench import _MAX_LINE_CHARS
+
+    assert len(line) <= _MAX_LINE_CHARS
+    parsed = json.loads(line)
+    hv = parsed["hot_load_at_best"]
+    assert hv == {"_n_hot_best": 50, "_max_load": 11.3} or len(hv) == 50
+    assert set(parsed["queries"]) == set(t)
+
+
+def test_property_hot_map_never_breaks_the_line():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bench import _MAX_LINE_CHARS
+
+    keys = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789_", min_size=3, max_size=48
+    )
+    vals = st.floats(
+        min_value=0.0, max_value=9999.0, allow_nan=False, allow_infinity=False
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.dictionaries(keys, vals, min_size=1, max_size=70),
+        st.floats(min_value=4.0, max_value=99.0, allow_nan=False),
+        st.data(),
+    )
+    def check(t, load, data):
+        subset = {
+            k: load
+            for k in t
+            if data.draw(st.booleans())
+        }
+        try:
+            line = render_bench_line(sum(t.values()), t, "0.1", hot=subset)
+        except AssertionError:
+            return  # loud failure is the contract for hopeless shapes
+        assert len(line) <= _MAX_LINE_CHARS
+        assert set(json.loads(line)["queries"]) == set(t)
+
+    check()

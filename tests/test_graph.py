@@ -276,3 +276,34 @@ def test_free_slot_guard_exact_and_degenerate(spark):
         assert r["stratum_histogram_ok"]
         assert r["same_seed_deterministic"]
         assert r["cross_seed_diverges"]  # vacuous below 64 slots
+
+
+def test_connected_components_contraction_path(spark):
+    """Round 9: the limit-probe restructure must leave the DISTRIBUTED
+    paths correct — a collect_threshold below |E| forces at least one
+    _forest_contract pass before the bounded solve, and max_iter
+    exhaustion lands in the pointer-jumping fallback. All three paths
+    must agree with the default (probe fast-path) answer."""
+    nodes = spark.createDataFrame([(n,) for n in NODES], "node string")
+    edges = spark.createDataFrame(list(_simple_edges()), "src string, dst string")
+    want = {
+        r["node"]: r["component"]
+        for r in G.connected_components(nodes, edges).collect()
+    }
+    contracted = {
+        r["node"]: r["component"]
+        for r in G.connected_components(
+            nodes, edges, collect_threshold=20
+        ).collect()
+    }
+    assert contracted == want
+    # collect_threshold=0 keeps the bounded solve unreachable, so after
+    # the contraction passes plateau the pointer-jumping fallback must
+    # finish the job (12 doubling rounds cover any forest diameter here)
+    jumped = {
+        r["node"]: r["component"]
+        for r in G.connected_components(
+            nodes, edges, collect_threshold=0, max_iter=12
+        ).collect()
+    }
+    assert jumped == want
