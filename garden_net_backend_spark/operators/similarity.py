@@ -954,28 +954,7 @@ def semantic_dedup_pairs(
             )
         )
     else:
-        # bind by NAME when the frame uses a known centroid vocabulary
-        # (ivf_build_index emits centroid_id/centroid_vec;
-        # assign_nearest_cell's defaults are cell_id/centroid);
-        # positional binding is only a fallback for bare two-column
-        # frames — a wider frame with unknown names would silently
-        # mis-bind id and vector, so it is rejected instead.
-        names = set(cells.columns)
-        if {"centroid_id", "centroid_vec"} <= names:
-            idc, vc = "centroid_id", "centroid_vec"
-        elif {"cell_id", "centroid"} <= names:
-            idc, vc = "cell_id", "centroid"
-        elif len(cells.columns) == 2:
-            idc, vc = cells.columns
-        else:
-            raise ValueError(
-                "cells frame must have columns (centroid_id, centroid_vec) "
-                "or (cell_id, centroid), or exactly two columns "
-                f"(id, vector); got {cells.columns}"
-            )
-        cells = cells.select(
-            F.col(idc).alias("_cell"), F.col(vc).alias("_cvec")
-        )
+        cells = _alias_cells(cells)
     if assign == "arrow":
         cent_rows = [(r["_cell"], list(r["_cvec"])) for r in cells.collect()]
         cell_of = _ivf_assign(base, cent_rows, id_col, vec_col)
@@ -987,6 +966,150 @@ def semantic_dedup_pairs(
     else:
         raise ValueError(f"unknown assign mode: {assign!r}")
     tagged = base.join(cell_of, id_col)
+    return _semantic_cell_pairs(
+        tagged, cells, id_col, vec_col, threshold, prescreen,
+        max_cell_size, hot_mode,
+    )
+
+
+def _alias_cells(cells: DataFrame) -> DataFrame:
+    """Normalize a centroid frame to (_cell, _cvec), binding by NAME
+    when the frame uses a known vocabulary (ivf_build_index emits
+    centroid_id/centroid_vec; assign_nearest_cell's defaults are
+    cell_id/centroid); positional binding only for bare two-column
+    frames — a wider frame with unknown names would silently mis-bind
+    id and vector, so it is rejected instead (ADVICE r8)."""
+    names = set(cells.columns)
+    if {"centroid_id", "centroid_vec"} <= names:
+        idc, vc = "centroid_id", "centroid_vec"
+    elif {"cell_id", "centroid"} <= names:
+        idc, vc = "cell_id", "centroid"
+    elif len(cells.columns) == 2:
+        idc, vc = cells.columns
+    else:
+        raise ValueError(
+            "cells frame must have columns (centroid_id, centroid_vec) "
+            "or (cell_id, centroid), or exactly two columns "
+            f"(id, vector); got {cells.columns}"
+        )
+    return cells.select(F.col(idc).alias("_cell"), F.col(vc).alias("_cvec"))
+
+
+def _assign_cells(
+    base: DataFrame, cells: DataFrame, id_col: str, vec_col: str, assign: str
+) -> DataFrame:
+    """(id, _cell) assignment under the chosen mode — 'exact' is the
+    oracle-reproducible decimal argmax, 'arrow' the production numpy
+    matmul (see semantic_dedup_pairs docstring)."""
+    if assign == "arrow":
+        cent_rows = [(r["_cell"], list(r["_cvec"])) for r in cells.collect()]
+        cell_of = _ivf_assign(base, cent_rows, id_col, vec_col)
+        return cell_of.select(id_col, F.col("centroid_id").alias("_cell"))
+    if assign == "exact":
+        return assign_nearest_cell(base, cells, id_col, vec_col, "_cell", "_cvec")
+    raise ValueError(f"unknown assign mode: {assign!r}")
+
+
+def semantic_dedup_incremental(
+    new_vecs: DataFrame,
+    corpus_vecs: DataFrame,
+    cells: DataFrame,
+    corpus_assign: DataFrame | None = None,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "arrow",
+    prescreen: bool = True,
+    max_cell_size: int | None = None,
+    hot_mode: str = "split",
+) -> DataFrame:
+    """Incremental SemDeDup: a NEW shard of embeddings against an
+    already-indexed corpus plus itself → (id_a, id_b, cosine ≥
+    threshold), every pair touching at least one new vector
+    (stored-vs-stored pairs are assumed handled when the corpus was
+    ingested — they are filtered out, not recomputed). The semantic
+    counterpart of :func:`dedup.minhash_dedup_incremental` and the
+    window-fingerprint index — with this, all three dedup families
+    have an ingest-shard path.
+
+    ``corpus_assign``: the stored (id, cell) assignment table —
+    ``ivf_build_index`` writes exactly this shape at ingest (at 100 TB
+    it is the table partitioned by centroid_id). Without it the corpus
+    is re-assigned (correct, but the full-rescan cost this operator
+    exists to avoid — a fallback for tests and first ingest).
+
+    100 TB shape: the shard is assigned in one Arrow scan; the corpus
+    side is pre-filtered to the cells the shard actually landed in
+    (left-semi on _cell — with a cell-partitioned assignment table
+    that is partition pruning, so the pair join reads shard-cell-sized
+    data, never the corpus). The ``max_cell_size`` guard applies over
+    the UNION of shard and stored members, so a flood shard into one
+    stored cell stays bounded exactly like the batch path. Cells must
+    be the SAME frame the corpus was assigned with, or stored
+    assignments are silently inconsistent with the shard's.
+    """
+    if hot_mode not in ("drop", "split"):
+        raise ValueError(f"hot_mode must be 'drop' or 'split', got {hot_mode!r}")
+    cells = _alias_cells(cells)
+    new_base = new_vecs.select(id_col, vec_col)
+    corpus_base = corpus_vecs.select(id_col, vec_col)
+    new_tagged = new_base.join(
+        _assign_cells(new_base, cells, id_col, vec_col, assign), id_col
+    ).withColumn("_new", F.lit(True))
+    if corpus_assign is None:
+        corpus_cells = _assign_cells(
+            corpus_base, cells, id_col, vec_col, assign
+        )
+    else:
+        cols = corpus_assign.columns
+        cell_c = next(
+            (c for c in ("_cell", "cell_id", "centroid_id") if c in cols),
+            cols[1],
+        )
+        corpus_cells = corpus_assign.select(
+            id_col, F.col(cell_c).alias("_cell")
+        )
+    # prune the stored side to cells the shard touches BEFORE joining
+    # vectors — shard-cell-sized reads, never corpus-sized
+    shard_cells = new_tagged.select("_cell").distinct()
+    corpus_tagged = (
+        corpus_base.join(
+            corpus_cells.join(shard_cells, "_cell", "left_semi"), id_col
+        )
+        .withColumn("_new", F.lit(False))
+    )
+    tagged = new_tagged.unionByName(corpus_tagged)
+    return _semantic_cell_pairs(
+        tagged, cells, id_col, vec_col, threshold, prescreen,
+        max_cell_size, hot_mode, new_col="_new",
+    )
+
+
+def _semantic_cell_pairs(
+    tagged: DataFrame,
+    cells: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    prescreen: bool,
+    max_cell_size: int | None,
+    hot_mode: str,
+    new_col: str | None = None,
+) -> DataFrame:
+    """Shared within-cell pairing tail for the batch
+    (:func:`semantic_dedup_pairs`) and incremental
+    (:func:`semantic_dedup_incremental`) semantic-dedup paths.
+
+    ``tagged``: (id_col, vec_col, _cell[, new_col]) — every member with
+    its Voronoi cell. ``cells``: the aliased (_cell, _cvec) centroid
+    frame (used only by the split guard's ordering cosine). When
+    ``new_col`` is given, only pairs touching at least one row where it
+    is true are emitted (the incremental contract: stored-vs-stored
+    pairs were handled at ingest)."""
+    base = tagged.select(id_col, vec_col)
+    touch_new = (
+        (lambda a, b: a | b) if new_col is not None else None
+    )
     if max_cell_size is not None:
         sizes = tagged.groupBy("_cell").agg(F.count("*").alias("_sz"))
         if hot_mode == "drop":
@@ -1033,6 +1156,7 @@ def semantic_dedup_pairs(
             keyed = ranked.select(
                 "_cell",
                 F.col(id_col),
+                *([F.col(new_col)] if new_col is not None else []),
                 F.explode(
                     F.when(
                         F.col("_ck") + 1 < F.col("_nck"),
@@ -1044,7 +1168,13 @@ def semantic_dedup_pairs(
                 keyed.alias("l")
                 .join(keyed.alias("r"), ["_cell", "_key"])
                 .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-                .select(
+            )
+            if touch_new is not None:
+                cand = cand.filter(
+                    touch_new(F.col(f"l.{new_col}"), F.col(f"r.{new_col}"))
+                )
+            cand = (
+                cand.select(
                     F.col(f"l.{id_col}").alias("id_a"),
                     F.col(f"r.{id_col}").alias("id_b"),
                 )
@@ -1057,12 +1187,18 @@ def semantic_dedup_pairs(
                 pair_vecs = _prescreen_pairs(pair_vecs, threshold)
             return _exact_pair_scores(pair_vecs, threshold)
     a = tagged.select(
-        F.col("_cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+        F.col("_cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+        *([F.col(new_col).alias("_na")] if new_col is not None else []),
     )
     b = tagged.select(
-        F.col("_cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+        F.col("_cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+        *([F.col(new_col).alias("_nb")] if new_col is not None else []),
     )
     pair_vecs = a.join(b, "_cell").filter(F.col("id_a") < F.col("id_b"))
+    if touch_new is not None:
+        pair_vecs = pair_vecs.filter(
+            touch_new(F.col("_na"), F.col("_nb"))
+        ).drop("_na", "_nb")
     if prescreen:
         pair_vecs = _prescreen_pairs(pair_vecs, threshold)
     return _exact_pair_scores(pair_vecs, threshold)

@@ -817,3 +817,102 @@ def test_dedup_representatives_keep_policy_far_from_centroid(spark):
         dedup_representatives(
             docs, pairs, id_col="vec_id", keep_policy="far_from_centroid"
         )
+
+
+def test_semantic_dedup_incremental_matches_batch_restriction(spark, emb):
+    """Incremental SemDeDup == batch over the union, restricted to
+    pairs touching the shard; the stored-assignment path agrees; and
+    stored-vs-stored pairs are never re-emitted."""
+    from garden_net_backend_spark.operators.similarity import (
+        ivf_build_index,
+        semantic_dedup_incremental,
+        semantic_dedup_pairs,
+    )
+
+    corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    shard = emb.filter(F.col("vec_id") % 3 == 0)
+    cents, _ = ivf_build_index(corpus, n_centroids=4, refine_iters=0)
+    batch = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in semantic_dedup_pairs(
+            emb, threshold=0.2, cells=cents, assign="exact"
+        ).collect()
+    }
+    shard_ids = {r["vec_id"] for r in shard.select("vec_id").collect()}
+    want = {
+        p: c
+        for p, c in batch.items()
+        if p[0] in shard_ids or p[1] in shard_ids
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in semantic_dedup_incremental(
+            shard, corpus, cents, threshold=0.2, assign="exact"
+        ).collect()
+    }
+    assert got == want
+    assert any(
+        p[0] not in shard_ids or p[1] not in shard_ids for p in got
+    ) or len(got) > 0
+    # stored-assignment path: precomputed (id, cell) table → same pairs
+    from garden_net_backend_spark.operators.similarity import (
+        assign_nearest_cell,
+    )
+
+    stored = assign_nearest_cell(
+        corpus,
+        cents.select(
+            F.col("centroid_id").alias("cell_id"),
+            F.col("centroid_vec").alias("centroid"),
+        ),
+    )
+    got2 = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in semantic_dedup_incremental(
+            shard, corpus, cents, corpus_assign=stored,
+            threshold=0.2, assign="exact",
+        ).collect()
+    }
+    assert got2 == want
+
+
+def test_semantic_dedup_incremental_guarded_flood(spark):
+    """A flood shard (near-identical mass) landing in one stored cell:
+    the guard bounds the join and a planted shard-vs-stored dup pair
+    survives split mode."""
+    import numpy as np
+
+    from garden_net_backend_spark.operators.similarity import (
+        semantic_dedup_incremental,
+    )
+
+    rng = np.random.default_rng(23)
+    hub = rng.standard_normal(16)
+    stored_rows = []
+    for i in range(40):  # stored corpus: background + one hub member
+        v = rng.standard_normal(16)
+        stored_rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    anchor = hub + rng.standard_normal(16) * 1e-4
+    stored_rows.append((99, (anchor / np.linalg.norm(anchor)).tolist()))
+    shard_rows = []
+    for i in range(1000, 1200):  # flood of near-identical vectors
+        v = hub + rng.standard_normal(16) * 1e-3
+        shard_rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    schema = "vec_id long, embedding array<float>"
+    stored = spark.createDataFrame(stored_rows, schema)
+    shard = spark.createDataFrame(shard_rows, schema)
+    cells = stored.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    got = semantic_dedup_incremental(
+        shard, stored, cells, threshold=0.999,
+        max_cell_size=16, hot_mode="split",
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    # bounded: far below the unguarded flood volume C(200,2)+200
+    assert 0 < len(pairs) <= 2 * 201 * 16
+    # the planted stored-vs-shard dup link is present (99 vs some
+    # flood member) or the flood is internally connected to 99's chunk
+    assert any(a == 99 or b == 99 for a, b in pairs)
+    # no stored-vs-stored pair is ever re-emitted
+    assert not any(a < 1000 and b < 1000 for a, b in pairs)
