@@ -106,7 +106,10 @@ BENCH_NOTES = {
     "keeps the round-4 always-k exact fallback (+~0.5s structural)",
     "q56_embedding_dup_suite": "suite = exact cosine near-dup + "
     "former q57 LSH-blocked arm (avalanche-hashed hyperplanes per the "
-    "100x drill fix) — expected ≈ 2.3s of r5 parts",
+    "100x drill fix) + round-8 semdedup arm + round-9 seminc arm "
+    "(semantic_dedup_incremental ingest-shard path, ~+2s structural: "
+    "shard assign + stored-side prune + touching-new pair join; the "
+    "two semantic arms share one checkpointed exact assignment)",
     "q67_annotation_suite": "suite = r5 q67 + former q68 J3+J11 "
     "annotation arms (bait overwrite + curated promoter alias join) — "
     "expected ≈ 4.0s of r5 parts; forks off the shared family build "

@@ -884,6 +884,7 @@ def semantic_dedup_pairs(
     assign: str = "exact",
     max_cell_size: int | None = None,
     hot_mode: str = "split",
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style cluster-blocked near-dup pairs → (id_a, id_b,
     cosine ≥ threshold), comparing ONLY vectors that share a Voronoi
@@ -955,7 +956,13 @@ def semantic_dedup_pairs(
         )
     else:
         cells = _alias_cells(cells)
-    if assign == "arrow":
+    if assignments is not None:
+        # prebuilt (id, cell) table — ivf_build_index's assignments
+        # frame, or a stored serving table; at 100 TB this skips the
+        # whole assignment scan. Caller owns consistency with ``cells``
+        # (only the split guard reads the centroid vectors).
+        cell_of = _alias_assignments(assignments, id_col)
+    elif assign == "arrow":
         cent_rows = [(r["_cell"], list(r["_cvec"])) for r in cells.collect()]
         cell_of = _ivf_assign(base, cent_rows, id_col, vec_col)
         cell_of = cell_of.select(id_col, F.col("centroid_id").alias("_cell"))
@@ -970,6 +977,26 @@ def semantic_dedup_pairs(
         tagged, cells, id_col, vec_col, threshold, prescreen,
         max_cell_size, hot_mode,
     )
+
+
+def _alias_assignments(assignments: DataFrame, id_col: str) -> DataFrame:
+    """Normalize a stored (id, cell) assignment frame to (id_col,
+    _cell) — accepts the vocabularies the operators emit (_cell,
+    cell_id, centroid_id) or a bare second column."""
+    cols = assignments.columns
+    cell_c = next(
+        (c for c in ("_cell", "cell_id", "centroid_id") if c in cols),
+        None,
+    )
+    if cell_c is None:
+        others = [c for c in cols if c != id_col]
+        if len(cols) != 2 or not others:
+            raise ValueError(
+                "assignments frame must carry a _cell/cell_id/centroid_id "
+                f"column next to {id_col!r}; got {cols}"
+            )
+        cell_c = others[0]
+    return assignments.select(id_col, F.col(cell_c).alias("_cell"))
 
 
 def _alias_cells(cells: DataFrame) -> DataFrame:
@@ -1061,14 +1088,7 @@ def semantic_dedup_incremental(
             corpus_base, cells, id_col, vec_col, assign
         )
     else:
-        cols = corpus_assign.columns
-        cell_c = next(
-            (c for c in ("_cell", "cell_id", "centroid_id") if c in cols),
-            cols[1],
-        )
-        corpus_cells = corpus_assign.select(
-            id_col, F.col(cell_c).alias("_cell")
-        )
+        corpus_cells = _alias_assignments(corpus_assign, id_col)
     # prune the stored side to cells the shard touches BEFORE joining
     # vectors — shard-cell-sized reads, never corpus-sized
     shard_cells = new_tagged.select("_cell").distinct()

@@ -2692,6 +2692,9 @@ _Q56_SEM_SQL = f"""
     SELECT 'lsh', * FROM ({_Q57_LSH_SQL})
     UNION ALL
     SELECT 'semdedup', * FROM ({_Q56_SEM_SQL})
+    UNION ALL
+    SELECT 'seminc', * FROM ({_Q56_SEM_SQL})
+    WHERE id_a % 16 = 0 OR id_b % 16 = 0
     """,
     doc="Embedding-cosine near-dup suite as one tagged union (former "
     "q56/q57 gates, merged in round 6 so the catalog fits the driver's "
@@ -2722,12 +2725,21 @@ _Q56_SEM_SQL = f"""
     "production shape (ivf_build_index k-means cells) is pinned by "
     "tests/test_similarity.py. At 100 TB: assignment is one broadcast "
     "scan, the pair join shuffles on cell_id (k ≈ √N keeps cells "
-    "executor-sized; hot cells cap/split like LSH hot buckets).",
+    "executor-sized; hot cells cap/split via max_cell_size — round-9 "
+    "guard, mega-cell drill in SCALING.md). 'seminc' arm (round 9) — "
+    "the INGEST-SHARD path (semantic_dedup_incremental): vec_id%16==0 "
+    "rows arrive as a new shard against the rest as the stored corpus, "
+    "same seed cells; the oracle is the batch SemDeDup pair set "
+    "restricted to pairs touching a shard id — exactly the incremental "
+    "contract (stored-vs-stored pairs handled at ingest, filtered not "
+    "recomputed). The stored side is pre-pruned to shard-touched cells "
+    "(left-semi → partition pruning at scale).",
 )
 def q56_embedding_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import (
         embedding_dup_pairs,
         embedding_dup_pairs_lsh,
+        semantic_dedup_incremental,
         semantic_dedup_pairs,
     )
 
@@ -2747,10 +2759,43 @@ def q56_embedding_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = embedding_dup_pairs_lsh(
         emb.unionByName(planted), threshold=0.9, bands=8, bits=8
     ).select(F.lit("lsh").alias("gate"), "id_a", "id_b", "cosine")
+    base800 = emb.filter(F.col("vec_id") < 800)
+    # the two semantic arms share ONE exact Voronoi assignment of the
+    # same base slice against the same 8 seed cells (lazy checkpoint:
+    # the decimal argmax scan runs once per execution, not three times
+    # across semdedup's own assign + seminc's shard/stored splits)
+    from .operators.similarity import assign_nearest_cell
+
+    seeds = (
+        base800.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    assign_all = assign_nearest_cell(base800, seeds).localCheckpoint(
+        eager=False
+    )
     sem = semantic_dedup_pairs(
-        emb.filter(F.col("vec_id") < 800), threshold=0.3, n_cells=8
+        base800, threshold=0.3, cells=seeds, assignments=assign_all
     ).select(F.lit("semdedup").alias("gate"), "id_a", "id_b", "cosine")
-    return exact.unionByName(lsh).unionByName(sem)
+    # seminc: same seed cells, vec_id%16==0 rows as the arriving shard,
+    # the rest as the stored (already-ingested) corpus whose stored
+    # assignment table is the shared frame — see the doc above for the
+    # oracle contract
+    shard = base800.filter(F.col("vec_id") % 16 == 0)
+    seminc = semantic_dedup_incremental(
+        shard,
+        base800.filter(F.col("vec_id") % 16 != 0),
+        seeds,
+        corpus_assign=assign_all.join(
+            shard.select("vec_id"), "vec_id", "left_anti"
+        ),
+        threshold=0.3,
+        assign="exact",
+    ).select(F.lit("seminc").alias("gate"), "id_a", "id_b", "cosine")
+    return exact.unionByName(lsh).unionByName(sem).unionByName(seminc)
 
 
 # (capped sessionization is gated inside q41_sessionization; the

@@ -916,3 +916,41 @@ def test_semantic_dedup_incremental_guarded_flood(spark):
     assert any(a == 99 or b == 99 for a, b in pairs)
     # no stored-vs-stored pair is ever re-emitted
     assert not any(a < 1000 and b < 1000 for a, b in pairs)
+
+
+def test_semantic_dedup_prebuilt_assignments_agree(spark, emb):
+    """assignments= (the stored IVF table / serving shape) must give
+    the identical pair set as in-operator assignment, and malformed
+    frames are rejected."""
+    from garden_net_backend_spark.operators.similarity import (
+        ivf_build_index,
+        semantic_dedup_pairs,
+    )
+
+    cents, assign = ivf_build_index(emb, n_centroids=4, refine_iters=0)
+    inline = sorted(
+        map(
+            tuple,
+            semantic_dedup_pairs(
+                emb, threshold=0.2, cells=cents, assign="arrow"
+            ).collect(),
+        )
+    )
+    prebuilt = sorted(
+        map(
+            tuple,
+            semantic_dedup_pairs(
+                emb, threshold=0.2, cells=cents, assignments=assign
+            ).collect(),
+        )
+    )
+    assert prebuilt == inline
+    with pytest.raises(ValueError):
+        semantic_dedup_pairs(
+            emb,
+            threshold=0.2,
+            cells=cents,
+            assignments=assign.select(
+                F.col("vec_id"), F.col("centroid_id").alias("x"), F.lit(1).alias("y")
+            ),
+        )
