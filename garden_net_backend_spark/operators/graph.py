@@ -203,7 +203,23 @@ def connected_components(
     cache read.
     """
     e = edges.select(src, dst).filter(F.col(src) != F.col(dst))
-    probe = e.limit(collect_threshold + 1).toPandas()
+    # CollectLimit default-scans partitions in incremental waves
+    # (1, 4, 16, …) — on an expensive emitter that SERIALIZES the
+    # final stage (measured: q29's 10× big corpus 70.5s → 92.2s).
+    # initialNumPartitions = defaultParallelism makes the probe one
+    # fully-parallel job; per-partition LocalLimit still caps the
+    # driver pull at nparts·(threshold+1) rows worst-case.
+    spark = edges.sparkSession
+    _LIM_KEY = "spark.sql.limit.initialNumPartitions"
+    prev = spark.conf.get(_LIM_KEY, None)
+    spark.conf.set(_LIM_KEY, str(spark.sparkContext.defaultParallelism))
+    try:
+        probe = e.limit(collect_threshold + 1).toPandas()
+    finally:
+        if prev is None:
+            spark.conf.unset(_LIM_KEY)
+        else:
+            spark.conf.set(_LIM_KEY, prev)
     if len(probe) <= collect_threshold:
         return _cc_solve_bounded(probe, nodes, node_col, src, dst)
     del probe
