@@ -1,0 +1,220 @@
+"""Continuous corpus ingest with near-dup gating (north-star
+extension): the streaming face of the incremental dedup family.
+
+A crawl feed lands as files; each micro-batch is near-dup-checked
+against BOTH itself and everything accepted so far, survivors are
+appended to the accepted corpus and their MinHash signatures to the
+stored index — so the next batch pays one band join against the index,
+never a corpus rescan (operators/dedup.minhash_dedup_incremental is
+the per-batch kernel; this module is the ``foreachBatch`` loop that
+feeds and maintains its index).
+
+Decision rule per batch (documented, batch-replayable):
+
+1. A new doc with a verified near-dup pair to an ACCEPTED doc is
+   rejected — first-accepted wins, matching dedup_stream's
+   first-seen-wins and the batch pipeline's min-id representative.
+2. Among the remaining new docs, within-batch near-dup clusters keep
+   the min-id member (connected components over the batch pairs, so
+   transitive chains collapse to one survivor — same contract as
+   ``dedup_representatives``).
+
+Chains across the accept boundary intentionally do NOT propagate:
+if B (dup of accepted A) is rejected, a later C that is near B but not
+near any ACCEPTED doc is accepted — the index only ever contains
+accepted docs, which is what keeps it duplicate-free AND bounded by
+the accepted-corpus size (an index of rejected docs would grow with
+the crawl, not the corpus).
+
+Idempotency (foreachBatch is AT-LEAST-ONCE): every write is a
+deterministic-path dynamic partition overwrite keyed by
+``ingest_batch=<batch_id>`` — a replayed batch recomputes the same
+decisions against the same stored prefix (earlier partitions) and
+overwrites its own partition, converging instead of duplicating. The
+signature index is a pure function of (accepted text, seed), so
+rebuilt partitions are bit-identical.
+
+100 TB shape: the stream moves file names; the batch work is the
+incremental kernel's one band join (stored side touched only for
+candidate members via semi-join pushdown) + two partitioned appends.
+State is Spark's file-source checkpoint; the index is data, not
+driver state.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """Parquet read that treats a missing/empty dir as 'no corpus yet'
+    (first batch) instead of an AnalysisException."""
+    try:
+        if not os.path.isdir(path):
+            return None
+        if not any(
+            name.endswith(".parquet") or name.startswith("ingest_batch=")
+            for name in os.listdir(path)
+        ):
+            return None
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def process_ingest_batch(
+    batch: DataFrame,
+    batch_id: int,
+    accepted_dir: str,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    shingle: str = "word",
+    seed: int = 42,
+) -> None:
+    """One idempotent ingest step (the ``foreachBatch`` body; callable
+    directly for replay/backfill). See module docstring for the
+    decision rule and idempotency contract."""
+    from ..operators.dedup import (
+        dedup_representatives,
+        minhash_dedup_incremental,
+        minhash_dedup_pairs,
+        minhash_signatures,
+    )
+
+    spark = batch.sparkSession
+    # a replayed batch must decide against the same stored prefix it
+    # saw originally — exclude its own (possibly half-written) partition
+    def _prefix(path: str) -> DataFrame | None:
+        df = _read_if_exists(spark, path)
+        if df is not None and "ingest_batch" in df.columns:
+            df = df.filter(F.col("ingest_batch") != batch_id)
+        return df
+
+    stored_docs = _prefix(accepted_dir)
+    stored_sigs = _prefix(index_dir)
+    new = batch.select(id_col, text_col).persist()
+    try:
+        kw = dict(
+            text_col=text_col, id_col=id_col, threshold=threshold,
+            num_hashes=num_hashes, bands=bands, ngram=ngram,
+            seed=seed, shingle=shingle,
+        )
+        if stored_docs is None:
+            pairs = minhash_dedup_pairs(new, **kw)
+            vs_stored = None
+        else:
+            pairs = minhash_dedup_incremental(
+                new,
+                stored_docs.select(id_col, text_col),
+                corpus_sigs=stored_sigs.select("id", "sig")
+                if stored_sigs is not None
+                else None,
+                **kw,
+            )
+        # the decision logic below references the pair set ~5 times
+        # (reject-vs-stored both sides, batch-pair restriction, CC,
+        # keep set) — materialize the dup-sized frame ONCE or every
+        # branch re-expands the whole MinHash chain inside one plan
+        # (measured: 249s → ~15s on a 5-doc batch)
+        pairs = pairs.localCheckpoint(eager=True)
+        if stored_docs is not None:
+            stored_ids = stored_docs.select(F.col(id_col).alias("_sid"))
+            # rule 1: any pair touching a stored id rejects its new side
+            vs_stored = (
+                pairs.join(
+                    stored_ids, pairs["id_a"] == F.col("_sid"), "left_semi"
+                )
+                .select(F.col("id_b").alias(id_col))
+                .unionByName(
+                    pairs.join(
+                        stored_ids, pairs["id_b"] == F.col("_sid"), "left_semi"
+                    ).select(F.col("id_a").alias(id_col))
+                )
+                .distinct()
+                # a stored id can appear as the NEW side only if ids
+                # collide across feeds — keep the filter to new ids
+                .join(new.select(id_col), id_col, "left_semi")
+            )
+        survivors = (
+            new.join(vs_stored, id_col, "left_anti")
+            if vs_stored is not None
+            else new
+        )
+        # rule 2: within-batch clusters among survivors → min-id rep
+        batch_pairs = (
+            pairs.join(
+                survivors.select(F.col(id_col).alias("id_a")), "id_a", "left_semi"
+            ).join(
+                survivors.select(F.col(id_col).alias("id_b")), "id_b", "left_semi"
+            )
+        )
+        reps = dedup_representatives(survivors, batch_pairs, id_col=id_col)
+        # reps covers exactly the survivors (rule-1 rejects are already
+        # out), so the keep set is one semi-join back to the full batch
+        keep_ids = reps.filter(F.col(id_col) == F.col("representative")).select(
+            id_col
+        )
+        accepted = batch.join(keep_ids, id_col, "left_semi").withColumn(
+            "ingest_batch", F.lit(int(batch_id))
+        )
+        # the accept decision READS accepted_dir (the stored prefix) and
+        # the write below OVERWRITES a partition of the same path — a
+        # self-referential read-write Spark (rightly) refuses. Pin the
+        # batch-sized decision to block storage first; both writes then
+        # run off the checkpoint, never the directory being replaced.
+        accepted = accepted.localCheckpoint(eager=True)
+        writer_opts = {"partitionOverwriteMode": "dynamic"}
+        (
+            accepted.write.mode("overwrite")
+            .options(**writer_opts)
+            .partitionBy("ingest_batch")
+            .parquet(accepted_dir)
+        )
+        sigs = minhash_signatures(
+            accepted, text_col, id_col, num_hashes, ngram, seed, shingle
+        ).withColumn("ingest_batch", F.lit(int(batch_id)))
+        (
+            sigs.write.mode("overwrite")
+            .options(**writer_opts)
+            .partitionBy("ingest_batch")
+            .parquet(index_dir)
+        )
+    finally:
+        new.unpersist()
+
+
+def ingest_dedup_stream(
+    stream_docs: DataFrame,
+    accepted_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    **kernel_kwargs,
+):
+    """Wire a streaming document source into the ingest loop →
+    started StreamingQuery. ``stream_docs`` must carry the id and text
+    columns the kernel expects (see ``process_ingest_batch``).
+
+    ``available_now=True`` drains the current backlog and stops — the
+    batch-equivalence test mode and the nightly-catchup shape; leave
+    False for a long-running micro-batch ingester."""
+
+    def _dispatch(df: DataFrame, batch_id: int) -> None:
+        process_ingest_batch(
+            df, batch_id, accepted_dir, index_dir, **kernel_kwargs
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(_dispatch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
