@@ -130,6 +130,14 @@ BENCH_NOTES = {
     "one deg pass (structural costs pinned by the r5 drill); round 8: "
     "forks off the shared family build — headline times the ~8 bundle "
     "aggregates only",
+    "_hot_load_caveat": "hot_load_at_best reads the 1-min loadavg "
+    "sampled IMMEDIATELY BEFORE the best sample; on a 32-core host the "
+    "bench's own previous query keeps that above the 4.0 quiet "
+    "threshold for most of the run, so a large _n_hot_best does NOT "
+    "by itself mean sibling-load contamination — cross-read with the "
+    "total: self-load inflates the attribution count, not the "
+    "timings. True sibling bursts show as loadavg >> cpus/4 plus a "
+    "total far above the committed quiet record.",
     "q45_scalar_misc": "round 9 (judge r8 task 3): the 8 document arms "
     "fork off ONE lazily-checkpointed documents scan and the arm plans "
     "are memoized per (session, sf_dir), so only the first sample pays "
