@@ -310,18 +310,16 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def band_signatures(
     signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
-    """LSH banding: split each signature into ``bands`` bands of
-    ``rows_per_band`` hashes; docs colliding on any full band become a
-    candidate pair → (id_a, id_b), id_a < id_b, distinct.
-
-    One explode (bands per doc, a constant factor) + one equi-join on
-    (band, band_hash) — the classic linear-cost candidate generator.
-    """
-    n = bands * rows_per_band
-    banded = signatures.select(
+    """(id, sig) → (id, band, bhash): one 64-bit hash per signature
+    band. This IS the storable LSH index shape — an ingest pipeline
+    persists THIS (partitioned by band) instead of raw signatures, so
+    each arriving shard probes it with a plain equi-join and the
+    corpus-side banding is never recomputed (see
+    streaming/ingest.py)."""
+    return signatures.select(
         "id",
         F.posexplode(
             F.transform(
@@ -332,6 +330,19 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bhash"),
     )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``rows_per_band`` hashes; docs colliding on any full band become a
+    candidate pair → (id_a, id_b), id_a < id_b, distinct.
+
+    One explode (bands per doc, a constant factor) + one equi-join on
+    (band, band_hash) — the classic linear-cost candidate generator.
+    """
+    banded = band_signatures(signatures, bands, rows_per_band)
     a = banded.select(F.col("id").alias("id_a"), "band", "bhash")
     b = banded.select(F.col("id").alias("id_b"), "band", "bhash")
     return (
@@ -403,6 +414,7 @@ def minhash_dedup_incremental(
     ngram: int = 5,
     seed: int = 42,
     shingle: str = "char",
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: a NEW shard against an already-
     signed corpus plus itself → (id_a, id_b, jaccard), every pair
@@ -420,30 +432,31 @@ def minhash_dedup_incremental(
     first ingest). Signatures are a pure function of (text, seed), so
     index reuse is bit-safe across runs.
 
+    ``corpus_bands``: the pre-BANDED index (``band_signatures``
+    output — (id, band, bhash)) — the deepest reuse tier: the corpus
+    side skips even the per-batch band hashing, and when the table is
+    stored partitioned by ``band`` the probe join partition-prunes.
+    Takes precedence over ``corpus_sigs`` for candidate generation
+    (both may be passed; they must describe the same corpus).
+
     Doc ids must be globally unique across shard and corpus.
     """
     rows_per_band = num_hashes // bands
     new_sigs = minhash_signatures(
         new_docs, text_col, id_col, num_hashes, ngram, seed, shingle
     )
-    if corpus_sigs is None:
-        corpus_sigs = minhash_signatures(
-            corpus_docs, text_col, id_col, num_hashes, ngram, seed, shingle
-        )
-    tagged = corpus_sigs.select("id", "sig", F.lit(False).alias("_new")).unionByName(
-        new_sigs.select("id", "sig", F.lit(True).alias("_new"))
-    )
-    banded = tagged.select(
-        "id",
-        "_new",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                ),
+    if corpus_bands is not None:
+        corpus_banded = corpus_bands.select("id", "band", "bhash")
+    else:
+        if corpus_sigs is None:
+            corpus_sigs = minhash_signatures(
+                corpus_docs, text_col, id_col, num_hashes, ngram, seed, shingle
             )
-        ).alias("band", "bhash"),
+        corpus_banded = band_signatures(corpus_sigs, bands, rows_per_band)
+    banded = corpus_banded.withColumn("_new", F.lit(False)).unionByName(
+        band_signatures(new_sigs, bands, rows_per_band).withColumn(
+            "_new", F.lit(True)
+        )
     )
     a = banded.select(F.col("id").alias("id_a"), F.col("_new").alias("_na"), "band", "bhash")
     b = banded.select(F.col("id").alias("id_b"), F.col("_new").alias("_nb"), "band", "bhash")

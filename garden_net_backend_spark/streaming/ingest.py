@@ -3,9 +3,10 @@ extension): the streaming face of the incremental dedup family.
 
 A crawl feed lands as files; each micro-batch is near-dup-checked
 against BOTH itself and everything accepted so far, survivors are
-appended to the accepted corpus and their MinHash signatures to the
-stored index — so the next batch pays one band join against the index,
-never a corpus rescan (operators/dedup.minhash_dedup_incremental is
+appended to the accepted corpus and their BANDED MinHash index rows
+(band_signatures output, partitioned by band) to the stored index — so
+the next batch pays one partition-prunable equi-join against the
+index, never a corpus rescan or even a corpus-side band hash (operators/dedup.minhash_dedup_incremental is
 the per-batch kernel; this module is the ``foreachBatch`` loop that
 feeds and maintains its index).
 
@@ -83,6 +84,7 @@ def process_ingest_batch(
     directly for replay/backfill). See module docstring for the
     decision rule and idempotency contract."""
     from ..operators.dedup import (
+        band_signatures,
         dedup_representatives,
         minhash_dedup_incremental,
         minhash_dedup_pairs,
@@ -99,7 +101,7 @@ def process_ingest_batch(
         return df
 
     stored_docs = _prefix(accepted_dir)
-    stored_sigs = _prefix(index_dir)
+    stored_bands = _prefix(index_dir)
     new = batch.select(id_col, text_col).persist()
     try:
         kw = dict(
@@ -114,8 +116,8 @@ def process_ingest_batch(
             pairs = minhash_dedup_incremental(
                 new,
                 stored_docs.select(id_col, text_col),
-                corpus_sigs=stored_sigs.select("id", "sig")
-                if stored_sigs is not None
+                corpus_bands=stored_bands.select("id", "band", "bhash")
+                if stored_bands is not None
                 else None,
                 **kw,
             )
@@ -178,13 +180,21 @@ def process_ingest_batch(
             .partitionBy("ingest_batch")
             .parquet(accepted_dir)
         )
-        sigs = minhash_signatures(
-            accepted, text_col, id_col, num_hashes, ngram, seed, shingle
+        # store the BANDED index (band_signatures docstring): the next
+        # batch probes it with a plain equi-join — no corpus-side band
+        # hashing ever again, and the band partition column gives the
+        # probe partition pruning at scale
+        bands_df = band_signatures(
+            minhash_signatures(
+                accepted, text_col, id_col, num_hashes, ngram, seed, shingle
+            ),
+            bands,
+            num_hashes // bands,
         ).withColumn("ingest_batch", F.lit(int(batch_id)))
         (
-            sigs.write.mode("overwrite")
+            bands_df.write.mode("overwrite")
             .options(**writer_opts)
-            .partitionBy("ingest_batch")
+            .partitionBy("ingest_batch", "band")
             .parquet(index_dir)
         )
     finally:

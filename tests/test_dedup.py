@@ -497,3 +497,40 @@ def test_incremental_span_excision_equals_batch(spark):
         if r["doc_id"] >= 20
     }
     assert got2 == want2
+
+
+def test_minhash_incremental_banded_index_tier(spark, docs_df):
+    """The three index tiers — none (re-sign corpus), corpus_sigs, and
+    the round-9 corpus_bands (stored band_signatures output) — must
+    produce the identical pair set; bands are a pure function of sigs."""
+    from garden_net_backend_spark.operators.dedup import (
+        band_signatures,
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
+
+    corpus = docs_df.filter(F.col("doc_id") % 2 == 0)
+    shard = docs_df.filter(F.col("doc_id") % 2 == 1)
+    kw = dict(threshold=0.3, ngram=3, shingle="word", num_hashes=64, bands=16)
+    base = sorted(
+        map(tuple, minhash_dedup_incremental(shard, corpus, **kw).collect())
+    )
+    sigs = minhash_signatures(corpus, ngram=3, shingle="word")
+    via_sigs = sorted(
+        map(
+            tuple,
+            minhash_dedup_incremental(
+                shard, corpus, corpus_sigs=sigs, **kw
+            ).collect(),
+        )
+    )
+    via_bands = sorted(
+        map(
+            tuple,
+            minhash_dedup_incremental(
+                shard, corpus, corpus_bands=band_signatures(sigs, 16, 4), **kw
+            ).collect(),
+        )
+    )
+    assert base == via_sigs == via_bands
+    assert len(base) > 0

@@ -96,10 +96,11 @@ def test_ingest_stream_accepts_and_rejects(spark, feed):
             for r in got.select("doc_id", "ingest_batch").collect()
         }
         assert batches[0] == batches[1] < batches[3] < batches[6]
-        # the index holds signatures for exactly the accepted docs
+        # the index holds BANDED rows for exactly the accepted docs
         idx = spark.read.parquet(index_dir)
         assert {r["id"] for r in idx.select("id").collect()} == ids
-        assert idx.select(F.size("sig")).distinct().collect()[0][0] == 64
+        per_doc = idx.groupBy("id").count().select("count").distinct().collect()
+        assert [r["count"] for r in per_doc] == [16]  # one row per band
         # invariant: no near-dup pair is left WITHIN the accepted corpus
         from garden_net_backend_spark.operators.dedup import minhash_dedup_pairs
 
