@@ -1,0 +1,100 @@
+"""Per-batch cost drill for the streaming ingest loop
+(streaming/ingest.py): feed N batches of B docs (with planted
+near-dups of earlier batches) through process_ingest_batch and record
+each batch's wall time against the growing accepted corpus — the claim
+under test is that a batch pays for ITS OWN size plus one
+partition-prunable probe of the banded index, not for the corpus, so
+per-batch wall should stay ~flat as the index grows. Writes
+SCALING_RAW_INGEST.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from garden_net_backend_spark.session import get_session
+from garden_net_backend_spark.streaming.ingest import process_ingest_batch
+
+N_BATCHES = 8
+DOCS_PER_BATCH = 250
+DUP_FRACTION = 0.2  # of each batch duplicates an earlier batch's doc
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "SCALING_RAW_INGEST.json",
+)
+
+
+def _text(b: int, i: int) -> str:
+    return " ".join(f"b{b:02d}d{i:03d}w{j:02d}" for j in range(60))
+
+
+def main() -> None:
+    spark = get_session("ingest-drill")
+    spark.range(0, 1 << 15, 1, spark.sparkContext.defaultParallelism).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+    work = tempfile.mkdtemp(prefix="ingest_drill_")
+    accepted_dir, index_dir = f"{work}/acc", f"{work}/idx"
+    kw = dict(threshold=0.7, ngram=3, shingle="word", num_hashes=64, bands=16)
+    facts: dict = {
+        "n_batches": N_BATCHES,
+        "docs_per_batch": DOCS_PER_BATCH,
+        "dup_fraction": DUP_FRACTION,
+        "rev": subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=os.path.dirname(OUT),
+        ).stdout.strip(),
+        "batches": [],
+    }
+    try:
+        n_dup = int(DOCS_PER_BATCH * DUP_FRACTION)
+        for b in range(N_BATCHES):
+            rows = []
+            for i in range(DOCS_PER_BATCH):
+                doc_id = b * DOCS_PER_BATCH + i
+                if b > 0 and i < n_dup:
+                    # near-dup of the same slot in batch 0: replace the
+                    # last 10 of 60 words → J ≈ 50/70 ≈ 0.71 ≥ τ
+                    words = _text(0, i).split()
+                    text = " ".join(
+                        words[:50] + [f"v{b:02d}x{j}" for j in range(10)]
+                    )
+                else:
+                    text = _text(b, i)
+                rows.append((doc_id, text, "crawl"))
+            df = spark.createDataFrame(
+                rows, "doc_id long, text string, source string"
+            )
+            load = round(os.getloadavg()[0], 1)
+            t0 = time.time()
+            process_ingest_batch(df, b, accepted_dir, index_dir, **kw)
+            wall = round(time.time() - t0, 2)
+            n_acc = spark.read.parquet(accepted_dir).count()
+            facts["batches"].append(
+                {"batch": b, "wall_sec": wall, "accepted_total": n_acc,
+                 "loadavg_1m": load}
+            )
+            print(f"batch {b}: {wall}s  corpus {n_acc}  load {load}", flush=True)
+        walls = [x["wall_sec"] for x in facts["batches"]]
+        facts["first_batch_sec"] = walls[0]
+        facts["last_batch_sec"] = walls[-1]
+        facts["max_over_min_after_warm"] = round(
+            max(walls[1:]) / max(min(walls[1:]), 1e-9), 2
+        )
+        with open(OUT, "w") as fh:
+            json.dump(facts, fh, indent=1)
+        print(json.dumps(facts, indent=None, sort_keys=True))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
