@@ -52,18 +52,18 @@ from pyspark.sql import functions as F
 
 def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
     """Parquet read that treats a missing/empty dir as 'no corpus yet'
-    (first batch) instead of an AnalysisException."""
-    try:
-        if not os.path.isdir(path):
-            return None
-        if not any(
-            name.endswith(".parquet") or name.startswith("ingest_batch=")
-            for name in os.listdir(path)
-        ):
-            return None
-        return spark.read.parquet(path)
-    except Exception:
+    (first batch). Deliberately does NOT swallow read errors: a
+    transient failure reading the accepted corpus must FAIL the batch
+    (foreachBatch retries it) — silently deciding against an 'empty'
+    prefix would accept duplicates of everything stored."""
+    if not os.path.isdir(path):
         return None
+    if not any(
+        name.endswith(".parquet") or name.startswith("ingest_batch=")
+        for name in os.listdir(path)
+    ):
+        return None
+    return spark.read.parquet(path)
 
 
 def process_ingest_batch(
