@@ -66,6 +66,60 @@ def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(path)
 
 
+def _ingest_decide(
+    pairs: DataFrame,
+    new: DataFrame,
+    stored_docs: DataFrame | None,
+    id_col: str,
+) -> DataFrame:
+    """The family-independent accept decision → keep-id frame.
+
+    Rule 1: a new doc with a pair to a STORED id is rejected
+    (first-accepted wins). Rule 2: within-batch clusters among the
+    survivors collapse via connected components to the min id. The
+    decision logic references the pair set ~5 times (both reject
+    sides, batch restriction, CC, keep set) — materialize the
+    dup-sized frame ONCE or every branch re-expands the whole emitter
+    chain inside one plan (measured: 249s → ~15s on a 5-doc batch)."""
+    from ..operators.dedup import dedup_representatives
+
+    pairs = pairs.localCheckpoint(eager=True)
+    vs_stored = None
+    if stored_docs is not None:
+        stored_ids = stored_docs.select(F.col(id_col).alias("_sid"))
+        vs_stored = (
+            pairs.join(
+                stored_ids, pairs["id_a"] == F.col("_sid"), "left_semi"
+            )
+            .select(F.col("id_b").alias(id_col))
+            .unionByName(
+                pairs.join(
+                    stored_ids, pairs["id_b"] == F.col("_sid"), "left_semi"
+                ).select(F.col("id_a").alias(id_col))
+            )
+            .distinct()
+            # a stored id can appear as the NEW side only if ids
+            # collide across feeds — keep the filter to new ids
+            .join(new.select(id_col), id_col, "left_semi")
+        )
+    survivors = (
+        new.join(vs_stored, id_col, "left_anti")
+        if vs_stored is not None
+        else new
+    )
+    batch_pairs = (
+        pairs.join(
+            survivors.select(F.col(id_col).alias("id_a")), "id_a", "left_semi"
+        ).join(
+            survivors.select(F.col(id_col).alias("id_b")), "id_b", "left_semi"
+        )
+    )
+    reps = dedup_representatives(survivors, batch_pairs, id_col=id_col)
+    # reps covers exactly the survivors (rule-1 rejects are already
+    # out), so the keep set is one semi-join back to the full batch
+    return reps.filter(F.col(id_col) == F.col("representative")).select(id_col)
+
+
 def process_ingest_batch(
     batch: DataFrame,
     batch_id: int,
@@ -85,7 +139,6 @@ def process_ingest_batch(
     decision rule and idempotency contract."""
     from ..operators.dedup import (
         band_signatures,
-        dedup_representatives,
         minhash_dedup_incremental,
         minhash_dedup_pairs,
         minhash_signatures,
@@ -111,7 +164,6 @@ def process_ingest_batch(
         )
         if stored_docs is None:
             pairs = minhash_dedup_pairs(new, **kw)
-            vs_stored = None
         else:
             pairs = minhash_dedup_incremental(
                 new,
@@ -121,49 +173,7 @@ def process_ingest_batch(
                 else None,
                 **kw,
             )
-        # the decision logic below references the pair set ~5 times
-        # (reject-vs-stored both sides, batch-pair restriction, CC,
-        # keep set) — materialize the dup-sized frame ONCE or every
-        # branch re-expands the whole MinHash chain inside one plan
-        # (measured: 249s → ~15s on a 5-doc batch)
-        pairs = pairs.localCheckpoint(eager=True)
-        if stored_docs is not None:
-            stored_ids = stored_docs.select(F.col(id_col).alias("_sid"))
-            # rule 1: any pair touching a stored id rejects its new side
-            vs_stored = (
-                pairs.join(
-                    stored_ids, pairs["id_a"] == F.col("_sid"), "left_semi"
-                )
-                .select(F.col("id_b").alias(id_col))
-                .unionByName(
-                    pairs.join(
-                        stored_ids, pairs["id_b"] == F.col("_sid"), "left_semi"
-                    ).select(F.col("id_a").alias(id_col))
-                )
-                .distinct()
-                # a stored id can appear as the NEW side only if ids
-                # collide across feeds — keep the filter to new ids
-                .join(new.select(id_col), id_col, "left_semi")
-            )
-        survivors = (
-            new.join(vs_stored, id_col, "left_anti")
-            if vs_stored is not None
-            else new
-        )
-        # rule 2: within-batch clusters among survivors → min-id rep
-        batch_pairs = (
-            pairs.join(
-                survivors.select(F.col(id_col).alias("id_a")), "id_a", "left_semi"
-            ).join(
-                survivors.select(F.col(id_col).alias("id_b")), "id_b", "left_semi"
-            )
-        )
-        reps = dedup_representatives(survivors, batch_pairs, id_col=id_col)
-        # reps covers exactly the survivors (rule-1 rejects are already
-        # out), so the keep set is one semi-join back to the full batch
-        keep_ids = reps.filter(F.col(id_col) == F.col("representative")).select(
-            id_col
-        )
+        keep_ids = _ingest_decide(pairs, new, stored_docs, id_col)
         accepted = batch.join(keep_ids, id_col, "left_semi").withColumn(
             "ingest_batch", F.lit(int(batch_id))
         )
@@ -223,6 +233,129 @@ def ingest_dedup_stream(
         )
 
     writer = stream_docs.writeStream.foreachBatch(_dispatch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def process_ingest_batch_semantic(
+    batch: DataFrame,
+    batch_id: int,
+    accepted_dir: str,
+    assign_dir: str,
+    cells: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    assign: str = "arrow",
+    max_cell_size: int | None = None,
+    hot_mode: str = "split",
+) -> None:
+    """The SEMANTIC (embedding) face of the ingest loop: same accept
+    decision as :func:`process_ingest_batch`, with
+    ``semantic_dedup_incremental`` as the pair emitter and the stored
+    (id, cell) ASSIGNMENT table as the index — the shape
+    ``ivf_build_index`` persists, partitioned by cell so the shard's
+    probe partition-prunes. ``cells`` must be the same frozen centroid
+    frame across all batches (an evolving clustering would silently
+    invalidate the stored assignments — re-cluster = re-ingest).
+
+    Same idempotency contract: decisions replay against the pre-batch
+    prefix, writes are dynamic partition overwrites keyed by
+    ``ingest_batch``.
+    """
+    from ..operators.similarity import (
+        _alias_cells,
+        _assign_cells,
+        semantic_dedup_incremental,
+    )
+
+    spark = batch.sparkSession
+
+    def _prefix(path: str) -> DataFrame | None:
+        df = _read_if_exists(spark, path)
+        if df is not None and "ingest_batch" in df.columns:
+            df = df.filter(F.col("ingest_batch") != batch_id)
+        return df
+
+    stored_docs = _prefix(accepted_dir)
+    stored_assign = _prefix(assign_dir)
+    new = batch.select(id_col, vec_col).persist()
+    try:
+        if stored_docs is None:
+            from ..operators.similarity import semantic_dedup_pairs
+
+            pairs = semantic_dedup_pairs(
+                new, threshold=threshold, cells=cells, id_col=id_col,
+                vec_col=vec_col, assign=assign,
+                max_cell_size=max_cell_size, hot_mode=hot_mode,
+            )
+        else:
+            pairs = semantic_dedup_incremental(
+                new,
+                stored_docs.select(id_col, vec_col),
+                cells,
+                corpus_assign=stored_assign.select(id_col, "_cell")
+                if stored_assign is not None
+                else None,
+                threshold=threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+                assign=assign,
+                max_cell_size=max_cell_size,
+                hot_mode=hot_mode,
+            )
+        keep_ids = _ingest_decide(pairs, new, stored_docs, id_col)
+        accepted = batch.join(keep_ids, id_col, "left_semi").withColumn(
+            "ingest_batch", F.lit(int(batch_id))
+        )
+        # same self-referential read-overwrite hazard as the MinHash
+        # loop: pin the decision before replacing partitions
+        accepted = accepted.localCheckpoint(eager=True)
+        writer_opts = {"partitionOverwriteMode": "dynamic"}
+        (
+            accepted.write.mode("overwrite")
+            .options(**writer_opts)
+            .partitionBy("ingest_batch")
+            .parquet(accepted_dir)
+        )
+        assign_rows = _assign_cells(
+            accepted.select(id_col, vec_col),
+            _alias_cells(cells),
+            id_col,
+            vec_col,
+            assign,
+        ).withColumn("ingest_batch", F.lit(int(batch_id)))
+        (
+            assign_rows.write.mode("overwrite")
+            .options(**writer_opts)
+            .partitionBy("ingest_batch", "_cell")
+            .parquet(assign_dir)
+        )
+    finally:
+        new.unpersist()
+
+
+def ingest_dedup_stream_semantic(
+    stream_vecs: DataFrame,
+    accepted_dir: str,
+    assign_dir: str,
+    checkpoint_dir: str,
+    cells: DataFrame,
+    available_now: bool = True,
+    **kernel_kwargs,
+):
+    """Semantic counterpart of :func:`ingest_dedup_stream` — wire a
+    streaming embedding source into the SemDeDup ingest loop."""
+
+    def _dispatch(df: DataFrame, batch_id: int) -> None:
+        process_ingest_batch_semantic(
+            df, batch_id, accepted_dir, assign_dir, cells, **kernel_kwargs
+        )
+
+    writer = stream_vecs.writeStream.foreachBatch(_dispatch).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:

@@ -142,3 +142,87 @@ def test_ingest_replay_is_idempotent(spark, feed):
         assert {r["id"] for r in idx.select("id").collect()} == {0, 1, 3}
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_semantic_ingest_loop(spark):
+    """The embedding face of the loop: stored (id, cell) assignments as
+    the index, SemDeDup incremental as the emitter, same accept rules
+    and replay idempotency."""
+    import numpy as np
+
+    from garden_net_backend_spark.streaming.ingest import (
+        ingest_dedup_stream_semantic,
+        process_ingest_batch_semantic,
+    )
+
+    rng = np.random.default_rng(31)
+    dirs = rng.standard_normal((6, 16))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    def vec(k, eps=0.0):
+        v = dirs[k] + rng.standard_normal(16) * eps
+        return (v / np.linalg.norm(v)).tolist()
+
+    # batch 0: ids 0 (dir0), 1 (dir1) → accept both
+    # batch 1: 2 = near-dup of 0 → reject; 3 (dir2) and 4 ≈ 3 → keep 3
+    # batch 2: 5 ≈ 1 → reject; 6 (dir3) → accept
+    b0 = [(0, vec(0)), (1, vec(1))]
+    b1 = [(2, vec(0, 1e-3)), (3, vec(2)), (4, vec(2, 1e-3))]
+    b2 = [(5, vec(1, 1e-3)), (6, vec(3))]
+    schema = "vec_id long, embedding array<float>"
+    cells = spark.createDataFrame(
+        [(i, dirs[i].tolist()) for i in range(6)],
+        "cell_id long, centroid array<float>",
+    )
+    import json as _json
+    import os
+    import tempfile
+    import time
+
+    feed = tempfile.mkdtemp(prefix="semfeed_")
+    for i, rows in enumerate([b0, b1, b2]):
+        with open(f"{feed}/f{i}.json", "w") as fh:
+            for vid, emb in rows:
+                fh.write(_json.dumps({"vec_id": vid, "embedding": emb}) + "\n")
+        t = time.time() - 30 + i
+        os.utime(f"{feed}/f{i}.json", (t, t))
+    work = tempfile.mkdtemp(prefix="semingest_")
+    acc, asg = f"{work}/acc", f"{work}/asg"
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(feed)
+        )
+        q = ingest_dedup_stream_semantic(
+            stream, acc, asg, f"{work}/ckpt", cells, threshold=0.99
+        )
+        q.awaitTermination(300)
+        assert q.exception() is None, q.exception()
+        got = spark.read.parquet(acc)
+        ids = {r["vec_id"] for r in got.select("vec_id").collect()}
+        assert ids == {0, 1, 3, 6}
+        # the assignment index covers exactly the accepted vectors and
+        # maps each to its true cell
+        asgn = {
+            r["vec_id"]: r["_cell"]
+            for r in spark.read.parquet(asg).collect()
+        }
+        assert set(asgn) == ids
+        assert asgn[0] == 0 and asgn[1] == 1 and asgn[3] == 2 and asgn[6] == 3
+        # replay idempotency for the semantic body
+        docs = spark.read.schema(schema).json(feed)
+        before = sorted(r["vec_id"] for r in got.collect())
+        process_ingest_batch_semantic(
+            docs.filter(F.col("vec_id").between(2, 4)), 1, acc, asg, cells,
+            threshold=0.99,
+        )
+        after = sorted(
+            r["vec_id"] for r in spark.read.parquet(acc).collect()
+        )
+        assert after == before
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(feed, ignore_errors=True)
