@@ -363,8 +363,18 @@ def _cc_pointer_jumping(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    # exhausting the rounds mid-propagation would hand back labels that
+    # LOOK like components but straddle real ones — silently wrong
+    # dedup/metric results downstream. Jumping converges in O(log n)
+    # rounds, so hitting this means max_iter was set far too low for
+    # the graph; fail loudly instead (round-9 find: a 12-round cap
+    # returned a two-label component under one partition layout).
+    raise RuntimeError(
+        f"connected_components: min-label propagation still changing "
+        f"after {max_iter} pointer-jumping rounds ({changed} labels moved "
+        "last round) — raise max_iter (rounds needed grow ~log n)"
+    )
 
 
 def component_sizes(components: DataFrame) -> DataFrame:

@@ -299,11 +299,27 @@ def test_connected_components_contraction_path(spark):
     assert contracted == want
     # collect_threshold=0 keeps the bounded solve unreachable, so after
     # the contraction passes plateau the pointer-jumping fallback must
-    # finish the job (12 doubling rounds cover any forest diameter here)
+    # finish the job. Default max_iter: the fallback exits early on
+    # convergence, and the needed round count depends on the
+    # partition-layout-dependent forest shape (a 12-round cap was
+    # enough standalone but not under the full module's layout)
     jumped = {
         r["node"]: r["component"]
         for r in G.connected_components(
-            nodes, edges, collect_threshold=0, max_iter=12
+            nodes, edges, collect_threshold=0
         ).collect()
     }
     assert jumped == want
+
+
+def test_pointer_jumping_nonconvergence_is_loud(spark):
+    """Exhausting max_iter mid-propagation must raise, not return
+    labels that straddle real components (round-9 find: a too-low cap
+    silently split one component into two labels)."""
+    n = 64
+    nodes = spark.createDataFrame([(f"p{i:03d}",) for i in range(n)], "node string")
+    edges = spark.createDataFrame(
+        [(f"p{i:03d}", f"p{i+1:03d}") for i in range(n - 1)], "src string, dst string"
+    )
+    with pytest.raises(RuntimeError, match="pointer-jumping"):
+        G.connected_components(nodes, edges, collect_threshold=0, max_iter=2)
