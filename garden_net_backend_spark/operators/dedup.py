@@ -1021,11 +1021,17 @@ def dedup_representatives(
     - ``"far_from_centroid"``: the SemDeDup recipe (Abbas et al. 2023
       §2 keep the cluster member with the LOWEST cosine to its k-means
       centroid — i.e. farthest, the most "informative" exemplar).
-      Requires ``scores``: an ``(id_col, cell_cosine)`` frame —
-      ``assign_nearest_cell(..., with_cosine=True)`` emits exactly
-      this. Ties break to min id, so the choice stays a pure function
-      of the data. Cost over min_id: one join of the CC output (dup
-      clusters only, tiny vs corpus) with scores + one min_by groupBy.
+      Requires ``scores``: a frame carrying ``id_col`` and the cosine
+      to the assigned centroid — bound BY NAME as ``cell_cosine`` when
+      present (``assign_nearest_cell(..., with_cosine=True)`` emits
+      ``(id, cell_id, cell_cosine)`` and is accepted as-is), else the
+      lone other column of an exactly-2-column ``(id, cosine)`` frame;
+      anything else raises. Docs missing from ``scores`` never win
+      over a scored member (scored-absent components degrade to
+      min_id) — they are NOT dropped from the output. Ties break to
+      min id, so the choice stays a pure function of the data. Cost
+      over min_id: one join of the CC output (dup clusters only, tiny
+      vs corpus) with scores + one min_by groupBy.
 
     Pairwise emitters (MinHash-LSH, SimHash, embedding blocking) leave
     transitive chains unresolved: A~B, B~C must collapse to ONE kept
@@ -1058,13 +1064,38 @@ def dedup_representatives(
             F.col("node").alias(id_col),
             F.col("component").alias("representative"),
         )
+    # bind the cosine column BY NAME: assign_nearest_cell(...,
+    # with_cosine=True) emits (id, cell_id, cell_cosine) — the old
+    # positional columns[1] silently picked cell_id off that 3-column
+    # frame and chose survivors by cell id (advisor r9). Fallback to
+    # the lone non-id column only for an exactly-2-column frame.
+    if "cell_cosine" in scores.columns:
+        cos_c = "cell_cosine"
+    else:
+        others = [c for c in scores.columns if c != id_col]
+        if len(scores.columns) == 2 and len(others) == 1:
+            cos_c = others[0]
+        else:
+            raise ValueError(
+                "far_from_centroid scores frame must carry a 'cell_cosine' "
+                f"column next to {id_col!r} (assign_nearest_cell(..., "
+                f"with_cosine=True) emits it) or be exactly (id, cosine); "
+                f"got columns {scores.columns}"
+            )
     sc = scores.select(
-        F.col(id_col).alias("node"), F.col(scores.columns[1]).alias("_cos")
+        F.col(id_col).alias("node"), F.col(cos_c).alias("_cos")
     )
     # per component, keep the member FARTHEST from the centroid
-    # (lowest cosine; tie → min id) — min_by is map-side combinable
+    # (lowest cosine; tie → min id) — min_by is map-side combinable.
+    # LEFT join: a member missing from scores must not erase its whole
+    # component from the output (the old inner join made
+    # curate_training_corpus silently drop such documents — advisor
+    # r9). Unscored members get +inf, so they can never beat a scored
+    # member; an entirely-unscored component degrades to the min_id
+    # policy (all-inf tie → min node = the component label).
     reps = (
-        cc.join(sc, "node")
+        cc.join(sc, "node", "left")
+        .withColumn("_cos", F.coalesce(F.col("_cos"), F.lit(float("inf"))))
         .groupBy("component")
         .agg(
             F.min_by(

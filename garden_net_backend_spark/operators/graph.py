@@ -200,7 +200,22 @@ def connected_components(
     the cache write was pure overhead (+1.2s quiet), and on an
     expensive emitter (q29's pair join) the probe is strictly cheaper
     too — one compute + Arrow transfer vs compute + cache write +
-    cache read.
+    cache read. When the probe OVERFLOWS (>threshold rows — the rare
+    big-graph path), the emitter chain is checkpointed before the
+    contraction loop: the probe's LocalLimit cannot short-circuit
+    upstream shuffle stages, so without the checkpoint the first
+    ``_forest_contract`` would re-run the whole emitter from scratch
+    (advisor r9) — one cache write here buys every contraction pass.
+
+    NOTE (single-writer assumption): the limit-probe temporarily sets
+    the session-global ``spark.sql.limit.initialNumPartitions`` and
+    restores it in ``finally``. There is no per-query scope for this
+    conf, so a CONCURRENT query in the same session could observe the
+    override during the probe window. The override is benign for
+    correctness (it only changes CollectLimit's wave schedule), so the
+    worst case is a concurrent ``.limit()`` scheduling all partitions
+    at once; serving deployments that care should run graph builds on
+    a dedicated session (``spark.newSession()`` gives a private conf).
     """
     e = edges.select(src, dst).filter(F.col(src) != F.col(dst))
     # CollectLimit default-scans partitions in incremental waves
@@ -223,6 +238,12 @@ def connected_components(
     if len(probe) <= collect_threshold:
         return _cc_solve_bounded(probe, nodes, node_col, src, dst)
     del probe
+    # Probe overflowed: every contraction pass below re-reads e, and
+    # LocalLimit did not short-circuit the emitter's shuffle stages —
+    # checkpoint once so the (possibly expensive) emitter chain is
+    # never recomputed (advisor r9; the small-graph fast path above
+    # stays cache-free).
+    e = e.localCheckpoint(eager=True)
     # Big graph: geometric contraction. Post-contraction frames are
     # eager localCheckpoints, so loop counts are cheap aggregates over
     # materialized blocks. nparts seeds the repartition schedule,
@@ -325,6 +346,10 @@ def _cc_pointer_jumping(
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("component")
     ).localCheckpoint(eager=True)
+    # bind before the loop: max_iter <= 0 skips it entirely, and the
+    # non-convergence raise below must stay a RuntimeError, not a
+    # NameError on an unbound `changed` (advisor r9)
+    changed = None
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym[dst] == labels["node"])
@@ -372,8 +397,13 @@ def _cc_pointer_jumping(
     # returned a two-label component under one partition layout).
     raise RuntimeError(
         f"connected_components: min-label propagation still changing "
-        f"after {max_iter} pointer-jumping rounds ({changed} labels moved "
-        "last round) — raise max_iter (rounds needed grow ~log n)"
+        f"after {max_iter} pointer-jumping rounds ("
+        + (
+            f"{changed} labels moved last round"
+            if changed is not None
+            else "no rounds ran — max_iter <= 0"
+        )
+        + ") — raise max_iter (rounds needed grow ~log n)"
     )
 
 

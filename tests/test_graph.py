@@ -323,3 +323,8 @@ def test_pointer_jumping_nonconvergence_is_loud(spark):
     )
     with pytest.raises(RuntimeError, match="pointer-jumping"):
         G.connected_components(nodes, edges, collect_threshold=0, max_iter=2)
+    # max_iter=0 skips both loops entirely — still the intended loud
+    # RuntimeError, never a NameError on the unbound round counter
+    # (advisor r9)
+    with pytest.raises(RuntimeError, match="max_iter"):
+        G.connected_components(nodes, edges, collect_threshold=0, max_iter=0)

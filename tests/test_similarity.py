@@ -817,6 +817,70 @@ def test_dedup_representatives_keep_policy_far_from_centroid(spark):
         dedup_representatives(
             docs, pairs, id_col="vec_id", keep_policy="far_from_centroid"
         )
+    # the documented API — the RAW 3-column assign_nearest_cell(...,
+    # with_cosine=True) frame — must bind the cosine BY NAME (the old
+    # positional columns[1] grabbed cell_id and silently ranked
+    # survivors by cell id; advisor r9)
+    raw3 = assign_nearest_cell(df, seeds, with_cosine=True)
+    assert raw3.columns == ["vec_id", "cell_id", "cell_cosine"]
+    far_raw = {
+        r["vec_id"]: r["representative"]
+        for r in dedup_representatives(
+            docs,
+            pairs,
+            id_col="vec_id",
+            keep_policy="far_from_centroid",
+            scores=raw3,
+        ).collect()
+    }
+    assert far_raw == far
+    # ambiguous frame (3 columns, none named cell_cosine) must raise,
+    # never guess positionally
+    with _pt.raises(ValueError):
+        dedup_representatives(
+            docs,
+            pairs,
+            id_col="vec_id",
+            keep_policy="far_from_centroid",
+            scores=raw3.withColumnRenamed("cell_cosine", "mystery"),
+        )
+
+
+def test_dedup_representatives_partial_scores_keep_all_docs(spark):
+    """Docs missing from the scores frame must not vanish from the
+    representatives output (the old inner join erased whole components
+    with no scored member, silently excluding them from curated
+    corpora; advisor r9). Unscored members never beat a scored one;
+    an entirely-unscored component degrades to the min_id policy."""
+    from garden_net_backend_spark.operators.dedup import dedup_representatives
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20)], "vec_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    # component {1,2,3}: only 2 and 3 scored → 3 wins (lowest cosine
+    # among scored; unscored 1 gets +inf and cannot win)
+    # component {10,11}: no member scored → min_id fallback (10)
+    # singleton 20: unscored → keeps itself
+    scores = spark.createDataFrame(
+        [(2, 0.9), (3, 0.2)], "vec_id long, cell_cosine double"
+    )
+    rep = {
+        r["vec_id"]: r["representative"]
+        for r in dedup_representatives(
+            docs,
+            pairs,
+            id_col="vec_id",
+            keep_policy="far_from_centroid",
+            scores=scores,
+        ).collect()
+    }
+    assert set(rep) == {1, 2, 3, 10, 11, 20}
+    assert rep[1] == rep[2] == rep[3] == 3
+    assert rep[10] == rep[11] == 10
+    assert rep[20] == 20
 
 
 def test_semantic_dedup_incremental_matches_batch_restriction(spark, emb):
