@@ -1,5 +1,9 @@
 """Continuous corpus ingest with near-dup gating (north-star
-extension): the streaming face of the incremental dedup family.
+extension): the streaming face of the incremental dedup family —
+all three families: MinHash (:func:`process_ingest_batch`), substring
+span-excision (:func:`process_ingest_batch_substring`) and semantic
+(:func:`process_ingest_batch_semantic`), each over its own stored,
+partition-prunable index.
 
 A crawl feed lands as files; each micro-batch is near-dup-checked
 against BOTH itself and everything accepted so far, survivors are
@@ -422,6 +426,165 @@ def process_ingest_batch(
         new.unpersist()
 
 
+def process_ingest_batch_substring(
+    batch: DataFrame,
+    batch_id: int,
+    accepted_dir: str,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    seed: int = 42,
+    n_buckets: int = 64,
+    metrics: bool = True,
+) -> None:
+    """The SUBSTRING (span-excision) face of the ingest loop —
+    completes the 3×3 dedup-family matrix (MinHash / substring /
+    semantic × batch / incremental-shard / streaming-ingest). Unlike
+    the reject/accept faces nothing is dropped: every doc lands in the
+    accepted corpus with duplicated passages ≥ ``min_tokens`` CUT
+    (corpus-wide first occurrence survives — Lee et al. 2022,
+    operators/dedup.excise_duplicate_spans_incremental is the
+    per-batch kernel), carrying ``clean_text`` / ``n_cut_tokens`` /
+    ``oversize`` next to the original text.
+
+    Index = the ``window_index`` shape (wkey, n_occurrences, first_id,
+    first_pos) plus a ``wbucket = pmod(wkey, n_buckets)`` layout
+    column. Each batch appends only its DELTA — windows whose content
+    was never seen before (left-anti on the stored keys): the excise
+    decision reads window EXISTENCE + first occurrence only, so the
+    delta reproduces batch decisions exactly while keeping the index
+    write shard-sized (a full merged-index rewrite per batch would be
+    corpus-sized — the exact cost this loop exists to avoid). The
+    stored ``n_occurrences`` therefore counts occurrences within the
+    window's first-seeing batch only; decisions never read it.
+
+    Contract inherited from the incremental kernel: doc ids assigned
+    monotonically across batches, so the stored first occurrence is
+    the global (id, pos) minimum and chained ingests equal the batch
+    excision restricted to each shard (equivalence-tested). Same
+    idempotency + compaction story as the other faces (``src_batch``
+    data column, dynamic partition overwrite, compacted-replay
+    no-op)."""
+    from ..operators.dedup import (
+        excise_duplicate_spans,
+        excise_duplicate_spans_incremental,
+        window_index,
+    )
+
+    if batch_id < 0:
+        raise ValueError(
+            f"batch_id must be >= 0 (got {batch_id}); "
+            f"{COMPACTED_BATCH_ID} is reserved for compacted partitions"
+        )
+    spark = batch.sparkSession
+
+    def _prefix(path: str) -> DataFrame | None:
+        df = _read_if_exists(spark, path)
+        if df is not None and "ingest_batch" in df.columns:
+            df = df.filter(F.col("ingest_batch") != batch_id)
+        return df
+
+    stored_acc = _prefix(accepted_dir)
+    if _was_compacted(stored_acc, batch_id):
+        return
+    stored_idx = _prefix(index_dir)
+    t0 = time.time()
+    new = batch.select(id_col, text_col).persist()
+    try:
+        if stored_idx is None:
+            cleaned = excise_duplicate_spans(
+                new, text_col, id_col, min_tokens, seed
+            )
+            delta = window_index(new, text_col, id_col, min_tokens, seed)
+        else:
+            idx_sel = stored_idx.select(
+                "wkey", "n_occurrences", "first_id", "first_pos"
+            )
+            cleaned, _ = excise_duplicate_spans_incremental(
+                new, idx_sel, text_col, id_col, min_tokens, seed
+            )
+            delta = window_index(
+                new, text_col, id_col, min_tokens, seed
+            ).join(idx_sel.select("wkey"), "wkey", "left_anti")
+        accepted = (
+            batch.join(
+                cleaned.select(
+                    id_col, "clean_text", "n_cut_tokens", "oversize"
+                ),
+                id_col,
+            )
+            .withColumn("src_batch", F.lit(int(batch_id)))
+            .withColumn("ingest_batch", F.lit(int(batch_id)))
+        )
+        # both outputs read stored state the writes below replace
+        # partitions of (cleaned/delta ← index_dir) — pin the
+        # batch-sized frames before any overwrite
+        accepted = accepted.localCheckpoint(eager=True)
+        delta_rows = (
+            delta.withColumn(
+                "wbucket",
+                F.pmod(F.col("wkey"), F.lit(int(n_buckets))).cast("int"),
+            )
+            .withColumn("src_batch", F.lit(int(batch_id)))
+            .withColumn("ingest_batch", F.lit(int(batch_id)))
+            .localCheckpoint(eager=True)
+        )
+        t1 = time.time()
+        writer_opts = {"partitionOverwriteMode": "dynamic"}
+        (
+            accepted.write.mode("overwrite")
+            .options(**writer_opts)
+            .partitionBy("ingest_batch")
+            .parquet(accepted_dir)
+        )
+        (
+            delta_rows.write.mode("overwrite")
+            .options(**writer_opts)
+            .partitionBy("ingest_batch", "wbucket")
+            .parquet(index_dir)
+        )
+        if metrics:
+            t2 = time.time()
+            _write_batch_metrics(
+                spark,
+                accepted_dir.rstrip("/") + "_metrics",
+                "substring",
+                batch_id,
+                new.count(),
+                accepted.count(),  # nothing rejected: excised, not dropped
+                stored_idx is not None,
+                t1 - t0,
+                t2 - t1,
+            )
+    finally:
+        new.unpersist()
+
+
+def ingest_dedup_stream_substring(
+    stream_docs: DataFrame,
+    accepted_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    **kernel_kwargs,
+):
+    """Substring counterpart of :func:`ingest_dedup_stream` — wire a
+    streaming document source into the span-excision ingest loop."""
+
+    def _dispatch(df: DataFrame, batch_id: int) -> None:
+        process_ingest_batch_substring(
+            df, batch_id, accepted_dir, index_dir, **kernel_kwargs
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(_dispatch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def compact_ingest_index(
     spark: SparkSession, path: str, keep_backup: bool = True
 ) -> str:
@@ -459,7 +622,7 @@ def compact_ingest_index(
         raise ValueError(
             f"{path!r} is not an ingest output (no ingest_batch column)"
         )
-    sub = [c for c in ("band", "_cell") if c in df.columns]
+    sub = [c for c in ("band", "_cell", "wbucket") if c in df.columns]
     part_cols = ["ingest_batch"] + sub
     compacted = df.withColumn("ingest_batch", F.lit(COMPACTED_BATCH_ID))
     if "src_batch" not in compacted.columns:

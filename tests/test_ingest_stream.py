@@ -249,6 +249,122 @@ def test_ingest_compaction_preserves_decisions_and_noops_replay(spark, feed):
         shutil.rmtree(w_comp, ignore_errors=True)
 
 
+def test_substring_ingest_loop_matches_batch_excision(spark):
+    """The substring (span-excision) face of the ingest loop: chained
+    per-batch ingests must produce the same clean_text per doc as the
+    BATCH excision over the whole corpus (monotonic-id contract), each
+    batch appending only its first-seen window DELTA to the stored
+    index; replay and compaction preserve decisions."""
+    from garden_net_backend_spark.operators.dedup import excise_duplicate_spans
+    from garden_net_backend_spark.streaming.ingest import (
+        compact_ingest_index,
+        ingest_dedup_stream_substring,
+        process_ingest_batch_substring,
+    )
+
+    span_s = [f"ss{j:02d}" for j in range(6)]  # repeated across batches
+    span_t = [f"tt{j:02d}" for j in range(6)]  # repeated within batch 1
+
+    def mk(i, pre, mid):
+        words = [f"u{i}a{j}" for j in range(pre)] + mid + [f"u{i}z{j}" for j in range(4)]
+        return (i, " ".join(words), "crawl")
+
+    batches = [
+        [mk(0, 3, span_s), mk(1, 2, [])],
+        [mk(10, 5, span_s), mk(11, 2, span_t), mk(12, 4, span_t)],
+        [mk(20, 1, span_s), mk(21, 3, [])],
+    ]
+    schema = "doc_id long, text string, source string"
+    all_docs = spark.createDataFrame(sum(batches, []), schema)
+    kw = dict(min_tokens=5, seed=7)
+    # ground truth: one batch excision over the full corpus
+    truth = {
+        r["doc_id"]: r["clean_text"]
+        for r in excise_duplicate_spans(all_docs, **kw).collect()
+    }
+    # sanity on the fixture: S survives once (doc 0), T once (doc 11)
+    assert " ".join(span_s) in truth[0]
+    assert all(" ".join(span_s) not in truth[i] for i in (10, 20))
+    assert " ".join(span_t) in truth[11] and " ".join(span_t) not in truth[12]
+
+    def run(compact_after_1: bool):
+        work = tempfile.mkdtemp(prefix="sub_ingest_")
+        acc, idx = f"{work}/acc", f"{work}/idx"
+        for b, rows in enumerate(batches):
+            process_ingest_batch_substring(
+                spark.createDataFrame(rows, schema), b, acc, idx, **kw
+            )
+            if compact_after_1 and b == 1:
+                compact_ingest_index(spark, idx)
+                compact_ingest_index(spark, acc)
+        got = {
+            r["doc_id"]: r["clean_text"]
+            for r in spark.read.parquet(acc).select("doc_id", "clean_text").collect()
+        }
+        return work, acc, idx, got
+
+    w1, acc, idx, got = run(False)
+    w2, _, _, got_c = run(True)
+    try:
+        assert got == truth
+        assert got_c == truth  # compaction mid-stream changes nothing
+        # the index holds each window content ONCE (delta appends):
+        # re-ingesting batch 1 (replay) converges
+        before = got
+        process_ingest_batch_substring(
+            spark.createDataFrame(batches[1], schema), 1, acc, idx, **kw
+        )
+        after = {
+            r["doc_id"]: r["clean_text"]
+            for r in spark.read.parquet(acc).select("doc_id", "clean_text").collect()
+        }
+        assert after == before
+        idx_df = spark.read.parquet(idx)
+        assert idx_df.groupBy("wkey").count().filter(F.col("count") > 1).count() == 0
+        assert {"wbucket", "src_batch"} <= set(idx_df.columns)
+        # metrics carry the substring family rows
+        fams = {
+            r["family"]
+            for r in spark.read.parquet(acc + "_metrics").select("family").collect()
+        }
+        assert fams == {"substring"}
+        # streaming wiring smoke: same decisions through foreachBatch
+        feed = tempfile.mkdtemp(prefix="sub_feed_")
+        try:
+            for i, rows in enumerate(batches):
+                with open(f"{feed}/f{i}.json", "w") as fh:
+                    for doc_id, text, src in rows:
+                        fh.write(json.dumps(
+                            {"doc_id": doc_id, "text": text, "source": src}
+                        ) + "\n")
+                t = time.time() - 30 + i
+                os.utime(f"{feed}/f{i}.json", (t, t))
+            work3 = tempfile.mkdtemp(prefix="sub_stream_")
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .json(feed)
+            )
+            q = ingest_dedup_stream_substring(
+                stream, f"{work3}/acc", f"{work3}/idx", f"{work3}/ckpt", **kw
+            )
+            q.awaitTermination(300)
+            assert q.exception() is None, q.exception()
+            got_s = {
+                r["doc_id"]: r["clean_text"]
+                for r in spark.read.parquet(f"{work3}/acc")
+                .select("doc_id", "clean_text")
+                .collect()
+            }
+            assert got_s == truth
+            shutil.rmtree(work3, ignore_errors=True)
+        finally:
+            shutil.rmtree(feed, ignore_errors=True)
+    finally:
+        shutil.rmtree(w1, ignore_errors=True)
+        shutil.rmtree(w2, ignore_errors=True)
+
+
 def test_semantic_ingest_loop(spark):
     """The embedding face of the loop: stored (id, cell) assignments as
     the index, SemDeDup incremental as the emitter, same accept rules
