@@ -126,6 +126,30 @@ def test_connected_components_long_chain(spark):
     assert comp.count() == n
 
 
+def test_connected_components_restores_limit_conf(spark, gdfs):
+    """The limit-probe sets session-global
+    spark.sql.limit.initialNumPartitions for the probe window and must
+    restore the prior state on BOTH paths (single-writer assumption is
+    documented; restoration keeps the override's blast radius to the
+    probe itself)."""
+    nodes, _, edges = gdfs
+    key = "spark.sql.limit.initialNumPartitions"
+    prior = spark.conf.get(key, None)
+    # unset state → restored to unset
+    G.connected_components(nodes, edges).collect()
+    assert spark.conf.get(key, None) == prior
+    # explicitly-set state → restored to that value
+    spark.conf.set(key, "3")
+    try:
+        G.connected_components(nodes, edges).collect()
+        assert spark.conf.get(key, None) == "3"
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
 def test_diameter_exact(gdfs):
     nodes, _, edges = gdfs
     want = max(max(_bfs(n).values()) for n in NODES)
