@@ -106,6 +106,22 @@ def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
     deciding against an 'empty' prefix would accept duplicates of
     everything stored."""
     fs, jpath = _hadoop_fs(spark, path)
+    # a compaction crashed mid-swap (or is racing us): the live dir may
+    # be mid-rename, so "missing" here does NOT mean "no corpus yet" —
+    # reading it as first-batch would silently accept every stored
+    # duplicate. Fail the batch loudly; the operator finishes or rolls
+    # back the swap (see compact_ingest_index) and retries.
+    marker = spark._jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + ".compacting"
+    )
+    if fs.exists(marker):
+        raise RuntimeError(
+            f"ingest: compaction marker {path.rstrip('/') + '.compacting'!r} "
+            "exists — a compact_ingest_index swap is in progress or "
+            "crashed mid-swap. Finish or roll back the swap (restore "
+            f"{path!r} from .precompact / .compact.tmp, then delete the "
+            "marker) before ingesting."
+        )
     if not fs.exists(jpath):
         return None
     # data present iff any non-hidden child (partition dirs like
@@ -654,12 +670,30 @@ def compact_ingest_index(
             )
     if fs.exists(backup_p):
         fs.delete(backup_p, True)
-    if not fs.rename(live_p, backup_p):
-        raise IOError(f"compact_ingest_index: rename {base} -> {backup} failed")
-    if not fs.rename(tmp_p, live_p):
-        # put the live data back before failing
-        fs.rename(backup_p, live_p)
-        raise IOError(f"compact_ingest_index: rename {tmp} -> {base} failed")
+    # marker turns the (small) two-rename crash window into a LOUD
+    # ingest failure instead of a silent "no corpus yet" read: a batch
+    # probing mid-swap (or after a mid-swap crash) raises until the
+    # swap is finished or rolled back (_read_if_exists checks it)
+    marker_p = jvm.org.apache.hadoop.fs.Path(base + ".compacting")
+    fs.create(marker_p, True).close()
+    try:
+        if not fs.rename(live_p, backup_p):
+            raise IOError(
+                f"compact_ingest_index: rename {base} -> {backup} failed"
+            )
+        if not fs.rename(tmp_p, live_p):
+            # put the live data back before failing
+            fs.rename(backup_p, live_p)
+            raise IOError(
+                f"compact_ingest_index: rename {tmp} -> {base} failed"
+            )
+    finally:
+        # clear the marker ONLY if a live dir is in place (success, or
+        # rollback-then-raise). A crash between the renames — or a
+        # failed rollback — leaves the marker, which is the point:
+        # ingest fails loudly instead of reading "no corpus yet".
+        if fs.exists(live_p):
+            fs.delete(marker_p, False)
     if not keep_backup:
         fs.delete(backup_p, True)
     return path

@@ -175,6 +175,15 @@ def test_read_if_exists_is_storage_agnostic(spark):
         ).parquet(f"{work}/compacted_like")
         got = _read_if_exists(spark, f"file://{work}/compacted_like")
         assert got is not None and got.count() == 1
+        # a crashed/racing compaction swap leaves <path>.compacting —
+        # the probe must FAIL the batch, never read the missing/partial
+        # live dir as "no corpus yet" (that would silently re-accept
+        # every stored duplicate)
+        open(f"{work}/data.compacting", "w").close()
+        with pytest.raises(RuntimeError, match="compaction marker"):
+            _read_if_exists(spark, f"file://{work}/data")
+        os.remove(f"{work}/data.compacting")
+        assert _read_if_exists(spark, f"file://{work}/data").count() == 1
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
