@@ -699,6 +699,139 @@ def compact_ingest_index(
     return path
 
 
+def audit_ingest_index(
+    spark: SparkSession,
+    accepted_dir: str,
+    index_dir: str,
+    family: str = "minhash",
+    cells: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    shingle: str = "word",
+    seed: int = 42,
+    min_tokens: int = 50,
+    assign: str = "arrow",
+) -> dict:
+    """Consistency audit ("fsck") for a stored ingest index against
+    its accepted corpus — the stored index is DERIVED state (a pure
+    function of accepted content + parameters), so it can always be
+    recomputed and diffed. Run it after incidents, restores,
+    compactions, or parameter-drift suspicions; a clean audit proves
+    the next batch's accept decisions will match a from-scratch
+    rebuild. The kernel parameters MUST be the ones the loop ingested
+    with (a mismatch shows up as wholesale hash disagreement — which
+    is itself the drift signal).
+
+    → ``{"family", "ok", "n_corpus_rows", "n_index_rows",
+    "n_missing", "n_extra", "n_mismatched"}`` where missing = derived
+    rows absent from the stored index, extra = stored rows no accepted
+    content derives, mismatched = key present both sides with
+    different payload. Cost: one corpus re-derivation + one full outer
+    join on the index key — the offline-job price, never paid by the
+    per-batch loop."""
+    accepted = _read_if_exists(spark, accepted_dir)
+    stored = _read_if_exists(spark, index_dir)
+    if accepted is None or stored is None:
+        raise ValueError(
+            "audit_ingest_index: nothing stored at "
+            f"{accepted_dir!r} / {index_dir!r}"
+        )
+    if family == "minhash":
+        from ..operators.dedup import band_signatures, minhash_signatures
+
+        derived = band_signatures(
+            minhash_signatures(
+                accepted, text_col, id_col, num_hashes, ngram, seed, shingle
+            ),
+            bands,
+            num_hashes // bands,
+        ).select(
+            F.col("id").alias("_k1"), F.col("band").alias("_k2"),
+            F.col("bhash").alias("_payload"),
+        )
+        stored_n = stored.select(
+            F.col("id").alias("_k1"), F.col("band").alias("_k2"),
+            F.col("bhash").alias("_spayload"),
+        )
+    elif family == "semantic":
+        from ..operators.similarity import _alias_cells, _assign_cells
+
+        if cells is None:
+            raise ValueError("semantic audit needs the frozen cells frame")
+        # verify-only: an audit must never STAMP a fingerprint (the
+        # enforce helper writes one when absent, which would bless a
+        # wrong frame on a pre-fingerprint index)
+        stored_fp = _read_small_text(
+            spark, index_dir.rstrip("/") + "/_cells_fingerprint"
+        )
+        if stored_fp is not None and stored_fp.strip() != cells_fingerprint(cells):
+            raise ValueError(
+                "audit_ingest_index: cells frame does not match the stored "
+                "centroid fingerprint — the audit would re-derive with the "
+                "wrong clustering; pass the frame the corpus was ingested with"
+            )
+        derived = _assign_cells(
+            accepted.select(id_col, vec_col), _alias_cells(cells),
+            id_col, vec_col, assign,
+        ).select(
+            F.col(id_col).alias("_k1"), F.lit(0).alias("_k2"),
+            F.col("_cell").cast("long").alias("_payload"),
+        )
+        stored_n = stored.select(
+            F.col(id_col).alias("_k1"), F.lit(0).alias("_k2"),
+            F.col("_cell").cast("long").alias("_spayload"),
+        )
+    elif family == "substring":
+        from ..operators.dedup import window_index
+
+        # n_occurrences is by-design batch-local in the loop's delta
+        # index (decisions never read it) — audit keys + firsts only
+        derived = window_index(
+            accepted, text_col, id_col, min_tokens, seed
+        ).select(
+            F.col("wkey").alias("_k1"), F.lit(0).alias("_k2"),
+            F.struct("first_id", "first_pos").alias("_payload"),
+        )
+        stored_n = stored.select(
+            F.col("wkey").alias("_k1"), F.lit(0).alias("_k2"),
+            F.struct("first_id", "first_pos").alias("_spayload"),
+        )
+    else:
+        raise ValueError(f"unknown family: {family!r}")
+    diff = derived.join(stored_n, ["_k1", "_k2"], "full_outer").select(
+        F.col("_payload").isNull().cast("int").alias("_extra"),
+        F.col("_spayload").isNull().cast("int").alias("_missing"),
+        (
+            F.col("_payload").isNotNull()
+            & F.col("_spayload").isNotNull()
+            & (F.col("_payload") != F.col("_spayload"))
+        ).cast("int").alias("_mismatch"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("_extra").alias("extra"),
+        F.sum("_missing").alias("missing"),
+        F.sum("_mismatch").alias("mismatch"),
+    ).collect()[0]
+    report = {
+        "family": family,
+        "n_corpus_rows": accepted.count(),
+        "n_index_rows": stored.count(),
+        "n_missing": int(diff["missing"] or 0),
+        "n_extra": int(diff["extra"] or 0),
+        "n_mismatched": int(diff["mismatch"] or 0),
+    }
+    report["ok"] = (
+        report["n_missing"] == 0
+        and report["n_extra"] == 0
+        and report["n_mismatched"] == 0
+    )
+    return report
+
+
 def ingest_dedup_stream(
     stream_docs: DataFrame,
     accepted_dir: str,

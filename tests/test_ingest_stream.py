@@ -258,6 +258,53 @@ def test_ingest_compaction_preserves_decisions_and_noops_replay(spark, feed):
         shutil.rmtree(w_comp, ignore_errors=True)
 
 
+def test_audit_ingest_index(spark, feed):
+    """audit_ingest_index recomputes the derived index from the
+    accepted corpus and diffs it against storage: clean after ingest,
+    clean after compaction, and it FLAGS planted corruption (a deleted
+    band partition, an injected bogus row)."""
+    from garden_net_backend_spark.streaming.ingest import (
+        audit_ingest_index,
+        compact_ingest_index,
+    )
+
+    work = tempfile.mkdtemp(prefix="ingest_audit_")
+    acc, idx = f"{work}/accepted", f"{work}/index"
+    try:
+        docs = spark.read.schema("doc_id long, text string, source string").json(
+            feed
+        )
+        process_ingest_batch(docs.filter(F.col("doc_id") < 2), 0, acc, idx, **KW)
+        process_ingest_batch(
+            docs.filter(F.col("doc_id").between(2, 4)), 1, acc, idx, **KW
+        )
+        akw = {k: v for k, v in KW.items() if k != "threshold"}
+        rep = audit_ingest_index(spark, acc, idx, family="minhash", **akw)
+        assert rep["ok"], rep
+        assert rep["n_index_rows"] == rep["n_corpus_rows"] * KW["bands"]
+        compact_ingest_index(spark, idx)
+        rep = audit_ingest_index(spark, acc, idx, family="minhash", **akw)
+        assert rep["ok"], rep
+        # corruption 1: a band partition vanishes → missing rows
+        shutil.rmtree(f"{idx}/ingest_batch=-1/band=3")
+        rep = audit_ingest_index(spark, acc, idx, family="minhash", **akw)
+        assert not rep["ok"] and rep["n_missing"] == rep["n_corpus_rows"]
+        # corruption 2: a bogus row nobody derives → extra
+        spark.createDataFrame(
+            [(999, 12345, -1, -1)], "id long, bhash long, src_batch int, ingest_batch int"
+        ).withColumn("band", F.lit(3)).write.mode("append").partitionBy(
+            "ingest_batch", "band"
+        ).parquet(idx)
+        rep = audit_ingest_index(spark, acc, idx, family="minhash", **akw)
+        assert not rep["ok"] and rep["n_extra"] >= 1
+        # wrong parameters read as wholesale drift, not silence
+        bad = dict(akw, num_hashes=32, bands=8)
+        rep = audit_ingest_index(spark, acc, idx, family="minhash", **bad)
+        assert not rep["ok"]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_substring_ingest_loop_matches_batch_excision(spark):
     """The substring (span-excision) face of the ingest loop: chained
     per-batch ingests must produce the same clean_text per doc as the
