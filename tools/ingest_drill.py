@@ -29,15 +29,19 @@ from garden_net_backend_spark.session import get_session
 from garden_net_backend_spark.streaming.ingest import (
     compact_ingest_index,
     process_ingest_batch,
+    process_ingest_batch_substring,
 )
 
 N_BATCHES = 8
 DOCS_PER_BATCH = 250
 DUP_FRACTION = 0.2  # of each batch duplicates an earlier batch's doc
 COMPACT_AFTER = 3  # compact index+corpus once this batch has landed
+FAMILY = "substring" if "--family=substring" in sys.argv else "minhash"
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "SCALING_RAW_INGEST.json",
+    "SCALING_RAW_INGEST.json"
+    if FAMILY == "minhash"
+    else "SCALING_RAW_INGEST_SUBSTRING.json",
 )
 
 
@@ -52,8 +56,17 @@ def main() -> None:
     ).count()
     work = tempfile.mkdtemp(prefix="ingest_drill_")
     accepted_dir, index_dir = f"{work}/acc", f"{work}/idx"
-    kw = dict(threshold=0.7, ngram=3, shingle="word", num_hashes=64, bands=16)
+    if FAMILY == "minhash":
+        kw = dict(threshold=0.7, ngram=3, shingle="word",
+                  num_hashes=64, bands=16)
+        step = process_ingest_batch
+    else:
+        # the substring face: dup slots share a 50-word prefix with
+        # batch 0's doc (≥ min_tokens), so those spans get excised
+        kw = dict(min_tokens=20)
+        step = process_ingest_batch_substring
     facts: dict = {
+        "family": FAMILY,
         "n_batches": N_BATCHES,
         "docs_per_batch": DOCS_PER_BATCH,
         "dup_fraction": DUP_FRACTION,
@@ -85,7 +98,7 @@ def main() -> None:
             )
             load = round(os.getloadavg()[0], 1)
             t0 = time.time()
-            process_ingest_batch(df, b, accepted_dir, index_dir, **kw)
+            step(df, b, accepted_dir, index_dir, **kw)
             wall = round(time.time() - t0, 2)
             n_acc = spark.read.parquet(accepted_dir).count()
             rec = {"batch": b, "wall_sec": wall, "accepted_total": n_acc,
