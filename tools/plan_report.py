@@ -91,7 +91,11 @@ CASES = [
         "one broadcast scan + combinable max_by argmax) — never an "
         "all-pairs product on the scale path; Arrow-batched bucket "
         "assignment and numpy prescreen (MapInPandas), exact re-check on "
-        "survivors only",
+        "survivors only. The BroadcastNestedLoopJoins in this extract "
+        "are the DOCUMENTED exact-baseline arm (intentionally quadratic "
+        "recall oracle, never the scale path) plus one-row scalar-frame "
+        "broadcasts (thresholds/counts joined keylessly: 1×N rows, not "
+        "N×M) — both assert_scalable_plan opt-ins",
         ["MapInPandas", "Join", "Exchange", "max_by"],
     ),
     (
@@ -115,7 +119,9 @@ CASES = [
         "quantization arms are per-row Generate + projection chains "
         "(no shuffle except the doc-scoped repetition count and the "
         "dedup-pairs CC), and every arm prunes its scan to the columns "
-        "it reads",
+        "it reads. BroadcastNestedLoopJoins here are one-row "
+        "scalar-frame broadcasts (corpus totals / vocab sizes for the "
+        "NLL and contamination arms joined keylessly: 1×N rows each)",
         ["Generate", "ReadSchema", "MapInPandas", "partial_min"],
     ),
     (
@@ -163,7 +169,9 @@ CASES = [
         "q69_search_dispatch",
         "Search dispatch: every gene/ensembl arm probes the token index "
         "with an equi-join (no full-table rlike in any seed path); range "
-        "arms are pushed predicates over the checkpointed node table",
+        "arms are pushed predicates over the checkpointed node table; "
+        "BroadcastNestedLoopJoins are one-row scalar-frame broadcasts "
+        "(nearest-fallback bounds joined keylessly: 1×N rows)",
         ["BroadcastHashJoin", "rlike", "Join"],
     ),
     (
@@ -171,7 +179,9 @@ CASES = [
         "Randomization gate: the run fan-out is a broadcast of the 3-row "
         "run range; permutations are two row_number windows sharing the "
         "(run, stratum) partitioning; every verdict reduces via "
-        "map-side-combinable aggregates on that same key",
+        "map-side-combinable aggregates on that same key. "
+        "BroadcastNestedLoopJoins are that 3-row fan-out plus one-row "
+        "verdict-scalar broadcasts (1×N / 3×N rows, never data×data)",
         ["Window", "partial_sum", "BroadcastExchange", "Exchange"],
     ),
     (
