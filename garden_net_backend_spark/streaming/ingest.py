@@ -54,6 +54,13 @@ All stored-prefix probes go through the Hadoop FileSystem API
 (judge r9). Probe ERRORS (auth, transient) propagate and fail the
 batch; only a genuinely absent/empty prefix reads as first-batch.
 
+SINGLE WRITER per corpus: one streaming query (one checkpoint) owns an
+(accepted_dir, index_dir) pair. Batch ids are checkpoint-scoped, so a
+second stream sharing the directories would overwrite the first's
+``ingest_batch=`` partitions with unrelated data and decide against a
+prefix it doesn't own. Scale out INSIDE the batch (executors), not by
+multiplying writers; multiple feeds union into one source.
+
 100 TB shape: the stream moves file names; the batch work is the
 incremental kernel's one band join (stored side touched only for
 candidate members via semi-join pushdown) + two partitioned appends.
