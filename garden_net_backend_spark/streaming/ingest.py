@@ -657,43 +657,54 @@ def compact_ingest_index(
         )
     base = path.rstrip("/")
     tmp = base + ".compact.tmp"
-    backup = base + ".precompact"
     # fewer, larger files: one file per surviving partition value
     writer = compacted.repartition(*[F.col(c) for c in part_cols])
     writer.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
+    _swap_live(spark, base, tmp, keep_backup, copy_sidecars=True)
+    return path
+
+
+def _swap_live(
+    spark: SparkSession,
+    base: str,
+    tmp: str,
+    keep_backup: bool,
+    copy_sidecars: bool,
+) -> None:
+    """Atomically-as-possible replace the live dir ``base`` with the
+    freshly-written ``tmp``: live → ``<base>.precompact`` (replacing
+    any previous backup), tmp → live. A ``<base>.compacting`` marker
+    brackets the two renames so a crash mid-swap makes ingest probes
+    FAIL LOUDLY (``_read_if_exists``) instead of reading the missing
+    live dir as "no corpus yet". With ``copy_sidecars``, underscore
+    files (``_cells_fingerprint``) are carried into tmp BEFORE the
+    swap so they are never stranded."""
     fs, live_p = _hadoop_fs(spark, base)
     jvm = spark._jvm
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
-    backup_p = jvm.org.apache.hadoop.fs.Path(backup)
-    # carry sidecars (fingerprint etc.) into the compacted layout BEFORE
-    # the swap so a crash between renames never strands them
-    for st in fs.listStatus(live_p):
-        name = st.getPath().getName()
-        if st.isFile() and name.startswith("_") and name != "_SUCCESS":
-            jvm.org.apache.hadoop.fs.FileUtil.copy(
-                fs, st.getPath(), fs,
-                jvm.org.apache.hadoop.fs.Path(tmp + "/" + name),
-                False, spark._jsc.hadoopConfiguration(),
-            )
+    backup_p = jvm.org.apache.hadoop.fs.Path(base + ".precompact")
+    if copy_sidecars:
+        for st in fs.listStatus(live_p):
+            name = st.getPath().getName()
+            if st.isFile() and name.startswith("_") and name != "_SUCCESS":
+                jvm.org.apache.hadoop.fs.FileUtil.copy(
+                    fs, st.getPath(), fs,
+                    jvm.org.apache.hadoop.fs.Path(tmp + "/" + name),
+                    False, spark._jsc.hadoopConfiguration(),
+                )
     if fs.exists(backup_p):
         fs.delete(backup_p, True)
-    # marker turns the (small) two-rename crash window into a LOUD
-    # ingest failure instead of a silent "no corpus yet" read: a batch
-    # probing mid-swap (or after a mid-swap crash) raises until the
-    # swap is finished or rolled back (_read_if_exists checks it)
     marker_p = jvm.org.apache.hadoop.fs.Path(base + ".compacting")
     fs.create(marker_p, True).close()
     try:
         if not fs.rename(live_p, backup_p):
             raise IOError(
-                f"compact_ingest_index: rename {base} -> {backup} failed"
+                f"_swap_live: rename {base} -> {base}.precompact failed"
             )
         if not fs.rename(tmp_p, live_p):
             # put the live data back before failing
             fs.rename(backup_p, live_p)
-            raise IOError(
-                f"compact_ingest_index: rename {tmp} -> {base} failed"
-            )
+            raise IOError(f"_swap_live: rename {tmp} -> {base} failed")
     finally:
         # clear the marker ONLY if a live dir is in place (success, or
         # rollback-then-raise). A crash between the renames — or a
@@ -703,7 +714,61 @@ def compact_ingest_index(
             fs.delete(marker_p, False)
     if not keep_backup:
         fs.delete(backup_p, True)
-    return path
+
+
+def rebuild_semantic_assignments(
+    spark: SparkSession,
+    accepted_dir: str,
+    assign_dir: str,
+    cells: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "arrow",
+    keep_backup: bool = True,
+) -> str:
+    """"Re-cluster = re-ingest", operationalized: recompute the stored
+    (id, cell) assignment table for the ENTIRE accepted corpus under a
+    NEW centroid frame, then atomically replace ``assign_dir``
+    (compacted layout, fresh ``_cells_fingerprint`` stamped for the
+    new cells — so the frozen-cells guard immediately accepts the new
+    frame and rejects the old one). This is the sanctioned path when a
+    clustering must evolve; without it the fingerprint guard
+    (correctly) bricks the loop on the new cells.
+
+    Run it QUIESCED like compaction (the swap uses the same
+    ``.compacting`` marker protocol). Cost: one full corpus assignment
+    scan — corpus-sized by necessity, which is exactly why the
+    per-batch loop never does it. The previous table survives at
+    ``<assign_dir>.precompact`` (``keep_backup=True``)."""
+    from ..operators.similarity import _alias_cells, _assign_cells
+
+    accepted = _read_if_exists(spark, accepted_dir)
+    if accepted is None:
+        raise ValueError(
+            f"rebuild_semantic_assignments: no accepted corpus at "
+            f"{accepted_dir!r}"
+        )
+    rows = _assign_cells(
+        accepted.select(id_col, vec_col), _alias_cells(cells),
+        id_col, vec_col, assign,
+    ).withColumn("src_batch", F.lit(COMPACTED_BATCH_ID)).withColumn(
+        "ingest_batch", F.lit(COMPACTED_BATCH_ID)
+    )
+    base = assign_dir.rstrip("/")
+    tmp = base + ".compact.tmp"
+    (
+        rows.repartition(F.col("ingest_batch"), F.col("_cell"))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch", "_cell")
+        .parquet(tmp)
+    )
+    # stamp the NEW fingerprint inside tmp before the swap (the old
+    # one must NOT be carried over)
+    _write_small_text(
+        spark, tmp + "/_cells_fingerprint", cells_fingerprint(cells)
+    )
+    _swap_live(spark, base, tmp, keep_backup, copy_sidecars=False)
+    return assign_dir
 
 
 def audit_ingest_index(

@@ -258,6 +258,80 @@ def test_ingest_compaction_preserves_decisions_and_noops_replay(spark, feed):
         shutil.rmtree(w_comp, ignore_errors=True)
 
 
+def test_rebuild_semantic_assignments_recluster_path(spark):
+    """'Re-cluster = re-ingest' has a sanctioned tool: after
+    rebuild_semantic_assignments the NEW cells frame passes the
+    frozen-cells guard, the OLD one is rejected, the stored table maps
+    every accepted vector under the new clustering, and stored dups
+    are still rejected."""
+    import numpy as np
+
+    from garden_net_backend_spark.streaming.ingest import (
+        process_ingest_batch_semantic,
+        rebuild_semantic_assignments,
+    )
+
+    rng = np.random.default_rng(41)
+    dirs = rng.standard_normal((4, 8))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    def vec(k, eps=0.0):
+        v = dirs[k] + rng.standard_normal(8) * eps
+        return (v / np.linalg.norm(v)).tolist()
+
+    cells_a = spark.createDataFrame(
+        [(i, dirs[i].tolist()) for i in range(2)],
+        "cell_id long, centroid array<float>",
+    )
+    cells_b = spark.createDataFrame(
+        [(i, dirs[i].tolist()) for i in range(4)],
+        "cell_id long, centroid array<float>",
+    )
+    schema = "vec_id long, embedding array<float>"
+    work = tempfile.mkdtemp(prefix="recluster_")
+    acc, asg = f"{work}/acc", f"{work}/asg"
+    try:
+        process_ingest_batch_semantic(
+            spark.createDataFrame([(0, vec(0)), (1, vec(1))], schema),
+            0, acc, asg, cells_a, threshold=0.99,
+        )
+        process_ingest_batch_semantic(
+            spark.createDataFrame([(2, vec(2))], schema),
+            1, acc, asg, cells_a, threshold=0.99,
+        )
+        # evolving the clustering without the rebuild is refused
+        with pytest.raises(ValueError, match="fingerprint"):
+            process_ingest_batch_semantic(
+                spark.createDataFrame([(3, vec(3))], schema),
+                2, acc, asg, cells_b, threshold=0.99,
+            )
+        rebuild_semantic_assignments(spark, acc, asg, cells_b)
+        # stored table now covers every accepted vector under cells_b
+        asgn = {
+            r["vec_id"]: r["_cell"]
+            for r in spark.read.parquet(asg).collect()
+        }
+        assert asgn == {0: 0, 1: 1, 2: 2}
+        assert os.path.isdir(asg + ".precompact")
+        # old cells now rejected, new cells accepted; stored dups still
+        # caught under the new clustering
+        with pytest.raises(ValueError, match="fingerprint"):
+            process_ingest_batch_semantic(
+                spark.createDataFrame([(3, vec(3))], schema),
+                2, acc, asg, cells_a, threshold=0.99,
+            )
+        process_ingest_batch_semantic(
+            spark.createDataFrame([(3, vec(3)), (4, vec(0, 1e-3))], schema),
+            2, acc, asg, cells_b, threshold=0.99,
+        )
+        ids = {
+            r["vec_id"] for r in spark.read.parquet(acc).select("vec_id").collect()
+        }
+        assert ids == {0, 1, 2, 3}  # 4 rejected as dup of stored 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_audit_ingest_index(spark, feed):
     """audit_ingest_index recomputes the derived index from the
     accepted corpus and diffs it against storage: clean after ingest,
