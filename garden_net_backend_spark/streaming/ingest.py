@@ -196,34 +196,17 @@ def cells_fingerprint(cells: DataFrame) -> str:
     ).hexdigest()
 
 
-def _enforce_cells_fingerprint(
-    spark: SparkSession, assign_dir: str, cells: DataFrame
-) -> None:
-    """First batch writes ``<assign_dir>/_cells_fingerprint``; every
-    later batch verifies and raises on mismatch — the frozen-cells
-    contract, enforced instead of honor-system."""
-    fp = cells_fingerprint(cells)
-    fp_path = assign_dir.rstrip("/") + "/_cells_fingerprint"
-    stored = _read_small_text(spark, fp_path)
-    if stored is None:
-        _write_small_text(spark, fp_path, fp)
-        return
-    if stored.strip() != fp:
-        raise ValueError(
-            "semantic ingest: the cells frame does not match the centroids "
-            f"the stored assignments in {assign_dir!r} were built with "
-            f"(stored fingerprint {stored.strip()[:16]}…, got {fp[:16]}…). "
-            "A re-clustered centroid frame silently invalidates every "
-            "stored assignment — re-cluster means re-ingest (rebuild "
-            "assign_dir from the accepted corpus with the new cells)."
-        )
-
-
 def _was_compacted(stored: DataFrame | None, batch_id: int) -> bool:
     """True iff this batch's rows were already folded into the
-    compacted partition — the batch is committed and durably present,
-    so a re-drive must be a no-op (re-deciding against an index that
-    contains its own rows would reject every doc as a stored dup)."""
+    compacted partition of ``stored`` — the batch is committed and
+    durably present, so a re-drive must be a no-op (re-deciding
+    against an index that contains its own rows would reject — or, on
+    the substring face, excise to empty — every one of its docs).
+    Callers must check EVERY output the batch writes (accepted corpus
+    AND its index): compaction is per-path, so a crash or an
+    index-first compaction order leaves states where only one side is
+    folded — and the folded INDEX side is exactly the self-match
+    hazard (review r10, confirmed by repro)."""
     if stored is None or "src_batch" not in stored.columns:
         return False
     return bool(
@@ -373,9 +356,15 @@ def process_ingest_batch(
         return df
 
     stored_docs = _prefix(accepted_dir)
-    if _was_compacted(stored_docs, batch_id):
-        return
     stored_bands = _prefix(index_dir)
+    # no-op a re-driven batch if EITHER output already holds its rows
+    # compacted: with only the index folded, the ingest_batch filter no
+    # longer excludes the batch's own bands and every doc would
+    # self-match as a "stored" dup (review r10)
+    if _was_compacted(stored_docs, batch_id) or _was_compacted(
+        stored_bands, batch_id
+    ):
+        return
     t0 = time.time()
     new = batch.select(id_col, text_col).persist()
     try:
@@ -509,9 +498,14 @@ def process_ingest_batch_substring(
         return df
 
     stored_acc = _prefix(accepted_dir)
-    if _was_compacted(stored_acc, batch_id):
-        return
     stored_idx = _prefix(index_dir)
+    # either-side check: an index-compacted replay would read its own
+    # windows as "in corpus" and durably excise every doc's accepted
+    # text to empty (review r10 — confirmed by repro)
+    if _was_compacted(stored_acc, batch_id) or _was_compacted(
+        stored_idx, batch_id
+    ):
+        return
     t0 = time.time()
     new = batch.select(id_col, text_col).persist()
     try:
@@ -657,8 +651,16 @@ def compact_ingest_index(
         )
     base = path.rstrip("/")
     tmp = base + ".compact.tmp"
-    # fewer, larger files: one file per surviving partition value
-    writer = compacted.repartition(*[F.col(c) for c in part_cols])
+    # repartition by full row content, NOT by the partition columns:
+    # post-withColumn ingest_batch is the constant -1, so hashing on
+    # part_cols alone funnels the whole corpus into one task (or ≤|band
+    # values| tasks) — a single-writer OOM/straggler at scale (review
+    # r10). Content-hashing keeps every core writing; files per
+    # partition dir ≤ parallelism, still a huge cut from one file per
+    # (batch × dir).
+    nparts = max(1, spark.sparkContext.defaultParallelism)
+    key_cols = [F.col(c) for c in compacted.columns if c != "ingest_batch"]
+    writer = compacted.repartition(nparts, *key_cols)
     writer.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
     _swap_live(spark, base, tmp, keep_backup, copy_sidecars=True)
     return path
@@ -683,6 +685,23 @@ def _swap_live(
     jvm = spark._jvm
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
     backup_p = jvm.org.apache.hadoop.fs.Path(base + ".precompact")
+    marker_pre = jvm.org.apache.hadoop.fs.Path(base + ".compacting")
+    # a RETRY after a mid-swap crash must not proceed: the live dir may
+    # be missing and `.precompact` may be the ONLY surviving copy —
+    # deleting it below would destroy exactly the data the recovery
+    # message points at (review r10). Recover by hand first.
+    if fs.exists(marker_pre):
+        raise RuntimeError(
+            f"_swap_live: {base + '.compacting'!r} exists — a previous "
+            "swap is in progress or crashed mid-rename. Restore "
+            f"{base!r} (from .precompact or .compact.tmp), delete the "
+            "marker, then retry."
+        )
+    if not fs.exists(live_p):
+        raise RuntimeError(
+            f"_swap_live: live dir {base!r} is missing — refusing to "
+            "touch the .precompact backup; restore the live dir first."
+        )
     if copy_sidecars:
         for st in fs.listStatus(live_p):
             name = st.getPath().getName()
@@ -756,8 +775,11 @@ def rebuild_semantic_assignments(
     )
     base = assign_dir.rstrip("/")
     tmp = base + ".compact.tmp"
+    nparts = max(1, spark.sparkContext.defaultParallelism)
     (
-        rows.repartition(F.col("ingest_batch"), F.col("_cell"))
+        # hash on (_cell, id): full parallelism (ingest_batch is the
+        # constant -1; _cell alone = one task per cell)
+        rows.repartition(nparts, F.col("_cell"), F.col(id_col))
         .write.mode("overwrite")
         .partitionBy("ingest_batch", "_cell")
         .parquet(tmp)
@@ -953,10 +975,14 @@ def process_ingest_batch_semantic(
     (id, cell) ASSIGNMENT table as the index — the shape
     ``ivf_build_index`` persists, partitioned by cell so the shard's
     probe partition-prunes. ``cells`` must be the same frozen centroid
-    frame across all batches — ENFORCED: the first batch persists
-    ``<assign_dir>/_cells_fingerprint`` and every later batch raises
-    on mismatch (re-cluster = re-ingest; a silently different frame
-    would corrupt every stored assignment).
+    frame across all batches — ENFORCED: every batch verifies
+    ``<assign_dir>/_cells_fingerprint`` and raises on mismatch
+    (re-cluster = re-ingest, via :func:`rebuild_semantic_assignments`;
+    a silently different frame would corrupt every stored assignment).
+    The fingerprint is STAMPED only after a batch's writes succeed, so
+    a failed first batch never pins its cells frame, and the stamp
+    happens after the ``.compacting``-marker probe so a crashed swap
+    is never papered over by re-creating the live dir (review r10).
 
     Same idempotency contract: decisions replay against the pre-batch
     prefix, writes are dynamic partition overwrites keyed by
@@ -974,7 +1000,6 @@ def process_ingest_batch_semantic(
             f"{COMPACTED_BATCH_ID} is reserved for compacted partitions"
         )
     spark = batch.sparkSession
-    _enforce_cells_fingerprint(spark, assign_dir, cells)
 
     def _prefix(path: str) -> DataFrame | None:
         df = _read_if_exists(spark, path)
@@ -982,10 +1007,29 @@ def process_ingest_batch_semantic(
             df = df.filter(F.col("ingest_batch") != batch_id)
         return df
 
+    # prefix reads FIRST: _read_if_exists raises on a .compacting
+    # marker, so the fingerprint logic below can never run against (or
+    # re-create) a mid-swap assign_dir
     stored_docs = _prefix(accepted_dir)
-    if _was_compacted(stored_docs, batch_id):
-        return
     stored_assign = _prefix(assign_dir)
+    # verify-only here; the stamp moves to after the writes (a failed
+    # first batch must not pin its cells frame on an empty table)
+    fp = cells_fingerprint(cells)
+    fp_path = assign_dir.rstrip("/") + "/_cells_fingerprint"
+    stored_fp = _read_small_text(spark, fp_path)
+    if stored_fp is not None and stored_fp.strip() != fp:
+        raise ValueError(
+            "semantic ingest: the cells frame does not match the centroids "
+            f"the stored assignments in {assign_dir!r} were built with "
+            f"(stored fingerprint {stored_fp.strip()[:16]}…, got {fp[:16]}…). "
+            "A re-clustered centroid frame silently invalidates every "
+            "stored assignment — re-cluster means re-ingest "
+            "(rebuild_semantic_assignments)."
+        )
+    if _was_compacted(stored_docs, batch_id) or _was_compacted(
+        stored_assign, batch_id
+    ):
+        return
     t0 = time.time()
     new = batch.select(id_col, vec_col).persist()
     try:
@@ -1042,6 +1086,11 @@ def process_ingest_batch_semantic(
             .partitionBy("ingest_batch", "_cell")
             .parquet(assign_dir)
         )
+        # stamp only once the batch's data is durably written (a
+        # failed first batch must not pin a cells frame); re-stamping
+        # the same fp on replay is a no-op overwrite
+        if stored_fp is None:
+            _write_small_text(spark, fp_path, fp)
         if metrics:
             t2 = time.time()
             _write_batch_metrics(

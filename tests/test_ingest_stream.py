@@ -258,6 +258,146 @@ def test_ingest_compaction_preserves_decisions_and_noops_replay(spark, feed):
         shutil.rmtree(w_comp, ignore_errors=True)
 
 
+def test_index_only_compaction_replay_is_noop(spark, feed):
+    """Review r10 (confirmed by repro): with only the INDEX compacted
+    (crash between the two per-path compactions, or the drill's
+    index-first order), a re-driven batch used to decide against an
+    index containing its own rows — self-rejecting every doc (MinHash)
+    or durably excising its accepted text to empty (substring), and
+    overwriting its metrics row with n_accepted=0. The either-side
+    no-op guard must catch this state."""
+    from garden_net_backend_spark.operators.dedup import excise_duplicate_spans
+    from garden_net_backend_spark.streaming.ingest import (
+        compact_ingest_index,
+        process_ingest_batch_substring,
+    )
+
+    docs = spark.read.schema("doc_id long, text string, source string").json(feed)
+    f0 = docs.filter(F.col("doc_id") < 2)
+    f1 = docs.filter(F.col("doc_id").between(2, 4))
+    # --- MinHash face
+    work = tempfile.mkdtemp(prefix="halfcompact_mh_")
+    acc, idx = f"{work}/acc", f"{work}/idx"
+    try:
+        process_ingest_batch(f0, 0, acc, idx, **KW)
+        process_ingest_batch(f1, 1, acc, idx, **KW)
+        compact_ingest_index(spark, idx)  # index ONLY
+        before = sorted(
+            r["doc_id"] for r in spark.read.parquet(acc).select("doc_id").collect()
+        )
+        process_ingest_batch(f1, 1, acc, idx, **KW)  # re-drive
+        after_df = spark.read.parquet(acc)
+        assert sorted(r["doc_id"] for r in after_df.select("doc_id").collect()) == before
+        m = {
+            r["ingest_batch"]: r
+            for r in spark.read.parquet(acc + "_metrics").collect()
+        }
+        assert m[1]["n_accepted"] == 1  # NOT overwritten with 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    # --- substring face (the durable-corruption case)
+    work = tempfile.mkdtemp(prefix="halfcompact_sub_")
+    acc, idx = f"{work}/acc", f"{work}/idx"
+    try:
+        skw = dict(min_tokens=5, seed=7)
+        truth = {
+            r["doc_id"]: r["clean_text"]
+            for r in excise_duplicate_spans(
+                docs.filter(F.col("doc_id") < 5).select("doc_id", "text"), **skw
+            ).collect()
+        }
+        process_ingest_batch_substring(f0, 0, acc, idx, **skw)
+        process_ingest_batch_substring(f1, 1, acc, idx, **skw)
+        compact_ingest_index(spark, idx)  # index ONLY
+        process_ingest_batch_substring(f1, 1, acc, idx, **skw)  # re-drive
+        got = {
+            r["doc_id"]: r["clean_text"]
+            for r in spark.read.parquet(acc).select("doc_id", "clean_text").collect()
+        }
+        assert got == truth  # text intact, nothing excised to empty
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_swap_retry_after_crash_preserves_backup(spark):
+    """Review r10: retrying a swap after a mid-rename crash must
+    refuse immediately — the old behavior deleted .precompact (the
+    only surviving copy) before failing on the missing live dir."""
+    import numpy as np
+
+    from garden_net_backend_spark.streaming.ingest import (
+        process_ingest_batch_semantic,
+        rebuild_semantic_assignments,
+    )
+
+    rng = np.random.default_rng(43)
+    v = rng.standard_normal(8)
+    v /= np.linalg.norm(v)
+    cells = spark.createDataFrame(
+        [(0, v.tolist())], "cell_id long, centroid array<float>"
+    )
+    work = tempfile.mkdtemp(prefix="swapretry_")
+    acc, asg = f"{work}/acc", f"{work}/asg"
+    try:
+        process_ingest_batch_semantic(
+            spark.createDataFrame(
+                [(0, v.tolist())], "vec_id long, embedding array<float>"
+            ),
+            0, acc, asg, cells, threshold=0.99,
+        )
+        # simulate the crash window: live gone, backup is the only copy
+        os.rename(asg, asg + ".precompact")
+        open(asg + ".compacting", "w").close()
+        with pytest.raises(RuntimeError, match="compacting"):
+            rebuild_semantic_assignments(spark, acc, asg, cells)
+        assert os.path.isdir(asg + ".precompact")  # backup untouched
+        # the semantic batch processor also fails loudly in this state
+        # instead of re-creating the live dir via a fingerprint stamp
+        with pytest.raises(RuntimeError, match="compaction marker"):
+            process_ingest_batch_semantic(
+                spark.createDataFrame(
+                    [(1, v.tolist())], "vec_id long, embedding array<float>"
+                ),
+                1, acc, asg, cells, threshold=0.99,
+            )
+        assert not os.path.exists(asg)  # nothing recreated the live dir
+        # documented recovery: restore live, drop marker, retry works
+        os.rename(asg + ".precompact", asg)
+        os.remove(asg + ".compacting")
+        rebuild_semantic_assignments(spark, acc, asg, cells)
+        assert {
+            r["vec_id"] for r in spark.read.parquet(asg).collect()
+        } == {0}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_compaction_write_parallelism(spark):
+    """Review r10: compaction must not funnel the corpus through one
+    task — the compacted partition should hold multiple files (content
+    hashing), not the single file a constant-key repartition yields."""
+    from garden_net_backend_spark.streaming.ingest import compact_ingest_index
+
+    work = tempfile.mkdtemp(prefix="compactpar_")
+    path = f"{work}/acc"
+    try:
+        rows = [(i, f"doc {i}", i % 3, i % 3) for i in range(64)]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, src_batch int, ingest_batch int"
+        ).write.partitionBy("ingest_batch").parquet(path)
+        compact_ingest_index(spark, path)
+        got = spark.read.parquet(path)
+        assert got.count() == 64
+        assert {r["ingest_batch"] for r in got.select("ingest_batch").distinct().collect()} == {-1}
+        files = [
+            f for f in os.listdir(f"{path}/ingest_batch=-1")
+            if f.endswith(".parquet")
+        ]
+        assert len(files) >= 2, files
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_rebuild_semantic_assignments_recluster_path(spark):
     """'Re-cluster = re-ingest' has a sanctioned tool: after
     rebuild_semantic_assignments the NEW cells frame passes the
