@@ -761,6 +761,19 @@ def rebuild_semantic_assignments(
     ``<assign_dir>.precompact`` (``keep_backup=True``)."""
     from ..operators.similarity import _alias_cells, _assign_cells
 
+    # fail on a crashed-swap marker BEFORE the corpus-sized assignment
+    # scan below (_swap_live would catch it anyway, but after paying
+    # for the full recompute)
+    fs, _ = _hadoop_fs(spark, assign_dir)
+    marker = spark._jvm.org.apache.hadoop.fs.Path(
+        assign_dir.rstrip("/") + ".compacting"
+    )
+    if fs.exists(marker):
+        raise RuntimeError(
+            f"rebuild_semantic_assignments: {assign_dir.rstrip('/') + '.compacting'!r} "
+            "exists — recover the crashed swap first (restore the live "
+            "dir from .precompact/.compact.tmp, delete the marker)."
+        )
     accepted = _read_if_exists(spark, accepted_dir)
     if accepted is None:
         raise ValueError(
