@@ -1073,14 +1073,22 @@ def dedup_representatives(
         cos_c = "cell_cosine"
     else:
         others = [c for c in scores.columns if c != id_col]
-        if len(scores.columns) == 2 and len(others) == 1:
+        # the 2-column fallback must still refuse id-like columns:
+        # assign_nearest_cell WITHOUT with_cosine=True emits exactly
+        # (id, cell_id), and binding cell_id as the cosine re-creates
+        # the silent wrong-survivor bug in the 2-column shape
+        if (
+            len(scores.columns) == 2
+            and len(others) == 1
+            and others[0] not in ("cell_id", "centroid_id", "_cell")
+        ):
             cos_c = others[0]
         else:
             raise ValueError(
                 "far_from_centroid scores frame must carry a 'cell_cosine' "
                 f"column next to {id_col!r} (assign_nearest_cell(..., "
-                f"with_cosine=True) emits it) or be exactly (id, cosine); "
-                f"got columns {scores.columns}"
+                f"with_cosine=True) emits it) or be exactly (id, cosine) "
+                f"with a non-id-like value column; got {scores.columns}"
             )
     sc = scores.select(
         F.col(id_col).alias("node"), F.col(cos_c).alias("_cos")

@@ -188,8 +188,12 @@ def cells_fingerprint(cells: DataFrame) -> str:
     from ..operators.similarity import _alias_cells
 
     rows = _alias_cells(cells).select("_cell", "_cvec").collect()
+    # + 0.0 folds -0.0 to +0.0: round() preserves signed zero and
+    # json renders them differently, so ±1e-12 jitter across zero
+    # would otherwise flip the fingerprint (review r10 pass 2)
     canon = sorted(
-        (str(r["_cell"]), [round(float(x), 9) for x in r["_cvec"]]) for r in rows
+        (str(r["_cell"]), [round(float(x), 9) + 0.0 for x in r["_cvec"]])
+        for r in rows
     )
     return hashlib.sha256(
         json.dumps(canon, separators=(",", ":")).encode()
@@ -219,6 +223,28 @@ def _was_compacted(stored: DataFrame | None, batch_id: int) -> bool:
     )
 
 
+def _check_batch_id(batch_id: int) -> None:
+    """Shared guard for every ingest face (one definition — the next
+    replay-semantics fix must not be able to miss a face)."""
+    if batch_id < 0:
+        raise ValueError(
+            f"batch_id must be >= 0 (got {batch_id}); "
+            f"{COMPACTED_BATCH_ID} is reserved for compacted partitions"
+        )
+
+
+def _stored_prefix(
+    spark: SparkSession, path: str, batch_id: int
+) -> DataFrame | None:
+    """The stored prefix a (possibly replayed) batch decides against:
+    everything at ``path`` EXCEPT the batch's own (possibly
+    half-written) partition — shared by all three ingest faces."""
+    df = _read_if_exists(spark, path)
+    if df is not None and "ingest_batch" in df.columns:
+        df = df.filter(F.col("ingest_batch") != batch_id)
+    return df
+
+
 def _write_batch_metrics(
     spark: SparkSession,
     metrics_dir: str,
@@ -239,6 +265,7 @@ def _write_batch_metrics(
     row = [
         (
             int(batch_id),
+            int(batch_id),
             family,
             int(n_in),
             int(n_accepted),
@@ -248,10 +275,14 @@ def _write_batch_metrics(
             float(round(write_sec, 3)),
         )
     ]
+    # src_batch mirrors the data dirs: the metrics dir is itself an
+    # ingest output that accumulates one partition per batch, so it is
+    # compactable with compact_ingest_index — and after folding, the
+    # batch id must survive as a data column
     schema = (
-        "ingest_batch long, family string, n_in long, n_accepted long, "
-        "n_rejected long, stored_prefix boolean, decide_sec double, "
-        "write_sec double"
+        "ingest_batch long, src_batch long, family string, n_in long, "
+        "n_accepted long, n_rejected long, stored_prefix boolean, "
+        "decide_sec double, write_sec double"
     )
     (
         spark.createDataFrame(row, schema)
@@ -341,22 +372,10 @@ def process_ingest_batch(
         minhash_signatures,
     )
 
-    if batch_id < 0:
-        raise ValueError(
-            f"batch_id must be >= 0 (got {batch_id}); "
-            f"{COMPACTED_BATCH_ID} is reserved for compacted partitions"
-        )
+    _check_batch_id(batch_id)
     spark = batch.sparkSession
-    # a replayed batch must decide against the same stored prefix it
-    # saw originally — exclude its own (possibly half-written) partition
-    def _prefix(path: str) -> DataFrame | None:
-        df = _read_if_exists(spark, path)
-        if df is not None and "ingest_batch" in df.columns:
-            df = df.filter(F.col("ingest_batch") != batch_id)
-        return df
-
-    stored_docs = _prefix(accepted_dir)
-    stored_bands = _prefix(index_dir)
+    stored_docs = _stored_prefix(spark, accepted_dir, batch_id)
+    stored_bands = _stored_prefix(spark, index_dir, batch_id)
     # no-op a re-driven batch if EITHER output already holds its rows
     # compacted: with only the index folded, the ingest_batch filter no
     # longer excludes the batch's own bands and every doc would
@@ -484,21 +503,11 @@ def process_ingest_batch_substring(
         window_index,
     )
 
-    if batch_id < 0:
-        raise ValueError(
-            f"batch_id must be >= 0 (got {batch_id}); "
-            f"{COMPACTED_BATCH_ID} is reserved for compacted partitions"
-        )
+    _check_batch_id(batch_id)
     spark = batch.sparkSession
 
-    def _prefix(path: str) -> DataFrame | None:
-        df = _read_if_exists(spark, path)
-        if df is not None and "ingest_batch" in df.columns:
-            df = df.filter(F.col("ingest_batch") != batch_id)
-        return df
-
-    stored_acc = _prefix(accepted_dir)
-    stored_idx = _prefix(index_dir)
+    stored_acc = _stored_prefix(spark, accepted_dir, batch_id)
+    stored_idx = _stored_prefix(spark, index_dir, batch_id)
     # either-side check: an index-compacted replay would read its own
     # windows as "in corpus" and durably excise every doc's accepted
     # text to empty (review r10 — confirmed by repro)
@@ -606,9 +615,11 @@ def compact_ingest_index(
     spark: SparkSession, path: str, keep_backup: bool = True
 ) -> str:
     """Fold the per-batch ``ingest_batch=<id>`` partitions of an ingest
-    output (accepted corpus, banded MinHash index, or semantic
-    assignment table) into the single reserved ``ingest_batch=-1``
-    partition, preserving any inner layout key (``band`` / ``_cell``)
+    output (accepted corpus, banded MinHash index, semantic assignment
+    table, substring window index, or the ``<accepted>_metrics``
+    observability dir — anything the loop writes) into the single
+    reserved ``ingest_batch=-1`` partition, preserving any inner
+    layout key (``band`` / ``_cell`` / ``wbucket``)
     as the surviving sub-partitioning — so the pruning that makes the
     per-batch probe shard-sized stays intact after 10⁴–10⁵ batches
     instead of drowning in per-batch partition × small-file explosion
@@ -780,10 +791,23 @@ def rebuild_semantic_assignments(
             f"rebuild_semantic_assignments: no accepted corpus at "
             f"{accepted_dir!r}"
         )
-    rows = _assign_cells(
+    assigned = _assign_cells(
         accepted.select(id_col, vec_col), _alias_cells(cells),
         id_col, vec_col, assign,
-    ).withColumn("src_batch", F.lit(COMPACTED_BATCH_ID)).withColumn(
+    )
+    # carry the REAL src_batch from the accepted rows (flattening it to
+    # -1 would blind _was_compacted: an uncommitted batch re-driven
+    # after a rebuild would re-write its assign partition on top of the
+    # rebuilt rows — durable duplicates; review r10 pass 2). Pre-r10
+    # corpora without the column degrade to the compacted sentinel.
+    src = (
+        accepted.select(id_col, "src_batch")
+        if "src_batch" in accepted.columns
+        else accepted.select(
+            id_col, F.lit(COMPACTED_BATCH_ID).alias("src_batch")
+        )
+    )
+    rows = assigned.join(src, id_col).withColumn(
         "ingest_batch", F.lit(COMPACTED_BATCH_ID)
     )
     base = assign_dir.rstrip("/")
@@ -1007,24 +1031,14 @@ def process_ingest_batch_semantic(
         semantic_dedup_incremental,
     )
 
-    if batch_id < 0:
-        raise ValueError(
-            f"batch_id must be >= 0 (got {batch_id}); "
-            f"{COMPACTED_BATCH_ID} is reserved for compacted partitions"
-        )
+    _check_batch_id(batch_id)
     spark = batch.sparkSession
 
-    def _prefix(path: str) -> DataFrame | None:
-        df = _read_if_exists(spark, path)
-        if df is not None and "ingest_batch" in df.columns:
-            df = df.filter(F.col("ingest_batch") != batch_id)
-        return df
-
-    # prefix reads FIRST: _read_if_exists raises on a .compacting
+    # prefix reads FIRST: _stored_prefix raises on a .compacting
     # marker, so the fingerprint logic below can never run against (or
     # re-create) a mid-swap assign_dir
-    stored_docs = _prefix(accepted_dir)
-    stored_assign = _prefix(assign_dir)
+    stored_docs = _stored_prefix(spark, accepted_dir, batch_id)
+    stored_assign = _stored_prefix(spark, assign_dir, batch_id)
     # verify-only here; the stamp moves to after the writes (a failed
     # first batch must not pin its cells frame on an empty table)
     fp = cells_fingerprint(cells)
@@ -1038,6 +1052,19 @@ def process_ingest_batch_semantic(
             "A re-clustered centroid frame silently invalidates every "
             "stored assignment — re-cluster means re-ingest "
             "(rebuild_semantic_assignments)."
+        )
+    if stored_fp is None and stored_assign is not None:
+        # a populated table with no sidecar (pre-fingerprint data, or a
+        # deleted sidecar) has UNKNOWN provenance: stamping the current
+        # frame would bless whatever the caller happens to pass and
+        # silence the guard forever (review r10 pass 2 — the audit's
+        # verify-only rule, applied to the ingest path too)
+        raise ValueError(
+            f"semantic ingest: {assign_dir!r} holds assignments but no "
+            "_cells_fingerprint — cannot verify the cells frame matches "
+            "them. Adopt a frame explicitly with "
+            "rebuild_semantic_assignments (re-derives the table AND "
+            "stamps its fingerprint)."
         )
     if _was_compacted(stored_docs, batch_id) or _was_compacted(
         stored_assign, batch_id

@@ -468,8 +468,80 @@ def test_rebuild_semantic_assignments_recluster_path(spark):
             r["vec_id"] for r in spark.read.parquet(acc).select("vec_id").collect()
         }
         assert ids == {0, 1, 2, 3}  # 4 rejected as dup of stored 0
+        # review r10 pass 2: the rebuild carries the REAL src_batch
+        # (flattening to -1 blinded the no-op guard), so a re-driven
+        # pre-rebuild batch no-ops instead of writing duplicate
+        # assignment rows on top of the rebuilt table
+        asg_df = spark.read.parquet(asg)
+        per_id = asg_df.groupBy("vec_id").count().filter(F.col("count") > 1)
+        assert per_id.count() == 0
+        src = {
+            r["vec_id"]: r["src_batch"] for r in asg_df.collect()
+        }
+        assert src[0] == 0 and src[1] == 0 and src[2] == 1
+        before = sorted(r["vec_id"] for r in asg_df.select("vec_id").collect())
+        process_ingest_batch_semantic(
+            spark.createDataFrame([(2, vec(2))], schema),
+            1, acc, asg, cells_b, threshold=0.99,
+        )
+        asg_df2 = spark.read.parquet(asg)
+        assert sorted(r["vec_id"] for r in asg_df2.select("vec_id").collect()) == before
+        assert asg_df2.groupBy("vec_id").count().filter(F.col("count") > 1).count() == 0
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_missing_fingerprint_on_populated_table_raises(spark):
+    """Review r10 pass 2: a populated assignment table with no
+    fingerprint sidecar (pre-fingerprint data, deleted sidecar) has
+    unknown provenance — the loop must refuse to silently bless
+    whatever cells frame the caller passes."""
+    import numpy as np
+
+    from garden_net_backend_spark.streaming.ingest import (
+        process_ingest_batch_semantic,
+    )
+
+    rng = np.random.default_rng(47)
+    v = rng.standard_normal(8)
+    v /= np.linalg.norm(v)
+    cells = spark.createDataFrame(
+        [(0, v.tolist())], "cell_id long, centroid array<float>"
+    )
+    work = tempfile.mkdtemp(prefix="nofp_")
+    acc, asg = f"{work}/acc", f"{work}/asg"
+    try:
+        process_ingest_batch_semantic(
+            spark.createDataFrame(
+                [(0, v.tolist())], "vec_id long, embedding array<float>"
+            ),
+            0, acc, asg, cells, threshold=0.99,
+        )
+        os.remove(f"{asg}/_cells_fingerprint")
+        with pytest.raises(ValueError, match="no\\s+_cells_fingerprint"):
+            process_ingest_batch_semantic(
+                spark.createDataFrame(
+                    [(1, v.tolist())], "vec_id long, embedding array<float>"
+                ),
+                1, acc, asg, cells, threshold=0.99,
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_cells_fingerprint_signed_zero_stable(spark):
+    """Review r10 pass 2: ±1e-12 reduction jitter across zero must not
+    flip the fingerprint (round() preserves -0.0 and json renders it
+    differently)."""
+    from garden_net_backend_spark.streaming.ingest import cells_fingerprint
+
+    a = spark.createDataFrame(
+        [(0, [0.0, 1.0])], "cell_id long, centroid array<double>"
+    )
+    b = spark.createDataFrame(
+        [(0, [-1e-12, 1.0])], "cell_id long, centroid array<double>"
+    )
+    assert cells_fingerprint(a) == cells_fingerprint(b)
 
 
 def test_audit_ingest_index(spark, feed):

@@ -844,6 +844,18 @@ def test_dedup_representatives_keep_policy_far_from_centroid(spark):
             keep_policy="far_from_centroid",
             scores=raw3.withColumnRenamed("cell_cosine", "mystery"),
         )
+    # the 2-column fallback must also refuse id-like value columns:
+    # assign_nearest_cell WITHOUT with_cosine emits exactly
+    # (id, cell_id) — binding cell_id as the cosine is the same silent
+    # wrong-survivor bug in 2-column shape (review r10 pass 2)
+    with _pt.raises(ValueError):
+        dedup_representatives(
+            docs,
+            pairs,
+            id_col="vec_id",
+            keep_policy="far_from_centroid",
+            scores=assign_nearest_cell(df, seeds),
+        )
 
 
 def test_dedup_representatives_partial_scores_keep_all_docs(spark):
