@@ -1069,18 +1069,25 @@ def dedup_representatives(
     # positional columns[1] silently picked cell_id off that 3-column
     # frame and chose survivors by cell id (advisor r9). Fallback to
     # the lone non-id column only for an exactly-2-column frame.
+    from pyspark.sql.types import DecimalType, DoubleType, FloatType
+
     if "cell_cosine" in scores.columns:
         cos_c = "cell_cosine"
     else:
         others = [c for c in scores.columns if c != id_col]
-        # the 2-column fallback must still refuse id-like columns:
-        # assign_nearest_cell WITHOUT with_cosine=True emits exactly
-        # (id, cell_id), and binding cell_id as the cosine re-creates
-        # the silent wrong-survivor bug in the 2-column shape
+        # positive check, not a name blacklist: the 2-column fallback
+        # binds the value column as the cosine only if it is FRACTIONAL
+        # — cell/centroid ids are integral (or string), so
+        # assign_nearest_cell output without with_cosine=True is
+        # rejected under ANY cell_id_col spelling instead of silently
+        # ranking survivors by cell id (review r10)
         if (
             len(scores.columns) == 2
             and len(others) == 1
-            and others[0] not in ("cell_id", "centroid_id", "_cell")
+            and isinstance(
+                scores.schema[others[0]].dataType,
+                (FloatType, DoubleType, DecimalType),
+            )
         ):
             cos_c = others[0]
         else:
@@ -1088,7 +1095,8 @@ def dedup_representatives(
                 "far_from_centroid scores frame must carry a 'cell_cosine' "
                 f"column next to {id_col!r} (assign_nearest_cell(..., "
                 f"with_cosine=True) emits it) or be exactly (id, cosine) "
-                f"with a non-id-like value column; got {scores.columns}"
+                f"with a fractional-typed value column; got "
+                f"{[(f.name, f.dataType.simpleString()) for f in scores.schema.fields]}"
             )
     sc = scores.select(
         F.col(id_col).alias("node"), F.col(cos_c).alias("_cos")

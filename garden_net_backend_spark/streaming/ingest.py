@@ -101,6 +101,26 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, jpath
 
 
+def _check_compacting_marker(spark: SparkSession, path: str) -> None:
+    """Raise if ``<path>.compacting`` exists — a _swap_live swap is in
+    progress or crashed mid-rename. One definition for every probe
+    site: the live dir may be missing mid-swap, so reading "absent" as
+    "no corpus yet" would silently accept every stored duplicate.
+    Recovery: restore ``path`` from ``.precompact`` / ``.compact.tmp``,
+    delete the marker, retry."""
+    fs, _ = _hadoop_fs(spark, path)
+    marker = spark._jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + ".compacting"
+    )
+    if fs.exists(marker):
+        raise RuntimeError(
+            f"ingest: compaction marker {path.rstrip('/') + '.compacting'!r} "
+            f"exists — a swap of {path!r} is in progress or crashed "
+            "mid-rename. Restore the live dir (from .precompact / "
+            ".compact.tmp), delete the marker, then retry."
+        )
+
+
 def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
     """Parquet read that treats a missing/empty prefix as 'no corpus
     yet' (first batch). Existence and emptiness are decided through
@@ -112,23 +132,8 @@ def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
     corpus must FAIL the batch (foreachBatch retries it) — silently
     deciding against an 'empty' prefix would accept duplicates of
     everything stored."""
+    _check_compacting_marker(spark, path)
     fs, jpath = _hadoop_fs(spark, path)
-    # a compaction crashed mid-swap (or is racing us): the live dir may
-    # be mid-rename, so "missing" here does NOT mean "no corpus yet" —
-    # reading it as first-batch would silently accept every stored
-    # duplicate. Fail the batch loudly; the operator finishes or rolls
-    # back the swap (see compact_ingest_index) and retries.
-    marker = spark._jvm.org.apache.hadoop.fs.Path(
-        path.rstrip("/") + ".compacting"
-    )
-    if fs.exists(marker):
-        raise RuntimeError(
-            f"ingest: compaction marker {path.rstrip('/') + '.compacting'!r} "
-            "exists — a compact_ingest_index swap is in progress or "
-            "crashed mid-swap. Finish or roll back the swap (restore "
-            f"{path!r} from .precompact / .compact.tmp, then delete the "
-            "marker) before ingesting."
-        )
     if not fs.exists(jpath):
         return None
     # data present iff any non-hidden child (partition dirs like
@@ -183,8 +188,11 @@ def cells_fingerprint(cells: DataFrame) -> str:
     ``cells`` frame does not match (a re-clustered frame silently
     invalidates every stored assignment; judge r9 task 3). Rounding
     absorbs float32→float64 repr jitter without masking any real
-    re-clustering. The centroid frame is broadcast-sized by contract
-    (k·dim values), so the collect here is driver-cheap."""
+    re-clustering. The digest is NOT versioned: it lives and dies with
+    the assignment table it stamps — if the canonicalization ever
+    changes, adopt existing tables via rebuild_semantic_assignments.
+    The centroid frame is broadcast-sized by contract (k·dim values),
+    so the collect here is driver-cheap."""
     from ..operators.similarity import _alias_cells
 
     rows = _alias_cells(cells).select("_cell", "_cvec").collect()
@@ -696,18 +704,11 @@ def _swap_live(
     jvm = spark._jvm
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
     backup_p = jvm.org.apache.hadoop.fs.Path(base + ".precompact")
-    marker_pre = jvm.org.apache.hadoop.fs.Path(base + ".compacting")
     # a RETRY after a mid-swap crash must not proceed: the live dir may
     # be missing and `.precompact` may be the ONLY surviving copy —
     # deleting it below would destroy exactly the data the recovery
     # message points at (review r10). Recover by hand first.
-    if fs.exists(marker_pre):
-        raise RuntimeError(
-            f"_swap_live: {base + '.compacting'!r} exists — a previous "
-            "swap is in progress or crashed mid-rename. Restore "
-            f"{base!r} (from .precompact or .compact.tmp), delete the "
-            "marker, then retry."
-        )
+    _check_compacting_marker(spark, base)
     if not fs.exists(live_p):
         raise RuntimeError(
             f"_swap_live: live dir {base!r} is missing — refusing to "
@@ -775,16 +776,7 @@ def rebuild_semantic_assignments(
     # fail on a crashed-swap marker BEFORE the corpus-sized assignment
     # scan below (_swap_live would catch it anyway, but after paying
     # for the full recompute)
-    fs, _ = _hadoop_fs(spark, assign_dir)
-    marker = spark._jvm.org.apache.hadoop.fs.Path(
-        assign_dir.rstrip("/") + ".compacting"
-    )
-    if fs.exists(marker):
-        raise RuntimeError(
-            f"rebuild_semantic_assignments: {assign_dir.rstrip('/') + '.compacting'!r} "
-            "exists — recover the crashed swap first (restore the live "
-            "dir from .precompact/.compact.tmp, delete the marker)."
-        )
+    _check_compacting_marker(spark, assign_dir)
     accepted = _read_if_exists(spark, accepted_dir)
     if accepted is None:
         raise ValueError(
@@ -1053,7 +1045,15 @@ def process_ingest_batch_semantic(
             "stored assignment — re-cluster means re-ingest "
             "(rebuild_semantic_assignments)."
         )
-    if stored_fp is None and stored_assign is not None:
+    if (
+        stored_fp is None
+        and stored_assign is not None
+        # non-EMPTINESS, not non-None-ness: a first batch that crashed
+        # between its assign write and the stamp leaves a dir whose
+        # only rows are its own (excluded) partition — that replay must
+        # reprocess and stamp, not brick (review r10 pass 3)
+        and bool(stored_assign.limit(1).take(1))
+    ):
         # a populated table with no sidecar (pre-fingerprint data, or a
         # deleted sidecar) has UNKNOWN provenance: stamping the current
         # frame would bless whatever the caller happens to pass and

@@ -525,6 +525,29 @@ def test_missing_fingerprint_on_populated_table_raises(spark):
                 ),
                 1, acc, asg, cells, threshold=0.99,
             )
+        # …but a REPLAY of the batch whose own rows are the only data
+        # (first batch crashed between assign write and stamp) must
+        # reprocess and re-stamp, not brick: the guard checks
+        # non-emptiness AFTER excluding the batch's own partition
+        # (review r10 pass 3)
+        process_ingest_batch_semantic(
+            spark.createDataFrame(
+                [(0, v.tolist())], "vec_id long, embedding array<float>"
+            ),
+            0, acc, asg, cells, threshold=0.99,
+        )
+        assert os.path.exists(f"{asg}/_cells_fingerprint")
+        # and with the sidecar restored, the next batch proceeds
+        process_ingest_batch_semantic(
+            spark.createDataFrame(
+                [(1, v.tolist())], "vec_id long, embedding array<float>"
+            ),
+            1, acc, asg, cells, threshold=0.99,
+        )
+        ids = {
+            r["vec_id"] for r in spark.read.parquet(acc).select("vec_id").collect()
+        }
+        assert ids == {0}  # 1 is a dup of stored 0 → rejected
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
