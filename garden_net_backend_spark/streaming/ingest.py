@@ -2,8 +2,10 @@
 extension): the streaming face of the incremental dedup family —
 all three families: MinHash (:func:`process_ingest_batch`), substring
 span-excision (:func:`process_ingest_batch_substring`) and semantic
-(:func:`process_ingest_batch_semantic`), each over its own stored,
-partition-prunable index.
+(:func:`process_ingest_batch_semantic`), each over its own stored
+index — band/cell-partition-pruned for MinHash/semantic,
+broadcast-semi-join-pruned for substring (window hashes scatter, so
+no content-based partition pruning is possible there).
 
 A crawl feed lands as files; each micro-batch is near-dup-checked
 against BOTH itself and everything accepted so far, survivors are
@@ -116,12 +118,16 @@ def _check_compacting_marker(spark: SparkSession, path: str) -> None:
         raise RuntimeError(
             f"ingest: compaction marker {path.rstrip('/') + '.compacting'!r} "
             f"exists — a swap of {path!r} is in progress or crashed "
-            "mid-rename. Restore the live dir (from .precompact / "
-            ".compact.tmp), delete the marker, then retry."
+            "mid-rename. Run recover_ingest_swap(spark, path): it "
+            "clears the marker when the live dir is intact (the swap "
+            "never started — no backup is needed for that case) and "
+            "restores from .precompact when the live dir is missing."
         )
 
 
-def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+def _read_if_exists(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame | None:
     """Parquet read that treats a missing/empty prefix as 'no corpus
     yet' (first batch). Existence and emptiness are decided through
     the Hadoop FileSystem abstraction, so s3a://hdfs://abfs:// paths
@@ -131,7 +137,17 @@ def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
     errors: a transient failure probing or reading the accepted
     corpus must FAIL the batch (foreachBatch retries it) — silently
     deciding against an 'empty' prefix would accept duplicates of
-    everything stored."""
+    everything stored.
+
+    ``merge_schema``: pass True wherever the caller's CORRECTNESS
+    depends on seeing every column any partition carries (compaction,
+    rebuilds, the replay manifest) — default schema inference samples
+    one file, and on a mixed-era directory (pre-``src_batch``
+    partitions next to post-upgrade ones) it can pick an old file and
+    silently drop the provenance column (review r10). The per-batch
+    probes keep the cheap default: they only read columns every era
+    wrote, and footer-merging 10⁵ files per batch is the exact cost
+    the probe must not pay."""
     _check_compacting_marker(spark, path)
     fs, jpath = _hadoop_fs(spark, path)
     if not fs.exists(jpath):
@@ -145,7 +161,10 @@ def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
     )
     if not has_data:
         return None
-    return spark.read.parquet(path)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
 
 
 def _write_small_text(spark: SparkSession, path: str, content: str) -> None:
@@ -231,6 +250,94 @@ def _was_compacted(stored: DataFrame | None, batch_id: int) -> bool:
     )
 
 
+def _input_fingerprint(batch: DataFrame, id_col: str) -> str:
+    """Order-independent fingerprint of a batch's input id set —
+    ``"<count>:<xor of xxhash64(id)>"``. Written into the metrics row
+    as the batch's replay manifest: a re-driven batch must carry the
+    SAME inputs as the run that committed its rows, and this is how
+    :func:`_assert_true_replay` tells a genuine replay from a batch-id
+    collision (lost/recreated checkpoint, second campaign into the
+    same dirs) that would otherwise be silently discarded. XOR is
+    commutative (partitioning-independent) and the count catches the
+    xor's even-multiplicity blind spot; this is a tripwire against
+    operational accidents, not an adversarial MAC."""
+    row = batch.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64(F.col(id_col))).alias("x"),
+    ).collect()[0]
+    return f"{int(row['n'])}:{int(row['x'] or 0)}"
+
+
+def _assert_true_replay(
+    spark: SparkSession,
+    accepted_dir: str,
+    family: str,
+    batch_id: int,
+    batch: DataFrame,
+    id_col: str,
+    input_fp: str,
+) -> None:
+    """A batch whose rows are already folded into a compacted
+    partition is about to be NO-OPPED as a replay. Corroborate that it
+    IS a replay before discarding it: a batch-id collision (streaming
+    checkpoint lost and recreated, or a second ingest campaign pointed
+    at a compacted corpus) carries NEW documents under a used id, and
+    silently no-opping it is permanent whole-batch data loss with a
+    committed checkpoint entry (review r10).
+
+    Primary check: the metrics row the original run wrote carries the
+    input-id fingerprint — compare. Fallback (metrics disabled /
+    pre-manifest data): at least one of this batch's input ids must
+    appear among the stored rows claiming ``src_batch == batch_id``
+    (a true replay re-delivers the docs the original accepted; a
+    collision's fresh ids overlap nothing). Raises on evidence of
+    collision; returns to sanction the no-op."""
+    metrics_dir = accepted_dir.rstrip("/") + "_metrics"
+    m = _read_if_exists(spark, metrics_dir, merge_schema=True)
+    if m is not None and "input_fp" in m.columns:
+        rows = (
+            m.filter(
+                (F.col("src_batch") == batch_id) & (F.col("family") == family)
+            )
+            .select("input_fp")
+            .take(1)
+        )
+        if rows and rows[0][0] is not None:
+            if rows[0][0] != input_fp:
+                raise ValueError(
+                    f"ingest: batch {batch_id} is already compacted into "
+                    f"{accepted_dir!r} but its recorded input fingerprint "
+                    f"({rows[0][0]}) does not match this batch's "
+                    f"({input_fp}). This is a batch-id COLLISION (lost "
+                    "checkpoint or a second campaign into the same dirs), "
+                    "not a replay — no-opping it would silently discard "
+                    "the batch. Restart the stream with a fresh corpus/"
+                    "checkpoint, or backfill these docs under new ids."
+                )
+            return
+    # fallback: overlap of input ids with the rows the original batch
+    # durably wrote (any ingest_batch — the live partition also counts)
+    stored = _read_if_exists(spark, accepted_dir)
+    overlap = (
+        stored is not None
+        and "src_batch" in stored.columns
+        and bool(
+            stored.filter(F.col("src_batch") == batch_id)
+            .join(batch.select(F.col(id_col)), id_col, "left_semi")
+            .take(1)
+        )
+    )
+    if not overlap and batch.take(1):
+        raise ValueError(
+            f"ingest: batch {batch_id} is already compacted into "
+            f"{accepted_dir!r} (src_batch={batch_id} rows exist) but NONE "
+            "of this batch's input ids appear among them, and no metrics "
+            "manifest is available to verify a replay. Refusing to no-op "
+            "what looks like a batch-id collision — see the module "
+            "docstring's single-writer/checkpoint contract."
+        )
+
+
 def _check_batch_id(batch_id: int) -> None:
     """Shared guard for every ingest face (one definition — the next
     replay-semantics fix must not be able to miss a face)."""
@@ -263,13 +370,15 @@ def _write_batch_metrics(
     stored_prefix: bool,
     decide_sec: float,
     write_sec: float,
+    input_fp: str | None = None,
 ) -> None:
     """One observability row per (family, batch) — accepted/rejected
     counts and the decide/write wall split, written with the same
     dynamic-partition-overwrite idempotency as the data (a replayed
     batch overwrites its own metrics row). The streaming-face analogue
     of plans/profile.py; tools/ingest_drill.py reads it instead of
-    ad-hoc timers."""
+    ad-hoc timers. ``input_fp`` doubles as the batch's replay
+    manifest (see :func:`_assert_true_replay`)."""
     row = [
         (
             int(batch_id),
@@ -281,6 +390,7 @@ def _write_batch_metrics(
             bool(stored_prefix),
             float(round(decide_sec, 3)),
             float(round(write_sec, 3)),
+            input_fp,
         )
     ]
     # src_batch mirrors the data dirs: the metrics dir is itself an
@@ -290,7 +400,7 @@ def _write_batch_metrics(
     schema = (
         "ingest_batch long, src_batch long, family string, n_in long, "
         "n_accepted long, n_rejected long, stored_prefix boolean, "
-        "decide_sec double, write_sec double"
+        "decide_sec double, write_sec double, input_fp string"
     )
     (
         spark.createDataFrame(row, schema)
@@ -388,9 +498,13 @@ def process_ingest_batch(
     # compacted: with only the index folded, the ingest_batch filter no
     # longer excludes the batch's own bands and every doc would
     # self-match as a "stored" dup (review r10)
+    input_fp = _input_fingerprint(batch, id_col)
     if _was_compacted(stored_docs, batch_id) or _was_compacted(
         stored_bands, batch_id
     ):
+        _assert_true_replay(
+            spark, accepted_dir, "minhash", batch_id, batch, id_col, input_fp
+        )
         return
     t0 = time.time()
     new = batch.select(id_col, text_col).persist()
@@ -455,11 +569,12 @@ def process_ingest_batch(
                 accepted_dir.rstrip("/") + "_metrics",
                 "minhash",
                 batch_id,
-                new.count(),
+                int(input_fp.split(":")[0]),
                 accepted.count(),
                 stored_docs is not None,
                 t1 - t0,
                 t2 - t1,
+                input_fp,
             )
     finally:
         new.unpersist()
@@ -474,7 +589,6 @@ def process_ingest_batch_substring(
     id_col: str = "doc_id",
     min_tokens: int = 50,
     seed: int = 42,
-    n_buckets: int = 64,
     metrics: bool = True,
 ) -> None:
     """The SUBSTRING (span-excision) face of the ingest loop —
@@ -488,15 +602,25 @@ def process_ingest_batch_substring(
     ``oversize`` next to the original text.
 
     Index = the ``window_index`` shape (wkey, n_occurrences, first_id,
-    first_pos) plus a ``wbucket = pmod(wkey, n_buckets)`` layout
-    column. Each batch appends only its DELTA — windows whose content
-    was never seen before (left-anti on the stored keys): the excise
-    decision reads window EXISTENCE + first occurrence only, so the
-    delta reproduces batch decisions exactly while keeping the index
-    write shard-sized (a full merged-index rewrite per batch would be
-    corpus-sized — the exact cost this loop exists to avoid). The
-    stored ``n_occurrences`` therefore counts occurrences within the
-    window's first-seeing batch only; decisions never read it.
+    first_pos). Each batch appends only its DELTA — windows whose
+    content was never seen before: the excise decision reads window
+    EXISTENCE + first occurrence only, so the delta reproduces batch
+    decisions exactly while keeping the index write shard-sized (a
+    full merged-index rewrite per batch would be corpus-sized — the
+    exact cost this loop exists to avoid). The stored
+    ``n_occurrences`` therefore counts occurrences within the window's
+    first-seeing batch only; decisions never read it.
+
+    Per-batch cost contract: window fingerprints scatter uniformly
+    under the hash, so no content-based pruning of the stored index is
+    possible (any batch touches every key range — a ``pmod(wkey, K)``
+    layout column was dead weight and was removed). What IS bounded:
+    the stored index is SCANNED once per batch and never shuffled —
+    the shard's distinct wkeys broadcast into a semi-join that prunes
+    it map-side to a shard-sized survivor set, and both the excise
+    join and the delta anti-join run against that pinned set. The
+    scan is the floor for exact substring dedup without an external
+    KV store; everything above it is shard-sized.
 
     Contract inherited from the incremental kernel: doc ids assigned
     monotonically across batches, so the stored first occurrence is
@@ -519,9 +643,14 @@ def process_ingest_batch_substring(
     # either-side check: an index-compacted replay would read its own
     # windows as "in corpus" and durably excise every doc's accepted
     # text to empty (review r10 — confirmed by repro)
+    input_fp = _input_fingerprint(batch, id_col)
     if _was_compacted(stored_acc, batch_id) or _was_compacted(
         stored_idx, batch_id
     ):
+        _assert_true_replay(
+            spark, accepted_dir, "substring", batch_id, batch, id_col,
+            input_fp,
+        )
         return
     t0 = time.time()
     new = batch.select(id_col, text_col).persist()
@@ -535,12 +664,28 @@ def process_ingest_batch_substring(
             idx_sel = stored_idx.select(
                 "wkey", "n_occurrences", "first_id", "first_pos"
             )
-            cleaned, _ = excise_duplicate_spans_incremental(
-                new, idx_sel, text_col, id_col, min_tokens, seed
-            )
-            delta = window_index(
+            # one stored-index SCAN per batch, zero stored-index
+            # SHUFFLES: prune the corpus-sized index to the shard's
+            # wkeys with a broadcast semi-join (the batch side is
+            # micro-batch-sized by the streaming contract), pin the
+            # shard-sized survivor set, and run both the excise join
+            # and the delta anti-join against THAT. The previous shape
+            # shuffled the whole stored index twice per batch (once for
+            # the kernel's left join, once for the delta anti-join) —
+            # corpus-sized per-batch work at exactly the scale this
+            # loop exists for (review r10).
+            shard_widx = window_index(
                 new, text_col, id_col, min_tokens, seed
-            ).join(idx_sel.select("wkey"), "wkey", "left_anti")
+            ).localCheckpoint(eager=True)
+            touched = idx_sel.join(
+                F.broadcast(shard_widx.select("wkey")), "wkey", "left_semi"
+            ).localCheckpoint(eager=True)
+            cleaned, _ = excise_duplicate_spans_incremental(
+                new, touched, text_col, id_col, min_tokens, seed
+            )
+            delta = shard_widx.join(
+                F.broadcast(touched.select("wkey")), "wkey", "left_anti"
+            )
         accepted = (
             batch.join(
                 cleaned.select(
@@ -556,11 +701,7 @@ def process_ingest_batch_substring(
         # batch-sized frames before any overwrite
         accepted = accepted.localCheckpoint(eager=True)
         delta_rows = (
-            delta.withColumn(
-                "wbucket",
-                F.pmod(F.col("wkey"), F.lit(int(n_buckets))).cast("int"),
-            )
-            .withColumn("src_batch", F.lit(int(batch_id)))
+            delta.withColumn("src_batch", F.lit(int(batch_id)))
             .withColumn("ingest_batch", F.lit(int(batch_id)))
             .localCheckpoint(eager=True)
         )
@@ -575,7 +716,7 @@ def process_ingest_batch_substring(
         (
             delta_rows.write.mode("overwrite")
             .options(**writer_opts)
-            .partitionBy("ingest_batch", "wbucket")
+            .partitionBy("ingest_batch")
             .parquet(index_dir)
         )
         if metrics:
@@ -585,11 +726,12 @@ def process_ingest_batch_substring(
                 accepted_dir.rstrip("/") + "_metrics",
                 "substring",
                 batch_id,
-                new.count(),
+                int(input_fp.split(":")[0]),
                 accepted.count(),  # nothing rejected: excised, not dropped
                 stored_idx is not None,
                 t1 - t0,
                 t2 - t1,
+                input_fp,
             )
     finally:
         new.unpersist()
@@ -651,13 +793,21 @@ def compact_ingest_index(
     the job is object-store-safe (renames on S3A are copies — for
     very large indexes prefer running it as a distcp-style job, same
     layout contract)."""
-    df = _read_if_exists(spark, path)
+    # mergeSchema: a mixed-era directory (pre-src_batch partitions next
+    # to post-upgrade ones) must not let single-file schema inference
+    # drop the provenance column — the "src_batch not in columns"
+    # branch below would then stamp the -1 sentinel over EVERY row,
+    # including batches whose real ids are in the files, silently
+    # disarming the replay no-op guard (review r10)
+    df = _read_if_exists(spark, path, merge_schema=True)
     if df is None:
         raise ValueError(f"compact_ingest_index: nothing to compact at {path!r}")
     if "ingest_batch" not in df.columns:
         raise ValueError(
             f"{path!r} is not an ingest output (no ingest_batch column)"
         )
+    # "wbucket" kept for indexes written before the layout column was
+    # retired — it folds through as ordinary sub-partitioning
     sub = [c for c in ("band", "_cell", "wbucket") if c in df.columns]
     part_cols = ["ingest_batch"] + sub
     compacted = df.withColumn("ingest_batch", F.lit(COMPACTED_BATCH_ID))
@@ -668,18 +818,30 @@ def compact_ingest_index(
         compacted = compacted.withColumn(
             "src_batch", F.lit(COMPACTED_BATCH_ID)
         )
+    else:
+        # mixed-era dirs surface pre-upgrade rows as NULL under the
+        # merged schema — same unknown-provenance meaning, same sentinel
+        compacted = compacted.withColumn(
+            "src_batch",
+            F.coalesce(F.col("src_batch"), F.lit(COMPACTED_BATCH_ID)),
+        )
     base = path.rstrip("/")
     tmp = base + ".compact.tmp"
-    # repartition by full row content, NOT by the partition columns:
+    # round-robin repartition, NOT hash-by-partition-columns:
     # post-withColumn ingest_batch is the constant -1, so hashing on
     # part_cols alone funnels the whole corpus into one task (or ≤|band
     # values| tasks) — a single-writer OOM/straggler at scale (review
-    # r10). Content-hashing keeps every core writing; files per
-    # partition dir ≤ parallelism, still a huge cut from one file per
-    # (batch × dir).
+    # r10). Round-robin keeps every core writing without paying a
+    # murmur3 pass over the full row payload (text/embeddings); files
+    # per partition dir ≤ parallelism, still a huge cut from one file
+    # per (batch × dir). sortWithinPartitions clusters src_batch into
+    # tight row groups so _was_compacted's no-match probe (the common
+    # case, run per batch) is answered by row-group min/max stats
+    # instead of a full compacted-partition scan (review r10).
     nparts = max(1, spark.sparkContext.defaultParallelism)
-    key_cols = [F.col(c) for c in compacted.columns if c != "ingest_batch"]
-    writer = compacted.repartition(nparts, *key_cols)
+    writer = compacted.repartition(nparts).sortWithinPartitions(
+        *sub, "src_batch"
+    )
     writer.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
     _swap_live(spark, base, tmp, keep_backup, copy_sidecars=True)
     return path
@@ -747,6 +909,54 @@ def _swap_live(
         fs.delete(backup_p, True)
 
 
+def recover_ingest_swap(spark: SparkSession, path: str) -> str:
+    """Mechanical recovery from a crashed :func:`_swap_live` — the
+    procedure the ``.compacting`` marker's error message points at.
+    Inspects the (live, backup, marker) state and applies the one safe
+    action, returning a short state string:
+
+    - ``"no-marker"``: nothing to recover.
+    - ``"live-intact"``: the crash hit before the first rename (or
+      after a successful rollback) — the live dir is complete, so the
+      marker is simply cleared. NOTE: the previous ``.precompact``
+      backup may already have been deleted in this state (it is
+      removed to make room before the renames); that backup was a
+      SPARE copy of the same live data, not the only one.
+    - ``"restored-from-backup"``: the crash hit between the two
+      renames — the live dir was missing, so ``.precompact`` (the
+      pre-compaction data, the only durable copy) is renamed back to
+      live and the marker cleared. Re-run the compaction afterwards;
+      the orphaned ``.compact.tmp`` is left for inspection.
+
+    Raises when neither a live dir nor a backup exists (nothing to
+    restore from — operator forensics required)."""
+    fs, live_p = _hadoop_fs(spark, path)
+    jvm = spark._jvm
+    base = path.rstrip("/")
+    marker_p = jvm.org.apache.hadoop.fs.Path(base + ".compacting")
+    backup_p = jvm.org.apache.hadoop.fs.Path(base + ".precompact")
+    if not fs.exists(marker_p):
+        return "no-marker"
+    if fs.exists(live_p):
+        fs.delete(marker_p, False)
+        return "live-intact"
+    if fs.exists(backup_p):
+        if not fs.rename(backup_p, live_p):
+            raise IOError(
+                f"recover_ingest_swap: rename {base}.precompact -> "
+                f"{base} failed"
+            )
+        fs.delete(marker_p, False)
+        return "restored-from-backup"
+    raise RuntimeError(
+        f"recover_ingest_swap: {base!r} has a .compacting marker but "
+        "neither a live dir nor a .precompact backup — no copy to "
+        "restore from automatically. Check .compact.tmp (the freshly "
+        "compacted data, complete iff the compaction write finished) "
+        "before touching anything."
+    )
+
+
 def rebuild_semantic_assignments(
     spark: SparkSession,
     accepted_dir: str,
@@ -777,7 +987,9 @@ def rebuild_semantic_assignments(
     # scan below (_swap_live would catch it anyway, but after paying
     # for the full recompute)
     _check_compacting_marker(spark, assign_dir)
-    accepted = _read_if_exists(spark, accepted_dir)
+    # mergeSchema: the src_batch carry-over below must see the column
+    # even when some corpus partitions predate it (review r10)
+    accepted = _read_if_exists(spark, accepted_dir, merge_schema=True)
     if accepted is None:
         raise ValueError(
             f"rebuild_semantic_assignments: no accepted corpus at "
@@ -793,7 +1005,14 @@ def rebuild_semantic_assignments(
     # rebuilt rows — durable duplicates; review r10 pass 2). Pre-r10
     # corpora without the column degrade to the compacted sentinel.
     src = (
-        accepted.select(id_col, "src_batch")
+        # NULL-coalesce: mixed-era corpora surface pre-upgrade rows as
+        # NULL under the merged schema — degrade them to the sentinel
+        accepted.select(
+            id_col,
+            F.coalesce(
+                F.col("src_batch"), F.lit(COMPACTED_BATCH_ID)
+            ).alias("src_batch"),
+        )
         if "src_batch" in accepted.columns
         else accepted.select(
             id_col, F.lit(COMPACTED_BATCH_ID).alias("src_batch")
@@ -806,9 +1025,12 @@ def rebuild_semantic_assignments(
     tmp = base + ".compact.tmp"
     nparts = max(1, spark.sparkContext.defaultParallelism)
     (
-        # hash on (_cell, id): full parallelism (ingest_batch is the
-        # constant -1; _cell alone = one task per cell)
-        rows.repartition(nparts, F.col("_cell"), F.col(id_col))
+        # round-robin: full parallelism (ingest_batch is the constant
+        # -1; hashing _cell alone = one task per cell); src_batch sort
+        # keeps the replay probe's row-group pruning intact (same
+        # treatment as compact_ingest_index)
+        rows.repartition(nparts)
+        .sortWithinPartitions("_cell", "src_batch")
         .write.mode("overwrite")
         .partitionBy("ingest_batch", "_cell")
         .parquet(tmp)
@@ -1066,9 +1288,14 @@ def process_ingest_batch_semantic(
             "rebuild_semantic_assignments (re-derives the table AND "
             "stamps its fingerprint)."
         )
+    input_fp = _input_fingerprint(batch, id_col)
     if _was_compacted(stored_docs, batch_id) or _was_compacted(
         stored_assign, batch_id
     ):
+        _assert_true_replay(
+            spark, accepted_dir, "semantic", batch_id, batch, id_col,
+            input_fp,
+        )
         return
     t0 = time.time()
     new = batch.select(id_col, vec_col).persist()
@@ -1138,11 +1365,12 @@ def process_ingest_batch_semantic(
                 accepted_dir.rstrip("/") + "_metrics",
                 "semantic",
                 batch_id,
-                new.count(),
+                int(input_fp.split(":")[0]),
                 accepted.count(),
                 stored_docs is not None,
                 t1 - t0,
                 t2 - t1,
+                input_fp,
             )
     finally:
         new.unpersist()

@@ -686,7 +686,10 @@ def test_substring_ingest_loop_matches_batch_excision(spark):
         assert after == before
         idx_df = spark.read.parquet(idx)
         assert idx_df.groupBy("wkey").count().filter(F.col("count") > 1).count() == 0
-        assert {"wbucket", "src_batch"} <= set(idx_df.columns)
+        assert "src_batch" in idx_df.columns
+        # the pmod layout column was retired (hash keys scatter — no
+        # content-based pruning is possible; the probe broadcast-prunes)
+        assert "wbucket" not in idx_df.columns
         # metrics carry the substring family rows
         fams = {
             r["family"]
@@ -844,3 +847,140 @@ def test_semantic_ingest_loop(spark):
 
         shutil.rmtree(work, ignore_errors=True)
         shutil.rmtree(feed, ignore_errors=True)
+
+
+def test_batch_id_collision_against_compacted_corpus_raises(spark, feed):
+    """Review r10: a compacted-batch replay is no-opped, so a batch-id
+    COLLISION (lost/recreated checkpoint, second campaign into the
+    same dirs) whose id matches a folded src_batch used to be
+    silently discarded — permanent whole-batch data loss with a
+    committed checkpoint entry. The replay manifest (input_fp in the
+    metrics row) must tell the two apart: true replays stay no-ops,
+    collisions raise."""
+    from garden_net_backend_spark.streaming.ingest import compact_ingest_index
+
+    docs = spark.read.schema("doc_id long, text string, source string").json(feed)
+    f0 = docs.filter(F.col("doc_id") < 2)
+    f1 = docs.filter(F.col("doc_id").between(2, 4))
+    fresh = spark.createDataFrame(
+        [(100, " ".join(f"nova{j:02d}" for j in range(40)), "crawl")],
+        "doc_id long, text string, source string",
+    )
+    work = tempfile.mkdtemp(prefix="collision_")
+    acc, idx = f"{work}/acc", f"{work}/idx"
+    try:
+        process_ingest_batch(f0, 0, acc, idx, **KW)
+        process_ingest_batch(f1, 1, acc, idx, **KW)
+        compact_ingest_index(spark, idx)
+        compact_ingest_index(spark, acc)
+        before = sorted(
+            r["doc_id"] for r in spark.read.parquet(acc).select("doc_id").collect()
+        )
+        # true replay: same inputs under the folded id → silent no-op
+        process_ingest_batch(f1, 1, acc, idx, **KW)
+        assert sorted(
+            r["doc_id"] for r in spark.read.parquet(acc).select("doc_id").collect()
+        ) == before
+        # collision: FRESH docs under the folded id → loud failure, not
+        # silent loss
+        with pytest.raises(ValueError, match="collision"):
+            process_ingest_batch(fresh, 1, acc, idx, **KW)
+        # fallback path (no manifest): drop the metrics dir — a true
+        # replay corroborates via id overlap with src_batch rows, a
+        # collision still raises
+        shutil.rmtree(acc + "_metrics")
+        process_ingest_batch(f1, 1, acc, idx, **KW)
+        assert sorted(
+            r["doc_id"] for r in spark.read.parquet(acc).select("doc_id").collect()
+        ) == before
+        with pytest.raises(ValueError, match="collision|looks like"):
+            process_ingest_batch(fresh, 1, acc, idx, **KW)
+        assert 100 not in set(
+            r["doc_id"] for r in spark.read.parquet(acc).select("doc_id").collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_mixed_schema_compaction_preserves_src_batch(spark, feed):
+    """Review r10: compacting a mixed-era directory (pre-src_batch
+    partitions written before the provenance column existed, next to
+    post-upgrade ones) must not let single-file schema inference drop
+    src_batch and stamp the -1 sentinel over EVERY row — post-upgrade
+    batches must keep their real ids (the replay no-op guard reads
+    them)."""
+    from garden_net_backend_spark.streaming.ingest import compact_ingest_index
+
+    docs = spark.read.schema("doc_id long, text string, source string").json(feed)
+    f0 = docs.filter(F.col("doc_id") < 2)
+    f1 = docs.filter(F.col("doc_id").between(2, 4))
+    work = tempfile.mkdtemp(prefix="mixed_era_")
+    acc, idx = f"{work}/acc", f"{work}/idx"
+    try:
+        process_ingest_batch(f0, 0, acc, idx, **KW)
+        process_ingest_batch(f1, 1, acc, idx, **KW)
+        # simulate the pre-upgrade era: strip src_batch from batch 0's
+        # partition files (both dirs), leaving batch 1's intact
+        for d in (acc, idx):
+            sub = f"{d}/ingest_batch=0"
+            old = spark.read.parquet(sub).drop("src_batch")
+            tmp = f"{d}_era0"
+            w = old.write
+            if "band" in old.columns:  # keep the inner layout intact
+                w = w.partitionBy("band")
+            w.parquet(tmp)
+            shutil.rmtree(sub)
+            shutil.move(tmp, sub)
+        compact_ingest_index(spark, acc)
+        compact_ingest_index(spark, idx)
+        for d in (acc, idx):
+            got = spark.read.parquet(d)
+            srcs = {r["src_batch"] for r in got.select("src_batch").distinct().collect()}
+            # era-0 rows degrade to the -1 sentinel; batch 1 keeps its id
+            assert 1 in srcs, f"{d}: post-upgrade provenance lost ({srcs})"
+            assert -1 in srcs
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_recover_ingest_swap(spark, feed):
+    """The mechanical recovery the .compacting marker's message points
+    at: live-intact state clears the marker; live-missing restores the
+    .precompact backup; bare marker with nothing to restore raises."""
+    from garden_net_backend_spark.streaming.ingest import (
+        compact_ingest_index,
+        recover_ingest_swap,
+    )
+
+    docs = spark.read.schema("doc_id long, text string, source string").json(feed)
+    f0 = docs.filter(F.col("doc_id") < 2)
+    work = tempfile.mkdtemp(prefix="recover_")
+    acc, idx = f"{work}/acc", f"{work}/idx"
+    try:
+        process_ingest_batch(f0, 0, acc, idx, **KW)
+        assert recover_ingest_swap(spark, acc) == "no-marker"
+        # state 1: crash before the first rename — live intact
+        open(acc + ".compacting", "w").close()
+        with pytest.raises(RuntimeError, match="recover_ingest_swap"):
+            process_ingest_batch(f0, 1, acc, idx, **KW)
+        assert recover_ingest_swap(spark, acc) == "live-intact"
+        assert not os.path.exists(acc + ".compacting")
+        # state 2: crash between the renames — live missing, backup holds
+        # the only copy
+        compact_ingest_index(spark, acc)  # creates .precompact
+        shutil.rmtree(acc + ".precompact")
+        shutil.move(acc, acc + ".precompact")  # live -> backup (as rename 1)
+        open(acc + ".compacting", "w").close()
+        assert recover_ingest_swap(spark, acc) == "restored-from-backup"
+        assert os.path.isdir(acc) and not os.path.exists(acc + ".compacting")
+        got = sorted(
+            r["doc_id"] for r in spark.read.parquet(acc).select("doc_id").collect()
+        )
+        assert got == [0, 1]
+        # state 3: marker with neither live nor backup — manual forensics
+        shutil.move(acc, acc + ".gone")
+        open(acc + ".compacting", "w").close()
+        with pytest.raises(RuntimeError, match="neither"):
+            recover_ingest_swap(spark, acc)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -113,8 +113,11 @@ def main() -> None:
                   + ("  [compacted]" if "compaction_sec" in rec else ""),
                   flush=True)
         # fold in the loop's own per-batch metrics (decide/write split)
+        # — keyed by src_batch, the id that SURVIVES compaction
+        # (ingest_batch collapses to -1 if the metrics dir is ever
+        # folded by compact_ingest_index, which its docstring blesses)
         m = {
-            int(r["ingest_batch"]): r.asDict()
+            int(r["src_batch"]): r.asDict()
             for r in spark.read.parquet(accepted_dir + "_metrics").collect()
         }
         for rec in facts["batches"]:
