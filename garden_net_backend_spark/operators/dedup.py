@@ -1002,6 +1002,107 @@ def excise_duplicate_spans_incremental(
     return cleaned, updated
 
 
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\n",
+    min_count: int = 2,
+    min_chars: int = 1,
+    normalize: bool = True,
+    joiner: str = "\n",
+) -> DataFrame:
+    """LINE-level exact dedup across the corpus (the C4 / RefinedWeb /
+    CCNet curation step): split every document on ``sep`` (a regex), and
+    cut every line whose normalized content occurs ``min_count``+ times
+    corpus-wide — EXCEPT its first occurrence (min ``(id, pos)``), which
+    survives. → ``(id_col, clean_text, n_kept_lines, n_cut_lines)``,
+    one row per input document.
+
+    This is the dedup mode BETWEEN document-level hashing (exact_dedup
+    — whole doc must match) and substring spans (duplicated_spans —
+    arbitrary token windows): web boilerplate (nav bars, cookie
+    notices, footers) repeats as whole LINES across otherwise-distinct
+    pages, and line-granular removal is what C4 (Raffel et al. 2020,
+    "three-sentence span" variant), CCNet (Wenzek et al. 2020,
+    per-line hashes over shards) and RefinedWeb (Penedo et al. 2023)
+    actually deploy. First-occurrence-keeps matches
+    ``excise_duplicate_spans`` / the ingest loop's first-accepted-wins.
+
+    Lines shorter than ``min_chars`` (after normalization) are KEPT
+    unconditionally and never count toward duplication — blank lines
+    and stray separators are structure, not boilerplate.
+    ``normalize=True`` compares lines case-insensitively with collapsed
+    whitespace (the CCNet canonicalization); the REBUILT text keeps
+    each surviving line's original form, joined by ``joiner``.
+
+    100 TB shape (same as :func:`window_index`): explode to one row per
+    line, ONE map-side-combinable groupBy on the line-content hash
+    (count + min-struct first occurrence), one hash-keyed join back,
+    one per-doc regroup — no pair join, nothing quadratic; a line
+    duplicated a million times costs its occurrence count. The shuffle
+    key is ``xxhash64(norm)`` so long boilerplate lines shuffle as
+    8-byte keys, not bodies (the q29 oracle regroups on the STRINGS,
+    so the gate also pins hash grouping == content grouping).
+    """
+    norm_of = (
+        F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " "))
+        if normalize
+        else F.col("line")
+    )
+    lines = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        )
+        .withColumn("_norm", norm_of)
+        .withColumn("_qual", F.length("_norm") >= min_chars)
+        .withColumn("_k", F.xxhash64("_norm"))
+    )
+    stats = (
+        lines.filter("_qual")
+        .groupBy("_k")
+        .agg(
+            F.count("*").alias("_c"),
+            F.min(F.struct("id", "pos")).alias("_first"),
+        )
+    )
+    marked = lines.filter("_qual").join(stats, "_k")
+    cut = (F.col("_c") >= min_count) & ~(
+        (F.col("_first.id") == F.col("id"))
+        & (F.col("_first.pos") == F.col("pos"))
+    )
+    kept = (
+        marked.filter(~cut)
+        .select("id", "pos", "line")
+        .unionByName(lines.filter(~F.col("_qual")).select("id", "pos", "line"))
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            joiner,
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept_lines"),
+    )
+    totals = lines.groupBy("id").agg(F.count("*").alias("_n"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept_lines", F.lit(0)).cast("long").alias(
+                "n_kept_lines"
+            ),
+            (F.col("_n") - F.coalesce("n_kept_lines", F.lit(0)))
+            .cast("long")
+            .alias("n_cut_lines"),
+        )
+    )
+
+
 def dedup_representatives(
     docs: DataFrame,
     pairs: DataFrame,

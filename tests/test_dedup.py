@@ -534,3 +534,62 @@ def test_minhash_incremental_banded_index_tier(spark, docs_df):
     )
     assert base == via_sigs == via_bands
     assert len(base) > 0
+
+
+def test_line_dedup_first_occurrence_keeps(spark):
+    """line_dedup (C4/CCNet/RefinedWeb line-level step): a line whose
+    normalized form repeats corpus-wide is cut everywhere EXCEPT its
+    first (min (id, pos)) occurrence, which keeps its ORIGINAL form;
+    short lines are exempt; every input doc emits exactly one row."""
+    from garden_net_backend_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Nav  Bar\nunique zero\ncookie notice"),
+            (1, "nav bar\nunique one\nCookie   Notice"),
+            (2, "unique two\nNAV BAR\nx"),   # 'x' short → exempt
+            (3, "x\n\nunique three"),        # blank + short → exempt
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in line_dedup(docs, min_chars=2).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4}
+    # first occurrences survive in original (un-normalized) form
+    assert got[0]["clean_text"] == "Nav  Bar\nunique zero\ncookie notice"
+    assert got[0]["n_cut_lines"] == 0
+    # later occurrences of both repeated lines are cut
+    assert got[1]["clean_text"] == "unique one"
+    assert got[1]["n_cut_lines"] == 2
+    assert got[2]["clean_text"] == "unique two\nx"
+    assert got[2]["n_cut_lines"] == 1
+    # exempt lines never count as duplicates of each other
+    assert got[3]["clean_text"] == "x\n\nunique three"
+    assert got[3]["n_cut_lines"] == 0
+    assert got[4]["clean_text"] == "" and got[4]["n_kept_lines"] == 1
+    # kept+cut = total lines per doc
+    for r in got.values():
+        total = len(r["clean_text"].split("\n")) if r["n_cut_lines"] == 0 else None
+        if total is not None:
+            assert r["n_kept_lines"] == total
+    # determinism under repartition (first-occurrence is a global min,
+    # not a partition accident)
+    again = {
+        r["doc_id"]: r["clean_text"]
+        for r in line_dedup(docs.repartition(7), min_chars=2).collect()
+    }
+    assert again == {k: v["clean_text"] for k, v in got.items()}
+    # custom separator face (the q29 gate shape): split on a token
+    tok = spark.createDataFrame(
+        [(0, "aa bb SEP cc dd"), (1, "aa  bb SEP ee")],
+        "doc_id long, text string",
+    )
+    got2 = {
+        r["doc_id"]: r
+        for r in line_dedup(tok, sep=" SEP ", joiner=" SEP ").collect()
+    }
+    assert got2[0]["clean_text"] == "aa bb SEP cc dd"
+    assert got2[1]["clean_text"] == "ee" and got2[1]["n_cut_lines"] == 1
