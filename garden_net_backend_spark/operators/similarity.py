@@ -1259,3 +1259,392 @@ def quantize_embeddings_int8(
         ).cast("tinyint"),
     )
     return with_scale.select(id_col, q.alias("qvec"), "scale")
+
+
+# --- product quantization (PQ) ----------------------------------------
+#
+# The memory-bounded ANN tier (Jégou, Douze & Schmid 2011, "Product
+# Quantization for Nearest Neighbor Search"): split every (normalized)
+# vector into m contiguous subvectors, k-means each subspace into
+# n_codes entries, store each vector as m small codes. A query scans
+# the CODES table with an asymmetric-distance (ADC) lookup table —
+# m table lookups per vector instead of d multiplies, and the scan
+# reads ~m·log2(n_codes) bits per vector instead of 4·d bytes (the
+# parquet codes column dictionary-encodes) — then exact-reranks the
+# ADC survivors. Complements the existing tiers: LSH/IVF prune WHICH
+# vectors are scored; PQ shrinks WHAT a full scan costs. At 100 TB the
+# two compose — store codes partitioned by IVF cell and ADC-scan only
+# probed cells (IVF-PQ) — but each is independently useful.
+
+
+def _pq_slices(vec_col: str, m: int, sub: int):
+    """Array-of-subvectors expression over the L2-NORMALIZED vector —
+    normalization keeps the cosine contract of the rest of the module
+    (ADC inner products then approximate cosine directly)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(v, lambda x: x / F.greatest(nrm, F.lit(1e-300)))
+    return F.array(
+        *[F.slice(unit, j * sub + 1, sub) for j in range(m)]
+    )
+
+
+def _pq_dim(corpus: DataFrame, vec_col: str, m: int) -> int:
+    row = corpus.select(F.size(vec_col).alias("d")).take(1)
+    if not row:
+        raise ValueError("pq: empty corpus")
+    d = int(row[0]["d"])
+    if d % m != 0:
+        raise ValueError(f"pq: dim {d} not divisible by m={m} subspaces")
+    return d
+
+
+def _pq_codebook_rows(codebooks: DataFrame) -> "list[list[list[float]]]":
+    """codebooks frame → nested list cb[subspace][code] = sub_vec,
+    validated dense (every (subspace, code) present exactly once)."""
+    rows = codebooks.collect()
+    m = max(r["subspace"] for r in rows) + 1
+    n = max(r["code"] for r in rows) + 1
+    cb = [[None] * n for _ in range(m)]
+    for r in rows:
+        cb[r["subspace"]][r["code"]] = [float(x) for x in r["sub_vec"]]
+    if any(e is None for row in cb for e in row):
+        raise ValueError("pq: sparse codebook frame (missing (subspace, code))")
+    return cb
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    refine_iters: int = 2,
+) -> DataFrame:
+    """Train PQ codebooks → ``(subspace, code, sub_vec array<double>)``,
+    m·n_codes rows (driver-sized by construction, like IVF centroids).
+
+    Init: per subspace, the ``n_codes`` subvectors with the smallest
+    ``xxhash64(id, subspace, seed)`` — a deterministic uniform sample,
+    decorrelated across subspaces. ``refine_iters`` Lloyd passes then
+    minimize per-subspace quantization error: Arrow-batched argmin-L2
+    assignment (one numpy matmul per batch per subspace) + exact
+    decimal per-(subspace, code, pos) means — deterministic under any
+    partitioning, objective never degrades (pinned in tests). Empty
+    codes keep their previous entry.
+
+    Per iteration: one Arrow assign scan + one map-side-combinable
+    aggregation with m·n_codes·(d/m) groups — tiny shuffle. Codebooks
+    live on the driver between rounds (the MLlib KMeans shape), keeping
+    lineage flat."""
+    d = _pq_dim(corpus, vec_col, m)
+    sub = d // m
+    subs = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_pq_slices(vec_col, m, sub)).alias("subspace", "sub_vec"),
+    )
+    w = W.partitionBy("subspace").orderBy(
+        F.xxhash64(F.col("_id"), F.col("subspace"), F.lit(seed)), F.col("_id")
+    )
+    init = (
+        subs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_codes)
+        .select(
+            "subspace",
+            (F.col("_rn") - 1).alias("code"),
+            F.transform(F.col("sub_vec"), lambda x: x.cast("double")).alias(
+                "sub_vec"
+            ),
+        )
+    )
+    cb = _pq_codebook_rows(init)
+    spark = corpus.sparkSession
+    for _ in range(refine_iters):
+        ex = subs.join(_pq_assign_subcodes(subs, cb), ["_id", "subspace"])
+        means = (
+            ex.select(
+                "subspace", "code", F.posexplode("sub_vec").alias("pos", "_x")
+            )
+            .groupBy("subspace", "code", "pos")
+            .agg(
+                F.sum(
+                    F.col("_x").cast("double").cast("decimal(32,12)")
+                ).alias("_sx"),
+                F.count("*").alias("_n"),
+            )
+            .select(
+                "subspace",
+                "code",
+                "pos",
+                (F.col("_sx").cast("double") / F.col("_n")).alias("_m"),
+            )
+        )
+        newc = means.groupBy("subspace", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_m"))),
+                lambda s: s["_m"],
+            ).alias("sub_vec")
+        )
+        updated = {
+            (r["subspace"], r["code"]): [float(x) for x in r["sub_vec"]]
+            for r in newc.collect()
+        }
+        cb = [
+            [updated.get((j, c), cb[j][c]) for c in range(n_codes)]
+            for j in range(m)
+        ]
+    return spark.createDataFrame(
+        [
+            (j, c, cb[j][c])
+            for j in range(m)
+            for c in range(n_codes)
+        ],
+        "subspace int, code int, sub_vec array<double>",
+    )
+
+
+def _pq_assign_subcodes(subs: DataFrame, cb) -> DataFrame:
+    """(_id, subspace, sub_vec) → (_id, subspace, code): argmin L2 to
+    the subspace's codebook, Arrow-batched (codebooks ship in the
+    closure — m·n_codes·sub doubles, tiny). Ties break to the lowest
+    code (argmin returns the first index)."""
+    import numpy as np
+    import pandas as pd
+
+    mats = [np.asarray(rows, dtype=np.float64) for rows in cb]
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_code = np.empty(len(pdf), dtype=np.int32)
+            sp = pdf["subspace"].values
+            X = np.stack(pdf["sub_vec"].values).astype(np.float64)
+            for j in np.unique(sp):
+                mask = sp == j
+                d2 = (
+                    (X[mask][:, None, :] - mats[int(j)][None, :, :]) ** 2
+                ).sum(axis=2)
+                out_code[mask] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].values,
+                    "subspace": sp,
+                    "code": out_code,
+                }
+            )
+
+    return ensure_min_partitions(subs.select("_id", "subspace", "sub_vec")).mapInPandas(
+        _assign, schema="_id long, subspace int, code int"
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector → ``(id_col, codes array<int>)``, one code
+    per subspace (argmin L2 over the subspace's codebook, on the
+    normalized vector). One Arrow pass, no shuffle. The stored-index
+    shape: persist it as parquet (the codes column dictionary-encodes
+    to ~m·log2(n_codes) bits per vector) and hand it to ``pq_topk`` as
+    ``index=``."""
+    import numpy as np
+    import pandas as pd
+
+    cb = _pq_codebook_rows(codebooks)
+    m = len(cb)
+
+    def _encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].values).astype(np.float64)
+            X = X / np.maximum(
+                np.linalg.norm(X, axis=1, keepdims=True), 1e-300
+            )
+            sub = X.shape[1] // m
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                xs = X[:, j * sub : (j + 1) * sub]
+                d2 = ((xs[:, None, :] - np.asarray(cb[j])[None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "codes": list(codes)}
+            )
+
+    return ensure_min_partitions(corpus.select(id_col, vec_col)).mapInPandas(
+        _encode, schema=f"{id_col} long, codes array<int>"
+    )
+
+
+def pq_build_index(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    refine_iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """→ ``(codebooks, codes)`` — train + encode in one call, the PQ
+    analogue of ``ivf_build_index``. Build once at ingest, persist
+    both frames, reload for every query batch (both deterministic →
+    reload-stable)."""
+    codebooks = pq_train_codebooks(
+        corpus, m, n_codes, id_col, vec_col, seed, refine_iters
+    )
+    return codebooks, pq_encode(corpus, codebooks, id_col, vec_col)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+    refine_iters: int = 2,
+    prefilter: int | None = None,
+    rerank: bool = True,
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """PQ ANN top-k: ADC-scan the codes table (asymmetric distance —
+    per-query lookup tables over the codebooks, m lookups per corpus
+    vector), keep the ``prefilter`` best per query (default 4·k), then
+    exact-decimal cosine re-rank of the survivors → same output schema
+    as ``cosine_topk`` (query_id, id, cosine, rank). ``rerank=False``
+    returns the raw ADC ordering with an ``adc`` column instead of
+    exact cosines (scores are then APPROXIMATE by construction).
+
+    Self-retrieval is hard-guaranteed for corpus-member queries: the
+    query's own id always joins the candidate set before the re-rank
+    (the faiss IndexRefine idiom) — ADC quantization noise alone
+    cannot promise it, and a serving layer must.
+
+    Queries are driver-collected to build the LUTs (bounded query
+    batches by contract — same shape as the broadcast-centroids path).
+    The per-batch partial top-R runs inside the Arrow scan (numpy
+    argpartition), so the global window sees n_partitions·R rows per
+    query, never the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    if prefilter is None:
+        prefilter = max(4 * k, k)
+    prefilter = max(prefilter, k)
+    codebooks, codes = index if index is not None else pq_build_index(
+        corpus, m, n_codes, id_col, vec_col, seed, refine_iters
+    )
+    cb = _pq_codebook_rows(codebooks)
+    m_eff = len(cb)
+    sub = len(cb[0][0])
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        raise ValueError("pq_topk: empty query frame")
+    qids = np.array([r[query_id_col] for r in qrows], dtype=np.int64)
+    Q = np.stack(
+        [np.asarray(r[query_vec_col], dtype=np.float64) for r in qrows]
+    )
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    # lut[q, j, c] = <q_subvec_j, codebook[j][c]> — inner-product ADC on
+    # normalized vectors ≈ cosine
+    lut = np.stack(
+        [
+            Q[:, j * sub : (j + 1) * sub] @ np.asarray(cb[j]).T
+            for j in range(m_eff)
+        ],
+        axis=1,
+    )
+    R = int(prefilter)
+
+    def _scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf["codes"].values).astype(np.int64)
+            ids = pdf[id_col].values
+            scores = np.zeros((len(qids), len(pdf)))
+            for j in range(m_eff):
+                scores += lut[:, j, :][:, C[:, j]]
+            r = min(R, len(pdf))
+            qq, ii, ss = [], [], []
+            for qi in range(len(qids)):
+                # per-batch top-r under the SAME total order the global
+                # window uses (adc desc, id asc) — a tie straddling the
+                # cut must not make survival depend on batch row order
+                # (the global top-R of a total order is always a subset
+                # of the union of per-batch top-r under that order)
+                part = np.lexsort((ids, -scores[qi]))[:r]
+                qq.extend([qids[qi]] * r)
+                ii.extend(ids[part])
+                ss.extend(scores[qi, part])
+            yield pd.DataFrame({"query_id": qq, "_cid": ii, "adc": ss})
+
+    partial = ensure_min_partitions(codes.select(id_col, "codes")).mapInPandas(
+        _scan, schema="query_id long, _cid long, adc double"
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("_cid"))
+    top_r = (
+        partial.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= R)
+        .select("query_id", F.col("_cid"), "adc")
+    )
+    if not rerank:
+        return (
+            top_r.withColumn(
+                "rank",
+                F.row_number().over(
+                    W.partitionBy("query_id").orderBy(
+                        F.desc("adc"), F.asc("_cid")
+                    )
+                ),
+            )
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("_cid").alias(id_col), "adc", "rank")
+        )
+    # self-membership union (corpus-member queries only)
+    selfc = (
+        queries.select(F.col(query_id_col).alias("query_id"))
+        .join(
+            corpus.select(F.col(id_col).alias("_cid")),
+            F.col("query_id") == F.col("_cid"),
+            "inner",
+        )
+        .select("query_id", "_cid")
+    )
+    cand = top_r.select("query_id", "_cid").unionByName(selfc).distinct()
+    scored = (
+        cand.join(
+            corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col)),
+            "_cid",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col).alias("query_id"), query_vec_col
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            F.col("_cid").alias(id_col),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 9
+            ).alias("cosine"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= k
+    )

@@ -1030,3 +1030,148 @@ def test_semantic_dedup_prebuilt_assignments_agree(spark, emb):
                 F.col("vec_id"), F.col("centroid_id").alias("x"), F.lit(1).alias("y")
             ),
         )
+
+
+# --- product quantization (PQ) tier ------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pq_clustered(spark):
+    """Clustered corpus where ADC prefiltering has real signal: 8
+    anchors × 40 jittered members, 64-dim, unit-normalized."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    anchors = rng.standard_normal((8, 64))
+    rows, i = [], 0
+    for a in range(8):
+        for _ in range(40):
+            v = anchors[a] + rng.standard_normal(64) * 0.15
+            v = v / np.linalg.norm(v)
+            rows.append((i, v.tolist()))
+            i += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_codebooks_shape_and_determinism(spark, pq_clustered):
+    from garden_net_backend_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    cb1 = pq_train_codebooks(pq_clustered, m=8, n_codes=16, refine_iters=1)
+    cb2 = pq_train_codebooks(
+        pq_clustered.repartition(13), m=8, n_codes=16, refine_iters=1
+    )
+    r1 = {(r["subspace"], r["code"]): r["sub_vec"] for r in cb1.collect()}
+    r2 = {(r["subspace"], r["code"]): r["sub_vec"] for r in cb2.collect()}
+    assert len(r1) == 8 * 16 and r1 == r2  # exact-decimal means
+    assert all(len(v) == 8 for v in r1.values())  # 64/8 dims per subspace
+    codes1 = {r["vec_id"]: list(r["codes"]) for r in pq_encode(pq_clustered, cb1).collect()}
+    codes2 = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(pq_clustered.repartition(5), cb1).collect()
+    }
+    assert codes1 == codes2
+    assert all(
+        len(c) == 8 and all(0 <= x < 16 for x in c) for c in codes1.values()
+    )
+
+
+def test_pq_refinement_improves_quantization(spark, pq_clustered):
+    """Lloyd on each subspace: mean squared sub-quantization error never
+    degrades with refine iterations (and strictly improves here)."""
+    import numpy as np
+
+    from garden_net_backend_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in pq_clustered.collect()
+    }
+
+    def sq_err(cb_df):
+        cb = {}
+        for r in cb_df.collect():
+            cb[(r["subspace"], r["code"])] = np.asarray(r["sub_vec"])
+        codes = {
+            r["vec_id"]: list(r["codes"])
+            for r in pq_encode(pq_clustered, cb_df).collect()
+        }
+        tot = 0.0
+        for vid, v in vecs.items():
+            v = v / np.linalg.norm(v)
+            rec = np.concatenate([cb[(j, codes[vid][j])] for j in range(8)])
+            tot += float(((v - rec) ** 2).sum())
+        return tot / len(vecs)
+
+    e0 = sq_err(pq_train_codebooks(pq_clustered, m=8, n_codes=16, refine_iters=0))
+    e2 = sq_err(pq_train_codebooks(pq_clustered, m=8, n_codes=16, refine_iters=2))
+    assert e2 <= e0 + 1e-12
+    assert e2 < e0
+
+
+def test_pq_topk_valid_recall_and_self_hit(spark, pq_clustered):
+    from garden_net_backend_spark.operators.similarity import (
+        cosine_topk,
+        pq_build_index,
+        pq_topk,
+    )
+
+    queries = pq_clustered.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    nq = queries.count()
+    exact = cosine_topk(pq_clustered, queries, k=5).collect()
+    idx = pq_build_index(pq_clustered, m=8, n_codes=16)
+    idx = (idx[0], idx[1].localCheckpoint(eager=True))
+    got = pq_topk(pq_clustered, queries, k=5, index=idx).collect()
+    assert len(got) == 5 * nq
+    exact_scores = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact}
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        # self-retrieval hard-guaranteed (candidate union), exact scores
+        assert rows[0]["vec_id"] == q and abs(rows[0]["cosine"] - 1.0) < 1e-9
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        assert all(
+            rows[i]["cosine"] >= rows[i + 1]["cosine"]
+            for i in range(len(rows) - 1)
+        )
+        # re-ranked scores equal the exact cosine wherever exact has
+        # the same pair (subset re-rank can never inflate)
+        for r in rows:
+            key = (r["query_id"], r["vec_id"])
+            if key in exact_scores:
+                assert r["cosine"] == exact_scores[key]
+    hits = sum(
+        1 for r in got if (r["query_id"], r["vec_id"]) in exact_scores
+    )
+    recall = hits / len(exact)
+    assert recall >= 0.4, recall  # clustered corpus: ADC has real signal
+    # determinism under repartition (incl. the partial-top-R tie path)
+    got2 = pq_topk(
+        pq_clustered.repartition(13),
+        queries,
+        k=5,
+        index=(idx[0], idx[1].repartition(11)),
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+
+
+def test_pq_dim_and_sparse_codebook_guards(spark, pq_clustered):
+    from garden_net_backend_spark.operators.similarity import (
+        _pq_codebook_rows,
+        pq_train_codebooks,
+    )
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train_codebooks(pq_clustered, m=7)
+    cb = pq_train_codebooks(pq_clustered, m=4, n_codes=8, refine_iters=0)
+    with pytest.raises(ValueError, match="sparse"):
+        _pq_codebook_rows(cb.filter(~((F.col("subspace") == 0) & (F.col("code") == 3))))
