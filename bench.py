@@ -44,7 +44,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # must fail loudly if a catalog consolidation renames any of these —
 # round 6 hid exactly such a rename inside main() and the driver's
 # bench run died with rc=1 and zero timings.
-from garden_net_backend_spark.operators.similarity import ivf_build_index
+from garden_net_backend_spark.operators.similarity import (
+    ivf_build_index,
+    pq_build_index,
+)
 from garden_net_backend_spark.queries import (
     CATALOG,
     q38_suite_impl,
@@ -96,14 +99,22 @@ BENCH_NOTES = {
     "bounded driver union-find). r7 quiet observed 7.4s vs ≈6.6s sum "
     "of r5 parts — the +0.8s is the union wrapper re-deriving the "
     "shared doc scan per arm branch; within budget, not a plan "
-    "regression (10x drill ratio 3.96, dup-volume-sized as designed)",
+    "regression (10x drill ratio 3.96, dup-volume-sized as designed). "
+    "Round 10 adds the 'linedup' arm (operators/dedup.line_dedup — "
+    "C4/CCNet/RefinedWeb line-level dedup, one combinable groupBy on "
+    "the line hash + join-back + per-doc regroup): expect ~+1s "
+    "structural over r9's headline for the extra corpus pass.",
     "q30_jaccard_dedup_suite": "suite = prefix-filtered exact Jaccard "
     "headline (Bayardo/Xiao AllPairs-PPJoin, r5 task 3) + former q31 "
     "MinHash+LSH arm — expected ≈ 4.5s of r5 parts",
     "q38_ann_suite": "suite = LSH top-k gate + former q54 IVF gate; "
     "ivf arm runs with a PREBUILT index (build = "
     "extras.ann_ivf_build_sec; Lloyd refine included). The LSH arm "
-    "keeps the round-4 always-k exact fallback (+~0.5s structural)",
+    "keeps the round-4 always-k exact fallback (+~0.5s structural). "
+    "Round 10 adds the 'pq' arm (product quantization, prebuilt "
+    "codebooks+codes billed as extras.ann_pq_build_sec): expect "
+    "~+1-2s structural for the ADC scan + exact re-rank + its "
+    "property-gate rescoring.",
     "q56_embedding_dup_suite": "suite = exact cosine near-dup + "
     "former q57 LSH-blocked arm (avalanche-hashed hyperplanes per the "
     "100x drill fix) + round-8 semdedup arm + round-9 seminc arm "
@@ -283,6 +294,14 @@ def main() -> None:
     extras["ann_ivf_build_sec"] = round(time.time() - t0, 3)
     _ivf_index = (_cents, _assign)
 
+    # --- q38 pq arm: prebuilt codebooks + codes, same discipline -----
+    t0 = time.time()
+    _pq_cb, _pq_codes = pq_build_index(emb, m=8, n_codes=16, refine_iters=1)
+    _pq_codes = _pq_codes.persist()
+    _pq_codes.count()
+    extras["ann_pq_build_sec"] = round(time.time() - t0, 3)
+    _pq_index = (_pq_cb, _pq_codes)
+
     # --- q63/q64/q67 family: shared network build --------------------
     # Materialize the family's shared checkpoints once, outside every
     # per-gate timing window (the in-session analogue of the S9 serving
@@ -296,7 +315,7 @@ def main() -> None:
         for name, spec in CATALOG.items()
     }
     runners["q38_ann_suite"] = lambda: q38_suite_impl(
-        spark, sf_dir, ivf_index=_ivf_index
+        spark, sf_dir, ivf_index=_ivf_index, pq_index=_pq_index
     )
 
     def run_once(fn) -> float:

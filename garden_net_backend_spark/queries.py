@@ -1063,7 +1063,28 @@ _SIMHASH_ORACLE_SQL = f"""
     rebuilt AS (
       SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean,
              COUNT(*) AS nk
-      FROM kept GROUP BY doc_id)
+      FROM kept GROUP BY doc_id),
+    lsegs AS (
+      SELECT doc_id, i - 1 AS pos, segs[i] AS seg,
+             lower(trim(regexp_replace(segs[i], '\\s+', ' ', 'g'))) AS norm
+      FROM (SELECT doc_id, regexp_split_to_array(text, ' line ') AS segs
+            FROM documents),
+           (SELECT CAST(unnest(generate_series(1, {_MAXTOK_SQL})) AS INT) AS i)
+      WHERE i <= len(segs)),
+    lmark AS (
+      SELECT doc_id, pos, seg,
+             COUNT(*) OVER (PARTITION BY norm) AS c,
+             ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id, pos) AS rn
+      FROM lsegs WHERE len(norm) >= 1),
+    lkept AS (
+      SELECT doc_id, pos, seg FROM lmark WHERE c < 2 OR rn = 1
+      UNION ALL
+      SELECT doc_id, pos, seg FROM lsegs WHERE len(norm) < 1),
+    lreb AS (
+      SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS clean,
+             COUNT(*) AS nkept
+      FROM lkept GROUP BY doc_id),
+    ltot AS (SELECT doc_id, COUNT(*) AS n FROM lsegs GROUP BY doc_id)
     SELECT 'exact' AS gate, CAST(doc_id AS VARCHAR) AS k,
            CAST(n_copies AS DOUBLE) AS val
     FROM (SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
@@ -1078,6 +1099,11 @@ _SIMHASH_ORACLE_SQL = f"""
            CAST(d.doc_id AS VARCHAR) || '#' || COALESCE(r.clean, ''),
            CAST(COALESCE(r.nk, 0) AS DOUBLE)
     FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    UNION ALL
+    SELECT 'linedup',
+           CAST(t.doc_id AS VARCHAR) || '#' || COALESCE(lr.clean, ''),
+           CAST(t.n - COALESCE(lr.nkept, 0) AS DOUBLE)
+    FROM ltot t LEFT JOIN lreb lr ON t.doc_id = lr.doc_id
     UNION ALL
     SELECT gate, k, val FROM (
       WITH RECURSIVE {_SHINGLES_SQL},
@@ -1120,7 +1146,16 @@ _SIMHASH_ORACLE_SQL = f"""
     "three from raw window STRINGS, so the gate also pins fingerprint "
     "grouping == content grouping on this corpus. The span output gates "
     "begin AND end per span; the excise arm hash-gates every document's "
-    "full cleaned text. 'dedup_rep'/'rep_split' arms (former "
+    "full cleaned text. 'linedup' arm (round 10): "
+    "operators/dedup.line_dedup — the C4/CCNet/RefinedWeb line-level "
+    "step between doc hashing and token spans: split on a separator, "
+    "cut every line whose normalized content repeats corpus-wide except "
+    "its first occurrence; one map-side-combinable groupBy on the "
+    "xxhash64 line key + one join back + per-doc regroup, no pair join "
+    "(the oracle regroups on the line STRINGS, pinning hash grouping == "
+    "content grouping). The gate splits on the literal token ' line ' "
+    "because the synthetic corpus has no newlines; production uses the "
+    "default \\n. 'dedup_rep'/'rep_split' arms (former "
     "q71 cluster-representatives gate, folded back in round 6 so the "
     "catalog "
     "fits the driver's 50-row correctness window): near-dup cluster "
@@ -1141,6 +1176,7 @@ def q29_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         duplicated_window_positions,
         exact_dedup,
         excise_duplicate_spans,
+        line_dedup,
         ngram_jaccard_pairs,
     )
     from .plans.mixing import leakage_safe_split
@@ -1203,6 +1239,17 @@ def q29_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k"),
         F.col("n_kept_tokens").cast("double").alias("val"),
     )
+    # line-level arm: the synthetic corpus has no newlines, so the gate
+    # splits on the literal token ' line ' (present throughout the
+    # word-soup text) — same regex-split semantics both engines;
+    # production callers pass the default sep=r"\n"
+    ld = line_dedup(docs, sep=" line ").select(
+        F.lit("linedup").alias("gate"),
+        F.concat_ws(
+            "#", F.col("doc_id").cast("string"), F.col("clean_text")
+        ).alias("k"),
+        F.col("n_cut_lines").cast("double").alias("val"),
+    )
     rep = rep_df.select(
         F.lit("dedup_rep").alias("gate"),
         F.col("doc_id").cast("string").alias("k"),
@@ -1216,7 +1263,13 @@ def q29_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(2.0)
         .alias("val"),
     )
-    return ex.unionByName(sp).unionByName(exc).unionByName(rep).unionByName(split)
+    return (
+        ex.unionByName(sp)
+        .unionByName(exc)
+        .unionByName(ld)
+        .unionByName(rep)
+        .unionByName(split)
+    )
 
 
 # Both Jaccard arms verify against the SAME exact pair set — the
@@ -1611,6 +1664,8 @@ def _ann_property_gate(emb, queries, ann, k: int, exact=None) -> DataFrame:
     SELECT 'lsh' AS gate, * FROM ({_ANN_ORACLE_SQL})
     UNION ALL
     SELECT 'ivf', * FROM ({_ANN_ORACLE_SQL})
+    UNION ALL
+    SELECT 'pq', * FROM ({_ANN_ORACLE_SQL})
     """,
     doc="ANN top-k suite as one tagged union (former q38/q54 gates, "
     "merged in round 6 so the catalog fits the driver's 50-row "
@@ -1629,23 +1684,40 @@ def _ann_property_gate(emb, queries, ann, k: int, exact=None) -> DataFrame:
     "partitions (self-retrieval holds because the query's own cell is "
     "always among the nprobe nearest centroids). The bench measures "
     "the ivf arm with a PREBUILT index (build billed separately as "
-    "extras.ann_ivf_build_sec). Absolute recall (0.38-0.54 on gaussian "
-    "synthetic data) stays pinned in tests/test_similarity.py where a "
+    "extras.ann_ivf_build_sec). 'pq' arm (round 10): product "
+    "quantization (Jégou et al. 2011) — the memory-bounded tier: "
+    "vectors split into 8 subspaces, each Lloyd-k-means'd to 16 codes "
+    "(exact-decimal means, deterministic); queries ADC-scan the CODES "
+    "table (m lookups/vector over a per-query LUT instead of d "
+    "multiplies; stored codes dictionary-encode to ~m·log2(n_codes) "
+    "bits/vector), partial top-R inside the Arrow scan, exact-decimal "
+    "re-rank of the R survivors ∪ the query's own id (faiss "
+    "IndexRefine idiom — makes self-retrieval structural, not "
+    "quantization-luck). LSH/IVF prune WHICH vectors are scored; PQ "
+    "shrinks WHAT a scan costs — at 100 TB they compose (codes "
+    "partitioned by IVF cell). Bench probes a PREBUILT codebook+codes "
+    "index (build billed as extras.ann_pq_build_sec). Absolute recall "
+    "(0.38-0.54 lsh/ivf on gaussian synthetic data; pq pinned ≥0.4 on "
+    "a clustered corpus) stays in tests/test_similarity.py where a "
     "corpus-dependent value belongs.",
 )
 def q38_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q38_suite_impl(spark, sf_dir)
 
 
-def q38_suite_impl(spark: SparkSession, sf_dir: str, ivf_index=None) -> DataFrame:
-    """q38 suite body with an optional prebuilt ``(centroids,
-    assignments)`` IVF index (``ivf_build_index(..., refine_iters=1)``
-    on the same corpus — the at-scale serving shape: build once at
-    ingest, probe per query batch). The bench passes the prebuilt index
-    and reports the build separately as extras.ann_ivf_build_sec, so
-    index construction is not billed to query latency (judge r3 task
-    1); the correctness gate keeps the inline-build path."""
-    from .operators.similarity import cosine_topk, lsh_cosine_topk
+def q38_suite_impl(
+    spark: SparkSession, sf_dir: str, ivf_index=None, pq_index=None
+) -> DataFrame:
+    """q38 suite body with optional prebuilt indexes: ``ivf_index`` =
+    (centroids, assignments) from ``ivf_build_index(...,
+    refine_iters=1)``, ``pq_index`` = (codebooks, codes) from
+    ``pq_build_index(..., m=8, n_codes=16, refine_iters=1)`` — the
+    at-scale serving shape: build once at ingest, probe per query
+    batch. The bench passes both prebuilt and reports the builds
+    separately (extras.ann_ivf_build_sec / ann_pq_build_sec), so index
+    construction is not billed to query latency (judge r3 task 1); the
+    correctness gate keeps the inline-build paths."""
+    from .operators.similarity import cosine_topk, lsh_cosine_topk, pq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -1663,7 +1735,17 @@ def q38_suite_impl(spark: SparkSession, sf_dir: str, ivf_index=None) -> DataFram
     ivf = _ivf_gate_impl(
         spark, sf_dir, index=ivf_index, emb=emb, queries=queries, exact=exact
     ).select(F.lit("ivf").alias("gate"), "*")
-    return lsh.unionByName(ivf)
+    pq = _ann_property_gate(
+        emb,
+        queries,
+        pq_topk(
+            emb, queries, k=5, m=8, n_codes=16, refine_iters=1,
+            index=pq_index,
+        ),
+        k=5,
+        exact=exact,
+    ).select(F.lit("pq").alias("gate"), "*")
+    return lsh.unionByName(ivf).unionByName(pq)
 
 
 # --- event-time windows (batch form of the streaming ops; the same
