@@ -1045,20 +1045,7 @@ def line_dedup(
     8-byte keys, not bodies (the q29 oracle regroups on the STRINGS,
     so the gate also pins hash grouping == content grouping).
     """
-    norm_of = (
-        F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " "))
-        if normalize
-        else F.col("line")
-    )
-    lines = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
-        )
-        .withColumn("_norm", norm_of)
-        .withColumn("_qual", F.length("_norm") >= min_chars)
-        .withColumn("_k", F.xxhash64("_norm"))
-    )
+    lines = _line_rows(docs, text_col, id_col, sep, min_chars, normalize)
     stats = (
         lines.filter("_qual")
         .groupBy("_k")
@@ -1077,6 +1064,43 @@ def line_dedup(
         .select("id", "pos", "line")
         .unionByName(lines.filter(~F.col("_qual")).select("id", "pos", "line"))
     )
+    return _rebuild_lines(lines, kept, id_col, joiner)
+
+
+def _line_rows(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str,
+    min_chars: int,
+    normalize: bool,
+) -> DataFrame:
+    """Shared explode stage of the line-dedup family → one row per
+    line: ``(id, pos, line, _qual, _k)`` where ``_k`` is the xxhash64
+    of the normalized content (the 8-byte shuffle/index key) and
+    ``_qual`` marks lines long enough to count toward duplication."""
+    norm_of = (
+        F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " "))
+        if normalize
+        else F.col("line")
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        )
+        .withColumn("_norm", norm_of)
+        .withColumn("_qual", F.length("_norm") >= min_chars)
+        .withColumn("_k", F.xxhash64("_norm"))
+        .drop("_norm")
+    )
+
+
+def _rebuild_lines(
+    lines: DataFrame, kept: DataFrame, id_col: str, joiner: str
+) -> DataFrame:
+    """Shared reassembly stage: surviving lines → one row per input
+    doc ``(id_col, clean_text, n_kept_lines, n_cut_lines)``."""
     rebuilt = kept.groupBy("id").agg(
         F.array_join(
             F.transform(
@@ -1101,6 +1125,130 @@ def line_dedup(
             .alias("n_cut_lines"),
         )
     )
+
+
+def line_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\n",
+    min_chars: int = 1,
+    normalize: bool = True,
+) -> DataFrame:
+    """The stored line-dedup index: one row per DISTINCT qualifying
+    line content → ``(lkey, n_occurrences, first_id, first_pos)`` —
+    the exact analogue of :func:`window_index` for the line family.
+    An incoming shard pays one equi-join against it instead of
+    re-splitting the corpus (:func:`line_dedup_incremental`)."""
+    rows = _line_rows(docs, text_col, id_col, sep, min_chars, normalize)
+    return (
+        rows.filter("_qual")
+        .groupBy(F.col("_k").alias("lkey"))
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.min(F.struct("id", "pos")).alias("_first"),
+        )
+        .select(
+            "lkey",
+            "n_occurrences",
+            F.col("_first.id").alias("first_id"),
+            F.col("_first.pos").alias("first_pos"),
+        )
+    )
+
+
+def line_dedup_incremental(
+    shard: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\n",
+    min_count: int = 2,
+    min_chars: int = 1,
+    normalize: bool = True,
+    joiner: str = "\n",
+) -> tuple[DataFrame, DataFrame]:
+    """Line-dedup an incoming SHARD against an already-indexed corpus →
+    ``(cleaned_shard, updated_index)`` — the line-family mirror of
+    :func:`excise_duplicate_spans_incremental`.
+
+    A shard line is cut iff its content already exists in the corpus
+    index (the corpus holds the canonical first occurrence — monotonic
+    doc ids across shards, same contract as every incremental path
+    here) or its total occurrence count (stored + within-shard)
+    reaches ``min_count`` and it is not the global first. With the
+    default ``min_count=2`` the decision reads index EXISTENCE only,
+    so an ingest loop may append just each batch's first-seen-line
+    DELTA and chained ingests equal the batch :func:`line_dedup`
+    restricted to each shard (equivalence-tested); for ``min_count >
+    2`` the decision reads the stored counts, so the loop must persist
+    the merged ``updated_index`` instead. ``sep`` / ``min_chars`` /
+    ``normalize`` must match the values the index was built with
+    (parameter drift shows up in ``audit_ingest_index`` as wholesale
+    key disagreement)."""
+    rows = _line_rows(shard, text_col, id_col, sep, min_chars, normalize)
+    qual = rows.filter("_qual")
+    joined = qual.join(
+        index.select(
+            F.col("lkey").alias("_k"),
+            F.col("n_occurrences").alias("_stored_n"),
+        ),
+        "_k",
+        "left",
+    )
+    w = W.partitionBy("_k")
+    marked = joined.select(
+        "id",
+        "pos",
+        "line",
+        "_stored_n",
+        F.count("*").over(w).alias("_scnt"),
+        F.min(F.struct("id", "pos")).over(w).alias("_sfirst"),
+    )
+    total = F.coalesce(F.col("_stored_n"), F.lit(0)) + F.col("_scnt")
+    is_global_first = F.col("_stored_n").isNull() & (
+        (F.col("_sfirst.id") == F.col("id"))
+        & (F.col("_sfirst.pos") == F.col("pos"))
+    )
+    kept = (
+        marked.filter(~((total >= min_count) & ~is_global_first))
+        .select("id", "pos", "line")
+        .unionByName(rows.filter(~F.col("_qual")).select("id", "pos", "line"))
+    )
+    cleaned = _rebuild_lines(rows, kept, id_col, joiner)
+    shard_index = (
+        qual.groupBy(F.col("_k").alias("lkey"))
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.min(F.struct("id", "pos")).alias("_first"),
+        )
+        .select(
+            "lkey",
+            "n_occurrences",
+            F.col("_first.id").alias("first_id"),
+            F.col("_first.pos").alias("first_pos"),
+        )
+    )
+    updated = (
+        index.unionByName(shard_index)
+        .groupBy("lkey")
+        .agg(
+            F.sum("n_occurrences").alias("n_occurrences"),
+            F.min(
+                F.struct(
+                    F.col("first_id").alias("id"),
+                    F.col("first_pos").alias("pos"),
+                )
+            ).alias("_first"),
+        )
+        .select(
+            "lkey",
+            "n_occurrences",
+            F.col("_first.id").alias("first_id"),
+            F.col("_first.pos").alias("first_pos"),
+        )
+    )
+    return cleaned, updated
 
 
 def dedup_representatives(

@@ -1,11 +1,12 @@
 """Continuous corpus ingest with near-dup gating (north-star
 extension): the streaming face of the incremental dedup family —
-all three families: MinHash (:func:`process_ingest_batch`), substring
-span-excision (:func:`process_ingest_batch_substring`) and semantic
+all four families: MinHash (:func:`process_ingest_batch`), substring
+span-excision (:func:`process_ingest_batch_substring`), line-level
+(:func:`process_ingest_batch_lines`) and semantic
 (:func:`process_ingest_batch_semantic`), each over its own stored
 index — band/cell-partition-pruned for MinHash/semantic,
-broadcast-semi-join-pruned for substring (window hashes scatter, so
-no content-based partition pruning is possible there).
+broadcast-semi-join-pruned for substring/line (content hashes
+scatter, so no content-based partition pruning is possible there).
 
 A crawl feed lands as files; each micro-batch is near-dup-checked
 against BOTH itself and everything accepted so far, survivors are
@@ -353,7 +354,7 @@ def _stored_prefix(
 ) -> DataFrame | None:
     """The stored prefix a (possibly replayed) batch decides against:
     everything at ``path`` EXCEPT the batch's own (possibly
-    half-written) partition — shared by all three ingest faces."""
+    half-written) partition — shared by all four ingest faces."""
     df = _read_if_exists(spark, path)
     if df is not None and "ingest_batch" in df.columns:
         df = df.filter(F.col("ingest_batch") != batch_id)
@@ -761,6 +762,148 @@ def ingest_dedup_stream_substring(
     return writer.start()
 
 
+def process_ingest_batch_lines(
+    batch: DataFrame,
+    batch_id: int,
+    accepted_dir: str,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\n",
+    min_chars: int = 1,
+    normalize: bool = True,
+    joiner: str = "\n",
+    metrics: bool = True,
+) -> None:
+    """The LINE face of the ingest loop (C4/CCNet/RefinedWeb
+    boilerplate removal as a continuous process): every doc lands in
+    the accepted corpus with repeated lines CUT — the corpus-wide
+    first occurrence survives — carrying ``clean_text`` /
+    ``n_kept_lines`` / ``n_cut_lines`` next to the original text.
+    Index = the :func:`operators.dedup.line_index` shape (lkey,
+    n_occurrences, first_id, first_pos); each batch appends only its
+    first-seen-line DELTA (min_count=2 decisions read existence +
+    first occurrence only, the same argument as the substring face's
+    delta index — stored ``n_occurrences`` is batch-local and
+    decisions never read it).
+
+    Same cost contract as the substring face: the stored index is
+    SCANNED once per batch and never shuffled (shard lkeys broadcast
+    into a semi-join prune feeding both the dedup join and the delta
+    anti-join); same idempotency/compaction/replay-manifest story as
+    every face. ``sep``/``min_chars``/``normalize`` must stay constant
+    across batches (drift shows in ``audit_ingest_index``)."""
+    from ..operators.dedup import line_dedup, line_dedup_incremental, line_index
+
+    _check_batch_id(batch_id)
+    spark = batch.sparkSession
+    stored_acc = _stored_prefix(spark, accepted_dir, batch_id)
+    stored_idx = _stored_prefix(spark, index_dir, batch_id)
+    input_fp = _input_fingerprint(batch, id_col)
+    if _was_compacted(stored_acc, batch_id) or _was_compacted(
+        stored_idx, batch_id
+    ):
+        _assert_true_replay(
+            spark, accepted_dir, "line", batch_id, batch, id_col, input_fp
+        )
+        return
+    t0 = time.time()
+    new = batch.select(id_col, text_col).persist()
+    kw = dict(sep=sep, min_chars=min_chars, normalize=normalize)
+    try:
+        if stored_idx is None:
+            cleaned = line_dedup(
+                new, text_col, id_col, joiner=joiner, **kw
+            )
+            delta = line_index(new, text_col, id_col, **kw)
+        else:
+            idx_sel = stored_idx.select(
+                "lkey", "n_occurrences", "first_id", "first_pos"
+            )
+            shard_lidx = line_index(
+                new, text_col, id_col, **kw
+            ).localCheckpoint(eager=True)
+            touched = idx_sel.join(
+                F.broadcast(shard_lidx.select("lkey")), "lkey", "left_semi"
+            ).localCheckpoint(eager=True)
+            cleaned, _ = line_dedup_incremental(
+                new, touched, text_col, id_col, joiner=joiner, **kw
+            )
+            delta = shard_lidx.join(
+                F.broadcast(touched.select("lkey")), "lkey", "left_anti"
+            )
+        accepted = (
+            batch.join(
+                cleaned.select(
+                    id_col, "clean_text", "n_kept_lines", "n_cut_lines"
+                ),
+                id_col,
+            )
+            .withColumn("src_batch", F.lit(int(batch_id)))
+            .withColumn("ingest_batch", F.lit(int(batch_id)))
+        )
+        accepted = accepted.localCheckpoint(eager=True)
+        delta_rows = (
+            delta.withColumn("src_batch", F.lit(int(batch_id)))
+            .withColumn("ingest_batch", F.lit(int(batch_id)))
+            .localCheckpoint(eager=True)
+        )
+        t1 = time.time()
+        writer_opts = {"partitionOverwriteMode": "dynamic"}
+        (
+            accepted.write.mode("overwrite")
+            .options(**writer_opts)
+            .partitionBy("ingest_batch")
+            .parquet(accepted_dir)
+        )
+        (
+            delta_rows.write.mode("overwrite")
+            .options(**writer_opts)
+            .partitionBy("ingest_batch")
+            .parquet(index_dir)
+        )
+        if metrics:
+            t2 = time.time()
+            _write_batch_metrics(
+                spark,
+                accepted_dir.rstrip("/") + "_metrics",
+                "line",
+                batch_id,
+                int(input_fp.split(":")[0]),
+                accepted.count(),  # nothing rejected: lines cut, docs kept
+                stored_idx is not None,
+                t1 - t0,
+                t2 - t1,
+                input_fp,
+            )
+    finally:
+        new.unpersist()
+
+
+def ingest_dedup_stream_lines(
+    stream_docs: DataFrame,
+    accepted_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    **kernel_kwargs,
+):
+    """Line-dedup counterpart of :func:`ingest_dedup_stream` — wire a
+    streaming document source into the line-excision ingest loop."""
+
+    def _dispatch(df: DataFrame, batch_id: int) -> None:
+        process_ingest_batch_lines(
+            df, batch_id, accepted_dir, index_dir, **kernel_kwargs
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(_dispatch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def compact_ingest_index(
     spark: SparkSession, path: str, keep_backup: bool = True
 ) -> str:
@@ -1060,6 +1203,9 @@ def audit_ingest_index(
     seed: int = 42,
     min_tokens: int = 50,
     assign: str = "arrow",
+    sep: str = r"\n",
+    min_chars: int = 1,
+    normalize: bool = True,
 ) -> dict:
     """Consistency audit ("fsck") for a stored ingest index against
     its accepted corpus — the stored index is DERIVED state (a pure
@@ -1143,6 +1289,20 @@ def audit_ingest_index(
         )
         stored_n = stored.select(
             F.col("wkey").alias("_k1"), F.lit(0).alias("_k2"),
+            F.struct("first_id", "first_pos").alias("_spayload"),
+        )
+    elif family == "line":
+        from ..operators.dedup import line_index
+
+        # same batch-local-counts argument as the substring face
+        derived = line_index(
+            accepted, text_col, id_col, sep, min_chars, normalize
+        ).select(
+            F.col("lkey").alias("_k1"), F.lit(0).alias("_k2"),
+            F.struct("first_id", "first_pos").alias("_payload"),
+        )
+        stored_n = stored.select(
+            F.col("lkey").alias("_k1"), F.lit(0).alias("_k2"),
             F.struct("first_id", "first_pos").alias("_spayload"),
         )
     else:

@@ -593,3 +593,56 @@ def test_line_dedup_first_occurrence_keeps(spark):
     }
     assert got2[0]["clean_text"] == "aa bb SEP cc dd"
     assert got2[1]["clean_text"] == "ee" and got2[1]["n_cut_lines"] == 1
+
+
+def test_line_dedup_incremental_matches_batch(spark):
+    """Chained per-shard line dedup against a stored line_index must
+    equal the batch line_dedup over the whole corpus restricted to
+    each shard (monotonic-id contract), and the merged updated index
+    must equal a fresh index over the union."""
+    from garden_net_backend_spark.operators.dedup import (
+        line_dedup,
+        line_dedup_incremental,
+        line_index,
+    )
+
+    shards = [
+        [(0, "nav bar\nalpha only"), (1, "beta only\nnav bar")],
+        [(10, "NAV  BAR\ngamma only\nfooter note"), (11, "footer note")],
+        [(20, "footer  NOTE\nnav bar\ndelta only")],
+    ]
+    schema = "doc_id long, text string"
+    all_docs = spark.createDataFrame(sum(shards, []), schema)
+    truth = {
+        r["doc_id"]: (r["clean_text"], r["n_cut_lines"])
+        for r in line_dedup(all_docs).collect()
+    }
+    assert truth[0][0] == "nav bar\nalpha only"       # firsts survive
+    assert truth[10] == ("gamma only\nfooter note", 1)
+    assert truth[11] == ("", 1)
+    assert truth[20] == ("delta only", 2)
+    idx = None
+    got = {}
+    for rows in shards:
+        shard = spark.createDataFrame(rows, schema)
+        if idx is None:
+            cleaned = line_dedup(shard)
+            idx = line_index(shard)
+        else:
+            cleaned, idx = line_dedup_incremental(shard, idx)
+        idx = idx.localCheckpoint(eager=True)
+        got.update(
+            (r["doc_id"], (r["clean_text"], r["n_cut_lines"]))
+            for r in cleaned.collect()
+        )
+    assert got == truth
+    # merged index == fresh index over the union
+    fresh = {
+        r["lkey"]: (r["n_occurrences"], r["first_id"], r["first_pos"])
+        for r in line_index(all_docs).collect()
+    }
+    merged = {
+        r["lkey"]: (r["n_occurrences"], r["first_id"], r["first_pos"])
+        for r in idx.collect()
+    }
+    assert merged == fresh

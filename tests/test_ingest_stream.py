@@ -984,3 +984,117 @@ def test_recover_ingest_swap(spark, feed):
             recover_ingest_swap(spark, acc)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_line_ingest_loop_matches_batch_dedup(spark):
+    """The LINE face of the ingest loop: chained per-batch ingests must
+    produce the same clean_text per doc as the batch line_dedup over
+    the whole corpus; the index appends only first-seen-line deltas;
+    replay and compaction preserve decisions; audit is clean."""
+    from garden_net_backend_spark.operators.dedup import line_dedup
+    from garden_net_backend_spark.streaming.ingest import (
+        audit_ingest_index,
+        compact_ingest_index,
+        ingest_dedup_stream_lines,
+        process_ingest_batch_lines,
+    )
+
+    batches = [
+        [(0, "nav bar\nalpha only", "crawl"), (1, "beta only\nnav bar", "crawl")],
+        [
+            (10, "NAV  BAR\ngamma only\nfooter note", "crawl"),
+            (11, "footer note", "crawl"),
+        ],
+        [(20, "footer  NOTE\nnav bar\ndelta only", "crawl")],
+    ]
+    schema = "doc_id long, text string, source string"
+    all_docs = spark.createDataFrame(sum(batches, []), schema)
+    truth = {
+        r["doc_id"]: r["clean_text"]
+        for r in line_dedup(all_docs.select("doc_id", "text")).collect()
+    }
+
+    def run(compact_after_1: bool):
+        work = tempfile.mkdtemp(prefix="line_ingest_")
+        acc, idx = f"{work}/acc", f"{work}/idx"
+        for b, rows in enumerate(batches):
+            process_ingest_batch_lines(
+                spark.createDataFrame(rows, schema), b, acc, idx
+            )
+            if compact_after_1 and b == 1:
+                compact_ingest_index(spark, idx)
+                compact_ingest_index(spark, acc)
+        got = {
+            r["doc_id"]: r["clean_text"]
+            for r in spark.read.parquet(acc).select("doc_id", "clean_text").collect()
+        }
+        return work, acc, idx, got
+
+    w1, acc, idx, got = run(False)
+    w2, _, _, got_c = run(True)
+    try:
+        assert got == truth
+        assert got_c == truth
+        # replay converges
+        process_ingest_batch_lines(
+            spark.createDataFrame(batches[1], schema), 1, acc, idx
+        )
+        after = {
+            r["doc_id"]: r["clean_text"]
+            for r in spark.read.parquet(acc).select("doc_id", "clean_text").collect()
+        }
+        assert after == truth
+        # delta appends: each line content indexed exactly once
+        idx_df = spark.read.parquet(idx)
+        assert idx_df.groupBy("lkey").count().filter(F.col("count") > 1).count() == 0
+        assert "src_batch" in idx_df.columns
+        fams = {
+            r["family"]
+            for r in spark.read.parquet(acc + "_metrics").select("family").collect()
+        }
+        assert fams == {"line"}
+        # offline fsck is clean; a planted bogus row shows as extra
+        rep = audit_ingest_index(spark, acc, idx, family="line")
+        assert rep["ok"], rep
+        spark.createDataFrame(
+            [(99999, 3, 0, 7, -1, -1)],
+            "lkey long, n_occurrences long, first_id long, first_pos int, "
+            "src_batch int, ingest_batch int",
+        ).write.mode("append").partitionBy("ingest_batch").parquet(idx)
+        rep = audit_ingest_index(spark, acc, idx, family="line")
+        assert not rep["ok"] and rep["n_extra"] >= 1
+        # streaming wiring smoke
+        feed = tempfile.mkdtemp(prefix="line_feed_")
+        try:
+            for i, rows in enumerate(batches):
+                with open(f"{feed}/f{i}.json", "w") as fh:
+                    for doc_id, text, src in rows:
+                        fh.write(json.dumps(
+                            {"doc_id": doc_id, "text": text, "source": src}
+                        ) + "\n")
+                t = time.time() - 30 + i
+                os.utime(f"{feed}/f{i}.json", (t, t))
+            work3 = tempfile.mkdtemp(prefix="line_stream_")
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .json(feed)
+            )
+            q = ingest_dedup_stream_lines(
+                stream, f"{work3}/acc", f"{work3}/idx", f"{work3}/ckpt"
+            )
+            q.awaitTermination(300)
+            assert q.exception() is None, q.exception()
+            got_s = {
+                r["doc_id"]: r["clean_text"]
+                for r in spark.read.parquet(f"{work3}/acc")
+                .select("doc_id", "clean_text")
+                .collect()
+            }
+            assert got_s == truth
+            shutil.rmtree(work3, ignore_errors=True)
+        finally:
+            shutil.rmtree(feed, ignore_errors=True)
+    finally:
+        shutil.rmtree(w1, ignore_errors=True)
+        shutil.rmtree(w2, ignore_errors=True)
