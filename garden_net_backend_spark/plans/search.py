@@ -204,17 +204,30 @@ def _range_seeds(
     # "hits if any, else nearest" folded into ONE lazy plan (the r6
     # verdict flagged the previous hits.limit(1).isEmpty() here — an
     # eager driver action PER RANGE TERM on the interactive path):
-    # tag hits priority 1 and the fallback priority 2, keep the rows
-    # at the global min priority via a broadcast semi-join on the
-    # 1-row min-priority aggregate (an equi-join — no BNLJ, so the
-    # assert_scalable_plan guardrail holds). The fallback aggregate now
-    # always runs, but it is one chromosome-pruned combinable min —
-    # cheaper than the driver-synchronized job it replaces.
-    tagged = hits.select("fragment", F.lit(1).alias("_p")).unionByName(
-        best.select("fragment", F.lit(2).alias("_p"))
+    # the fallback row is gated by an EMPTY-MARKER semi-join — a 1-row
+    # "hits came up empty" aggregate broadcast against the fallback
+    # side, with the union OUTSIDE the join. The earlier shape
+    # (min-priority semi-join ABOVE a union of both branches) never
+    # reached an optimizer fixpoint: semi-join-through-union pushdown
+    # and filter inference ping-pong, so every range term hit the
+    # maxIterations=100 wall and led the bench tail with a WARN
+    # (review r10; same cosmetic class as r9's WindowExec finding).
+    # Join keys are non-foldable empty strings (the q14/q45 constant
+    # trick) so the equality cannot fold to TRUE and degrade the
+    # BroadcastHashJoin into a BroadcastNestedLoopJoin. The fallback
+    # aggregate still always runs — one chromosome-pruned combinable
+    # min, cheaper than the driver-synchronized job it replaced.
+    marker = (
+        hits.agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") == 0)
+        .select(F.substring(F.col("_n").cast("string"), 1, 0).alias("_j"))
     )
-    mp = tagged.agg(F.min("_p").alias("_p"))
-    return tagged.join(F.broadcast(mp), "_p", "left_semi").select("fragment")
+    fallback = (
+        best.withColumn("_j", F.substring(F.col("fragment"), 1, 0))
+        .join(F.broadcast(marker), "_j", "left_semi")
+        .select("fragment")
+    )
+    return hits.unionByName(fallback)
 
 
 def pin_serving_adjacency(
