@@ -1612,7 +1612,26 @@ def pq_topk(
             .filter(F.col("rank") <= k)
             .select("query_id", F.col("_cid").alias(id_col), "adc", "rank")
         )
-    # self-membership union (corpus-member queries only)
+    return _pq_exact_rerank(
+        corpus, queries, top_r, k, id_col, vec_col, query_id_col,
+        query_vec_col,
+    )
+
+
+def _pq_exact_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    top_r: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """Shared PQ re-rank tail: ADC survivors ∪ the query's own id
+    (corpus-member queries — the IndexRefine idiom that makes
+    self-retrieval structural), exact-decimal cosine, per-query
+    top-k."""
     selfc = (
         queries.select(F.col(query_id_col).alias("query_id"))
         .join(
@@ -1647,4 +1666,133 @@ def pq_topk(
     wr = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(wr)).filter(
         F.col("rank") <= k
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    n_centroids: int = 32,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+    refine_iters: int = 1,
+    prefilter: int | None = None,
+    ivf_index: tuple[DataFrame, DataFrame] | None = None,
+    pq_index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF-PQ composition — the at-scale serving shape both tiers
+    point at: IVF prunes WHICH vectors are ADC-scored (only the
+    ``nprobe`` probed cells' members), PQ shrinks WHAT scoring a
+    member costs (m code lookups, not d multiplies). Store ``codes``
+    joined with ``assignments`` partitioned by ``centroid_id`` and a
+    query batch touches nprobe partitions of a code-compressed table —
+    the faiss IVFPQ layout, composed from the two indexes this module
+    already builds. Ends in the same exact-decimal re-rank ∪ self-id
+    as :func:`pq_topk`, so returned scores are exact and
+    self-retrieval is structural.
+
+    Candidate ADC scoring runs on the (query, member) join stream —
+    per-query LUT lookup inside one Arrow pass — so its cost is
+    Σ_q |probed members|, never the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    if prefilter is None:
+        prefilter = max(4 * k, k)
+    prefilter = max(prefilter, k)
+    centroids, assignments = (
+        ivf_index
+        if ivf_index is not None
+        else ivf_build_index(
+            corpus, n_centroids, id_col, vec_col, seed, refine_iters
+        )
+    )
+    codebooks, codes = (
+        pq_index
+        if pq_index is not None
+        else pq_build_index(
+            corpus, m, n_codes, id_col, vec_col, seed, refine_iters
+        )
+    )
+    cb = _pq_codebook_rows(codebooks)
+    m_eff = len(cb)
+    sub = len(cb[0][0])
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        raise ValueError("ivf_pq_topk: empty query frame")
+    qids = [r[query_id_col] for r in qrows]
+    Q = np.stack(
+        [np.asarray(r[query_vec_col], dtype=np.float64) for r in qrows]
+    )
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    lut = np.stack(
+        [
+            Q[:, j * sub : (j + 1) * sub] @ np.asarray(cb[j]).T
+            for j in range(m_eff)
+        ],
+        axis=1,
+    )
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    # nprobe nearest centroids per query (same shape as ivf_cosine_topk)
+    qc = (
+        queries.select(query_id_col, query_vec_col)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            "centroid_id",
+            cosine_similarity(
+                F.col(query_vec_col), F.col("centroid_vec")
+            ).alias("_cos"),
+        )
+    )
+    wp = W.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("centroid_id"))
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    cand_codes = (
+        probes.join(assignments, "centroid_id")
+        .select("query_id", id_col)
+        .join(codes.select(id_col, "codes"), id_col)
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf["codes"].values).astype(np.int64)
+            qi = np.array(
+                [qpos[int(q)] for q in pdf["query_id"].values], dtype=np.int64
+            )
+            s = np.zeros(len(pdf))
+            for j in range(m_eff):
+                s += lut[qi, j, C[:, j]]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].values,
+                    "_cid": pdf[id_col].values,
+                    "adc": s,
+                }
+            )
+
+    scored = ensure_min_partitions(cand_codes).mapInPandas(
+        _score, schema="query_id long, _cid long, adc double"
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("_cid"))
+    top_r = (
+        scored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= int(prefilter))
+        .select("query_id", "_cid", "adc")
+    )
+    return _pq_exact_rerank(
+        corpus, queries, top_r, k, id_col, vec_col, query_id_col,
+        query_vec_col,
     )

@@ -1175,3 +1175,52 @@ def test_pq_dim_and_sparse_codebook_guards(spark, pq_clustered):
     cb = pq_train_codebooks(pq_clustered, m=4, n_codes=8, refine_iters=0)
     with pytest.raises(ValueError, match="sparse"):
         _pq_codebook_rows(cb.filter(~((F.col("subspace") == 0) & (F.col("code") == 3))))
+
+
+def test_ivf_pq_topk_composition(spark, pq_clustered):
+    """IVF-PQ: probed-cell members ADC-scored, exact re-rank — valid
+    k rows, structural self-hit, exact returned scores, and recall no
+    worse than chance on the clustered fixture."""
+    from garden_net_backend_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build_index,
+        ivf_pq_topk,
+        pq_build_index,
+    )
+
+    queries = pq_clustered.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    nq = queries.count()
+    ivf_idx = ivf_build_index(pq_clustered, n_centroids=8, refine_iters=1)
+    ivf_idx = (ivf_idx[0], ivf_idx[1].localCheckpoint(eager=True))
+    pq_idx = pq_build_index(pq_clustered, m=8, n_codes=16, refine_iters=1)
+    pq_idx = (pq_idx[0], pq_idx[1].localCheckpoint(eager=True))
+    got = ivf_pq_topk(
+        pq_clustered, queries, k=5, nprobe=3,
+        ivf_index=ivf_idx, pq_index=pq_idx,
+    ).collect()
+    assert len(got) == 5 * nq
+    exact = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in cosine_topk(pq_clustered, queries, k=5).collect()
+    }
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert rows[0]["vec_id"] == q and abs(rows[0]["cosine"] - 1.0) < 1e-9
+        for r in rows:
+            key = (r["query_id"], r["vec_id"])
+            if key in exact:
+                assert r["cosine"] == exact[key]
+    recall = sum(1 for r in got if (r["query_id"], r["vec_id"]) in exact) / len(exact)
+    assert recall >= 0.4, recall
+    # determinism under repartition of both stored tables
+    got2 = ivf_pq_topk(
+        pq_clustered.repartition(9), queries, k=5, nprobe=3,
+        ivf_index=(ivf_idx[0], ivf_idx[1].repartition(5)),
+        pq_index=(pq_idx[0], pq_idx[1].repartition(7)),
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))

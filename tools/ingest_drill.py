@@ -29,6 +29,7 @@ from garden_net_backend_spark.session import get_session
 from garden_net_backend_spark.streaming.ingest import (
     compact_ingest_index,
     process_ingest_batch,
+    process_ingest_batch_lines,
     process_ingest_batch_substring,
 )
 
@@ -36,12 +37,18 @@ N_BATCHES = 8
 DOCS_PER_BATCH = 250
 DUP_FRACTION = 0.2  # of each batch duplicates an earlier batch's doc
 COMPACT_AFTER = 3  # compact index+corpus once this batch has landed
-FAMILY = "substring" if "--family=substring" in sys.argv else "minhash"
+FAMILY = "minhash"
+if "--family=substring" in sys.argv:
+    FAMILY = "substring"
+elif "--family=line" in sys.argv:
+    FAMILY = "line"
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "SCALING_RAW_INGEST.json"
-    if FAMILY == "minhash"
-    else "SCALING_RAW_INGEST_SUBSTRING.json",
+    {
+        "minhash": "SCALING_RAW_INGEST.json",
+        "substring": "SCALING_RAW_INGEST_SUBSTRING.json",
+        "line": "SCALING_RAW_INGEST_LINE.json",
+    }[FAMILY],
 )
 
 
@@ -60,11 +67,17 @@ def main() -> None:
         kw = dict(threshold=0.7, ngram=3, shingle="word",
                   num_hashes=64, bands=16)
         step = process_ingest_batch
-    else:
+    elif FAMILY == "substring":
         # the substring face: dup slots share a 50-word prefix with
         # batch 0's doc (≥ min_tokens), so those spans get excised
         kw = dict(min_tokens=20)
         step = process_ingest_batch_substring
+    else:
+        # the line face: the drill text has no newlines — treat every
+        # 'w'-boundary word group as one 'line' by splitting on spaces
+        # (every repeated 60-word doc then repeats line-wise)
+        kw = dict(sep=" ", min_chars=1)
+        step = process_ingest_batch_lines
     facts: dict = {
         "family": FAMILY,
         "n_batches": N_BATCHES,
