@@ -893,10 +893,13 @@ def window_index(
 ) -> DataFrame:
     """The stored substring-dedup index: one row per DISTINCT window
     fingerprint in the corpus → ``(wkey, n_occurrences, first_id,
-    first_pos)``. Write it partitioned by ``pmod(wkey, K)`` at ingest;
-    an incoming shard then pays one equi-join against it instead of
-    re-fingerprinting the corpus (see
-    :func:`excise_duplicate_spans_incremental`).
+    first_pos)``. An incoming shard pays one equi-join against it
+    instead of re-fingerprinting the corpus (see
+    :func:`excise_duplicate_spans_incremental`); the ingest loop
+    broadcast-semi-join-prunes the stored side to shard-touched keys
+    (a ``pmod(wkey, K)`` partition layout was once recommended here
+    and is retired: window hashes scatter uniformly, so no
+    content-based partition pruning is possible).
 
     Size: one 8-byte key + counts per distinct window ≈ corpus token
     count — the same order as any suffix-structure over the corpus,
@@ -1064,7 +1067,7 @@ def line_dedup(
         .select("id", "pos", "line")
         .unionByName(lines.filter(~F.col("_qual")).select("id", "pos", "line"))
     )
-    return _rebuild_lines(lines, kept, id_col, joiner)
+    return _rebuild_lines(docs, lines, kept, id_col, joiner)
 
 
 def _line_rows(
@@ -1097,10 +1100,19 @@ def _line_rows(
 
 
 def _rebuild_lines(
-    lines: DataFrame, kept: DataFrame, id_col: str, joiner: str
+    docs: DataFrame,
+    lines: DataFrame,
+    kept: DataFrame,
+    id_col: str,
+    joiner: str,
 ) -> DataFrame:
     """Shared reassembly stage: surviving lines → one row per input
-    doc ``(id_col, clean_text, n_kept_lines, n_cut_lines)``."""
+    doc ``(id_col, clean_text, n_kept_lines, n_cut_lines)``. Anchored
+    on the INPUT frame, not the exploded one: a NULL ``text`` explodes
+    to zero line rows, and anchoring on the explode silently dropped
+    such docs from the output — and therefore from the line ingest
+    face's accepted corpus (review r10 pass 2). NULL-text docs emit
+    ``("", 0, 0)``, same as empty docs."""
     rebuilt = kept.groupBy("id").agg(
         F.array_join(
             F.transform(
@@ -1111,7 +1123,9 @@ def _rebuild_lines(
         ).alias("clean_text"),
         F.count("*").alias("n_kept_lines"),
     )
-    totals = lines.groupBy("id").agg(F.count("*").alias("_n"))
+    totals = docs.select(F.col(id_col).alias("id")).join(
+        lines.groupBy("id").agg(F.count("*").alias("_n")), "id", "left"
+    )
     return (
         totals.join(rebuilt, "id", "left")
         .select(
@@ -1120,7 +1134,10 @@ def _rebuild_lines(
             F.coalesce("n_kept_lines", F.lit(0)).cast("long").alias(
                 "n_kept_lines"
             ),
-            (F.col("_n") - F.coalesce("n_kept_lines", F.lit(0)))
+            (
+                F.coalesce("_n", F.lit(0))
+                - F.coalesce("n_kept_lines", F.lit(0))
+            )
             .cast("long")
             .alias("n_cut_lines"),
         )
@@ -1215,7 +1232,7 @@ def line_dedup_incremental(
         .select("id", "pos", "line")
         .unionByName(rows.filter(~F.col("_qual")).select("id", "pos", "line"))
     )
-    cleaned = _rebuild_lines(rows, kept, id_col, joiner)
+    cleaned = _rebuild_lines(shard, rows, kept, id_col, joiner)
     shard_index = (
         qual.groupBy(F.col("_k").alias("lkey"))
         .agg(

@@ -1340,6 +1340,12 @@ def pq_train_codebooks(
     lineage flat."""
     d = _pq_dim(corpus, vec_col, m)
     sub = d // m
+    # degrade like ivf_build_index's limit(): a corpus smaller than
+    # n_codes trains one code per vector instead of crashing with an
+    # IndexError in the refine-loop rebuild (review r10 pass 2). The
+    # count is one build-time job — the build is an offline ingest
+    # step, never the query path.
+    n_codes = min(n_codes, corpus.count())
     subs = corpus.select(
         F.col(id_col).alias("_id"),
         F.posexplode(_pq_slices(vec_col, m, sub)).alias("subspace", "sub_vec"),

@@ -317,25 +317,38 @@ def _assert_true_replay(
                 )
             return
     # fallback: overlap of input ids with the rows the original batch
-    # durably wrote (any ingest_batch — the live partition also counts)
-    stored = _read_if_exists(spark, accepted_dir)
-    overlap = (
-        stored is not None
-        and "src_batch" in stored.columns
-        and bool(
-            stored.filter(F.col("src_batch") == batch_id)
-            .join(batch.select(F.col(id_col)), id_col, "left_semi")
-            .take(1)
-        )
+    # durably wrote (any ingest_batch — the live partition also counts).
+    # mergeSchema: this read's correctness depends on seeing src_batch
+    # even on a mixed-era corpus (the _read_if_exists docstring's own
+    # rule — without it a genuine replay on a mixed-era dir read the
+    # column as absent and raised, wedging the stream; review r10
+    # pass 2)
+    stored = _read_if_exists(spark, accepted_dir, merge_schema=True)
+    scope = None
+    if stored is not None and "src_batch" in stored.columns:
+        scope = stored.filter(F.col("src_batch") == batch_id)
+        if not scope.take(1):
+            # pre-manifest compaction flattened the batch's provenance
+            # to the -1 sentinel: no per-batch scope exists, so degrade
+            # to the whole corpus — weaker discrimination (a colliding
+            # campaign reusing doc ids can slip through), but the only
+            # alternative is raising on every GENUINE replay of
+            # pre-upgrade data, a permanent wedge. Post-upgrade batches
+            # always have the metrics manifest or real src_batch rows.
+            scope = stored
+    elif stored is not None:
+        scope = stored
+    overlap = scope is not None and bool(
+        scope.join(batch.select(F.col(id_col)), id_col, "left_semi").take(1)
     )
     if not overlap and batch.take(1):
         raise ValueError(
             f"ingest: batch {batch_id} is already compacted into "
-            f"{accepted_dir!r} (src_batch={batch_id} rows exist) but NONE "
-            "of this batch's input ids appear among them, and no metrics "
-            "manifest is available to verify a replay. Refusing to no-op "
-            "what looks like a batch-id collision — see the module "
-            "docstring's single-writer/checkpoint contract."
+            f"{accepted_dir!r} but NONE of this batch's input ids appear "
+            "in the stored corpus, and no metrics manifest is available "
+            "to verify a replay. Refusing to no-op what looks like a "
+            "batch-id collision — see the module docstring's "
+            "single-writer/checkpoint contract."
         )
 
 
@@ -499,12 +512,12 @@ def process_ingest_batch(
     # compacted: with only the index folded, the ingest_batch filter no
     # longer excludes the batch's own bands and every doc would
     # self-match as a "stored" dup (review r10)
-    input_fp = _input_fingerprint(batch, id_col)
     if _was_compacted(stored_docs, batch_id) or _was_compacted(
         stored_bands, batch_id
     ):
         _assert_true_replay(
-            spark, accepted_dir, "minhash", batch_id, batch, id_col, input_fp
+            spark, accepted_dir, "minhash", batch_id, batch, id_col,
+            _input_fingerprint(batch, id_col),
         )
         return
     t0 = time.time()
@@ -565,6 +578,10 @@ def process_ingest_batch(
         )
         if metrics:
             t2 = time.time()
+            # fingerprint from the PERSISTED projection — the manifest
+            # must never cost an extra source scan, and is skipped
+            # entirely with metrics=False (review r10 pass 2)
+            input_fp = _input_fingerprint(new, id_col)
             _write_batch_metrics(
                 spark,
                 accepted_dir.rstrip("/") + "_metrics",
@@ -644,13 +661,12 @@ def process_ingest_batch_substring(
     # either-side check: an index-compacted replay would read its own
     # windows as "in corpus" and durably excise every doc's accepted
     # text to empty (review r10 — confirmed by repro)
-    input_fp = _input_fingerprint(batch, id_col)
     if _was_compacted(stored_acc, batch_id) or _was_compacted(
         stored_idx, batch_id
     ):
         _assert_true_replay(
             spark, accepted_dir, "substring", batch_id, batch, id_col,
-            input_fp,
+            _input_fingerprint(batch, id_col),
         )
         return
     t0 = time.time()
@@ -701,11 +717,23 @@ def process_ingest_batch_substring(
         # partitions of (cleaned/delta ← index_dir) — pin the
         # batch-sized frames before any overwrite
         accepted = accepted.localCheckpoint(eager=True)
-        delta_rows = (
-            delta.withColumn("src_batch", F.lit(int(batch_id)))
-            .withColumn("ingest_batch", F.lit(int(batch_id)))
-            .localCheckpoint(eager=True)
-        )
+        # upgrade compat: an index written before the wbucket layout
+        # column was retired has ingest_batch=N/wbucket=K/ leaf dirs —
+        # appending a wbucket-less partition next to them makes Spark's
+        # partition discovery throw CONFLICTING_PARTITION_COLUMN_NAMES
+        # on every subsequent read, permanently wedging the stream
+        # (review r10 pass 2). Keep writing the column (decisions never
+        # read it) whenever the stored index already carries it.
+        delta_rows = delta.withColumn(
+            "src_batch", F.lit(int(batch_id))
+        ).withColumn("ingest_batch", F.lit(int(batch_id)))
+        idx_part_cols = ["ingest_batch"]
+        if stored_idx is not None and "wbucket" in stored_idx.columns:
+            delta_rows = delta_rows.withColumn(
+                "wbucket", F.pmod(F.col("wkey"), F.lit(64)).cast("int")
+            )
+            idx_part_cols.append("wbucket")
+        delta_rows = delta_rows.localCheckpoint(eager=True)
         t1 = time.time()
         writer_opts = {"partitionOverwriteMode": "dynamic"}
         (
@@ -717,11 +745,12 @@ def process_ingest_batch_substring(
         (
             delta_rows.write.mode("overwrite")
             .options(**writer_opts)
-            .partitionBy("ingest_batch")
+            .partitionBy(*idx_part_cols)
             .parquet(index_dir)
         )
         if metrics:
             t2 = time.time()
+            input_fp = _input_fingerprint(new, id_col)
             _write_batch_metrics(
                 spark,
                 accepted_dir.rstrip("/") + "_metrics",
@@ -799,12 +828,12 @@ def process_ingest_batch_lines(
     spark = batch.sparkSession
     stored_acc = _stored_prefix(spark, accepted_dir, batch_id)
     stored_idx = _stored_prefix(spark, index_dir, batch_id)
-    input_fp = _input_fingerprint(batch, id_col)
     if _was_compacted(stored_acc, batch_id) or _was_compacted(
         stored_idx, batch_id
     ):
         _assert_true_replay(
-            spark, accepted_dir, "line", batch_id, batch, id_col, input_fp
+            spark, accepted_dir, "line", batch_id, batch, id_col,
+            _input_fingerprint(batch, id_col),
         )
         return
     t0 = time.time()
@@ -864,6 +893,7 @@ def process_ingest_batch_lines(
         )
         if metrics:
             t2 = time.time()
+            input_fp = _input_fingerprint(new, id_col)
             _write_batch_metrics(
                 spark,
                 accepted_dir.rstrip("/") + "_metrics",
@@ -1448,13 +1478,12 @@ def process_ingest_batch_semantic(
             "rebuild_semantic_assignments (re-derives the table AND "
             "stamps its fingerprint)."
         )
-    input_fp = _input_fingerprint(batch, id_col)
     if _was_compacted(stored_docs, batch_id) or _was_compacted(
         stored_assign, batch_id
     ):
         _assert_true_replay(
             spark, accepted_dir, "semantic", batch_id, batch, id_col,
-            input_fp,
+            _input_fingerprint(batch, id_col),
         )
         return
     t0 = time.time()
@@ -1520,6 +1549,7 @@ def process_ingest_batch_semantic(
             _write_small_text(spark, fp_path, fp)
         if metrics:
             t2 = time.time()
+            input_fp = _input_fingerprint(new, id_col)
             _write_batch_metrics(
                 spark,
                 accepted_dir.rstrip("/") + "_metrics",

@@ -646,3 +646,33 @@ def test_line_dedup_incremental_matches_batch(spark):
         for r in idx.collect()
     }
     assert merged == fresh
+
+
+def test_line_dedup_null_text_docs_survive(spark):
+    """Review r10: a NULL text explodes to zero lines — the doc must
+    still emit its output row ('', 0, 0), not vanish (the ingest face
+    inner-joins on the output, so a dropped row is silent data loss)."""
+    from garden_net_backend_spark.operators.dedup import (
+        line_dedup,
+        line_dedup_incremental,
+        line_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "nav bar\nalpha"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[1]["clean_text"] == "" and got[1]["n_kept_lines"] == 0
+    assert got[1]["n_cut_lines"] == 0
+    # incremental face: same contract
+    idx = line_index(docs).localCheckpoint(eager=True)
+    shard = spark.createDataFrame(
+        [(10, None), (11, "nav  bar\nfresh")], "doc_id long, text string"
+    )
+    cleaned, _ = line_dedup_incremental(shard, idx)
+    got2 = {r["doc_id"]: r for r in cleaned.collect()}
+    assert set(got2) == {10, 11}
+    assert got2[10]["clean_text"] == "" and got2[10]["n_cut_lines"] == 0
+    assert got2[11]["clean_text"] == "fresh" and got2[11]["n_cut_lines"] == 1

@@ -1098,3 +1098,111 @@ def test_line_ingest_loop_matches_batch_dedup(spark):
     finally:
         shutil.rmtree(w1, ignore_errors=True)
         shutil.rmtree(w2, ignore_errors=True)
+
+
+def test_substring_old_wbucket_layout_upgrade_compat(spark):
+    """Review r10: an index written before the wbucket layout column
+    was retired must keep working mid-stream after an upgrade — a
+    wbucket-less delta next to wbucket'd partitions would make every
+    subsequent partition-discovery read throw
+    CONFLICTING_PARTITION_COLUMN_NAMES, permanently wedging the
+    stream. The face keeps writing the (never-read) column whenever
+    the stored index carries it."""
+    from garden_net_backend_spark.operators.dedup import excise_duplicate_spans
+    from garden_net_backend_spark.streaming.ingest import (
+        process_ingest_batch_substring,
+    )
+
+    span = [f"zz{j:02d}" for j in range(6)]
+
+    def mk(i, pre):
+        return (
+            i,
+            " ".join([f"w{i}a{j}" for j in range(pre)] + span),
+            "crawl",
+        )
+
+    schema = "doc_id long, text string, source string"
+    b0 = spark.createDataFrame([mk(0, 3), mk(1, 4)], schema)
+    b1 = spark.createDataFrame([mk(10, 5), mk(11, 2)], schema)
+    kw = dict(min_tokens=5, seed=7)
+    work = tempfile.mkdtemp(prefix="wbucket_compat_")
+    acc, idx = f"{work}/acc", f"{work}/idx"
+    try:
+        process_ingest_batch_substring(b0, 0, acc, idx, **kw)
+        # rewrite the stored index in the OLD layout (wbucket leaf dirs)
+        old = (
+            spark.read.parquet(idx)
+            .withColumn("wbucket", (F.pmod(F.col("wkey"), F.lit(64))).cast("int"))
+            .withColumn("ingest_batch", F.lit(0))
+        )
+        tmp = f"{work}/idx_old"
+        old.write.partitionBy("ingest_batch", "wbucket").parquet(tmp)
+        shutil.rmtree(idx)
+        shutil.move(tmp, idx)
+        # upgrade-era batch: must not wedge, and decisions must match
+        # the whole-corpus batch excision
+        process_ingest_batch_substring(b1, 1, acc, idx, **kw)
+        idx_df = spark.read.parquet(idx)  # partition discovery still OK
+        assert "wbucket" in idx_df.columns
+        truth = {
+            r["doc_id"]: r["clean_text"]
+            for r in excise_duplicate_spans(
+                spark.createDataFrame([mk(0, 3), mk(1, 4), mk(10, 5), mk(11, 2)], schema)
+                .select("doc_id", "text"),
+                **kw,
+            ).collect()
+        }
+        got = {
+            r["doc_id"]: r["clean_text"]
+            for r in spark.read.parquet(acc).select("doc_id", "clean_text").collect()
+        }
+        assert got == truth
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_replay_fallback_survives_pre_manifest_corpus(spark, feed):
+    """Review r10: with the metrics manifest gone AND the corpus
+    provenance flattened to the -1 sentinel (pre-manifest compaction),
+    a GENUINE replay must degrade to the whole-corpus overlap check
+    and no-op — not raise and wedge the stream; a fresh-id collision
+    still raises."""
+    from garden_net_backend_spark.streaming.ingest import compact_ingest_index
+
+    docs = spark.read.schema("doc_id long, text string, source string").json(feed)
+    f0 = docs.filter(F.col("doc_id") < 2)
+    f1 = docs.filter(F.col("doc_id").between(2, 4))
+    fresh = spark.createDataFrame(
+        [(100, " ".join(f"qq{j:02d}" for j in range(40)), "crawl")],
+        "doc_id long, text string, source string",
+    )
+    work = tempfile.mkdtemp(prefix="premanifest_")
+    acc, idx = f"{work}/acc", f"{work}/idx"
+    try:
+        process_ingest_batch(f0, 0, acc, idx, **KW)
+        process_ingest_batch(f1, 1, acc, idx, **KW)
+        compact_ingest_index(spark, acc)
+        compact_ingest_index(spark, idx)
+        shutil.rmtree(acc + "_metrics")
+        # flatten corpus provenance to the sentinel (pre-manifest era)
+        flat = spark.read.parquet(acc).withColumn(
+            "src_batch", F.lit(-1)
+        ).withColumn("ingest_batch", F.lit(-1))
+        tmp = f"{work}/acc_flat"
+        flat.write.partitionBy("ingest_batch").parquet(tmp)
+        shutil.rmtree(acc)
+        shutil.move(tmp, acc)
+        before = sorted(
+            r["doc_id"] for r in spark.read.parquet(acc).select("doc_id").collect()
+        )
+        # genuine replay: corroborated by whole-corpus id overlap → no-op
+        process_ingest_batch(f1, 1, acc, idx, **KW)
+        assert sorted(
+            r["doc_id"] for r in spark.read.parquet(acc).select("doc_id").collect()
+        ) == before
+        # collision with ids absent from the corpus still raises
+        with pytest.raises(ValueError, match="collision"):
+            process_ingest_batch(fresh, 1, acc, idx, **KW)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1224,3 +1224,30 @@ def test_ivf_pq_topk_composition(spark, pq_clustered):
         pq_index=(pq_idx[0], pq_idx[1].repartition(7)),
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+
+
+def test_pq_small_corpus_degrades_codebook(spark):
+    """Review r10: a corpus smaller than n_codes must train one code
+    per vector (the ivf limit() analogue), not IndexError in the
+    refine rebuild."""
+    import numpy as np
+
+    from garden_net_backend_spark.operators.similarity import (
+        pq_build_index,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(6):
+        v = rng.standard_normal(16)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    tiny = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb, codes = pq_build_index(tiny, m=4, n_codes=16, refine_iters=2)
+    per_sub = cb.groupBy("subspace").count().collect()
+    assert all(r["count"] == 6 for r in per_sub)  # shrunk to corpus size
+    queries = tiny.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = pq_topk(tiny, queries, k=3, index=(cb, codes)).collect()
+    assert len(got) == 6  # 2 queries x k=3
