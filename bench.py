@@ -60,11 +60,84 @@ from garden_net_backend_spark.session import get_session
 _COUNT_ONLY_ABOVE = 100_000
 _TOTAL_BUDGET_SEC = 600.0  # the interleaved passes stop refining
 # once spent (keeps the driver's bench step bounded under sibling load)
-_QUIET_LOAD = 4.0  # 1-min loadavg below this counts as a quiet host
+_QUIET_LOAD = 4.0  # SIBLING busy cores below this counts as a quiet host
 _QUIET_WAIT_BUDGET_SEC = 420.0  # max total time spent WAITING for quiet
 # (observed: sibling bursts of loadavg 10-30 lasting several minutes,
 # with sub-minute quiet dips between them — a short budget exhausts
 # before the first dip; 7 min spans a burst)
+_SIBLING_WINDOW_SEC = 0.25  # per-sample sibling-load measurement window
+
+
+def _host_cpu_jiffies() -> tuple[float, float]:
+    """(total, idle+iowait) jiffies from /proc/stat's aggregate line."""
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    return float(sum(vals)), float(idle)
+
+
+def _subtree_cpu_jiffies() -> float:
+    """utime+stime jiffies summed over THIS process and all its
+    descendants (the Spark JVM and the Python/Arrow worker pool are
+    children of the bench driver) — one /proc walk."""
+    procs: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat", "rb") as fh:
+                raw = fh.read().decode("ascii", "replace")
+        except OSError:
+            continue  # pid exited mid-walk
+        rp = raw.rsplit(")", 1)  # comm may contain spaces/parens
+        if len(rp) != 2:
+            continue
+        fields = rp[1].split()
+        try:
+            procs[int(d)] = (int(fields[1]), int(fields[11]) + int(fields[12]))
+        except (IndexError, ValueError):
+            continue
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, stack, seen = 0, [os.getpid()], set()
+    while stack:
+        p = stack.pop()
+        if p in seen or p not in procs:
+            continue
+        seen.add(p)
+        total += procs[p][1]
+        stack.extend(kids.get(p, []))
+    return float(total)
+
+
+def _sibling_busy_cores(window: float = _SIBLING_WINDOW_SEC) -> float:
+    """Busy CPU cores on the host NOT attributable to this bench's own
+    process tree, measured over a short window: Δ(host busy jiffies) −
+    Δ(own-subtree jiffies), core-normalized. This replaces the 1-min
+    loadavg as the hot-host signal (judge r10 task 8): loadavg decays
+    over ~a minute, so on a 32-core host the bench's OWN previous
+    query kept every subsequent sample's reading above the quiet
+    threshold — 40/50 r10 best samples were flagged "hot" by
+    self-load. Sibling cores read ~0 between queries on a quiet host
+    and spike only on real sibling-container bursts, which is exactly
+    the contamination the flag exists to attribute. Falls back to the
+    old loadavg signal if /proc parsing ever fails."""
+    try:
+        tick = float(os.sysconf("SC_CLK_TCK"))
+        total0, idle0 = _host_cpu_jiffies()
+        own0 = _subtree_cpu_jiffies()
+        w0 = time.monotonic()
+        time.sleep(window)
+        total1, idle1 = _host_cpu_jiffies()
+        own1 = _subtree_cpu_jiffies()
+        w = max(time.monotonic() - w0, 1e-3)
+        busy = ((total1 - total0) - (idle1 - idle0)) / tick / w
+        own = max(0.0, (own1 - own0) / tick / w)
+        return max(0.0, busy - own)
+    except Exception:
+        return float(os.getloadavg()[0])
 _DETAIL_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
 )
@@ -90,9 +163,13 @@ BENCH_NOTES = {
     "network) it is SLOWER than the plain bucketed path — the seed "
     "collect + literal-probe overhead exceeds the scan it prunes on a "
     "corpus this small; its win is scale-invariance (10x corpus: "
-    "1.2-1.9x vs 3.1-3.8x unpinned, SCALING.md serving section). A "
-    "deployment picks per corpus size; both paths are output-identical "
-    "(equivalence-tested).",
+    "1.2-1.9x vs 3.1-3.8x unpinned, SCALING.md serving section). "
+    "Round 11 (judge r10 task 6): search_subnetwork's pin_policy="
+    "'auto' now makes that choice IN CODE from the pinned frame's "
+    "memoized row count vs the measured crossover "
+    "(_PINNED_SYM_CROSSOVER_ROWS); this extra passes pin_policy="
+    "'force' because it exists to measure the index path itself. Both "
+    "paths are output-identical (equivalence-tested).",
     "q29_content_dedup": "suite = r5 q29 (exact dedup + span/excise "
     "arms) + former q71 cluster-representative arms, incl. their "
     "inherently-eager connected-components solve (pair-join eval + "
@@ -114,7 +191,13 @@ BENCH_NOTES = {
     "Round 10 adds the 'pq' arm (product quantization, prebuilt "
     "codebooks+codes billed as extras.ann_pq_build_sec): expect "
     "~+1-2s structural for the ADC scan + exact re-rank + its "
-    "property-gate rescoring.",
+    "property-gate rescoring. Round 11 adds the 'ivfpq' arm "
+    "(ivf_pq_topk — the composed faiss-IVFPQ serving layout, judge "
+    "r10 task 1) reusing BOTH prebuilt indexes: expect ~+1-1.5s "
+    "structural (probe window + probed-member ADC join-scan + re-rank "
+    "+ gate rescoring; no new build cost). The PQ codebook build "
+    "itself switched to a matmul-identity argmin (r10 task 7) — "
+    "expect ann_pq_build_sec DOWN materially from 16.3s.",
     "q56_embedding_dup_suite": "suite = exact cosine near-dup + "
     "former q57 LSH-blocked arm (avalanche-hashed hyperplanes per the "
     "100x drill fix) + round-8 semdedup arm + round-9 seminc arm "
@@ -141,14 +224,19 @@ BENCH_NOTES = {
     "one deg pass (structural costs pinned by the r5 drill); round 8: "
     "forks off the shared family build — headline times the ~8 bundle "
     "aggregates only",
-    "_hot_load_caveat": "hot_load_at_best reads the 1-min loadavg "
-    "sampled IMMEDIATELY BEFORE the best sample; on a 32-core host the "
-    "bench's own previous query keeps that above the 4.0 quiet "
-    "threshold for most of the run, so a large _n_hot_best does NOT "
-    "by itself mean sibling-load contamination — cross-read with the "
-    "total: self-load inflates the attribution count, not the "
-    "timings. True sibling bursts show as loadavg >> cpus/4 plus a "
-    "total far above the committed quiet record.",
+    "_hot_load_caveat": "round 11 (judge r10 task 8): hot_load_at_best "
+    "now reads SIBLING busy cores (host CPU minus this bench's own "
+    "process tree, over a 0.25s window sampled immediately before the "
+    "best sample — bench._sibling_busy_cores) instead of the 1-min "
+    "loadavg, which the bench's OWN previous query kept above the "
+    "quiet threshold for most of an r10 run (40/50 best samples "
+    "flagged hot by self-load). The signal reads ~0 between queries "
+    "on a quiet host and spikes only on real sibling-container "
+    "bursts, so _n_hot_best now MEANS contamination; the quiet-pass "
+    "wait gate uses the same signal, so the wait budget is no longer "
+    "spent on our own loadavg residue. Not comparable numerically "
+    "with pre-r11 hot_load values (different unit: busy cores, not "
+    "loadavg).",
     "q45_scalar_misc": "round 10 (advisor r9 honesty fix): the round-9 "
     "memo cached arm frames built on a lazily-localCheckpoint-ed "
     "documents scan, so samples after the first read sample 1's cached "
@@ -335,7 +423,7 @@ def main() -> None:
     loads: dict[str, list[float]] = {name: [] for name in runners}
 
     def sample(name) -> None:
-        loads[name].append(round(os.getloadavg()[0], 1))
+        loads[name].append(round(_sibling_busy_cores(), 1))
         samples[name].append(run_once(runners[name]))
 
     for name in runners:
@@ -374,12 +462,14 @@ def main() -> None:
             # the min itself ran quiet — trustworthy, don't rerun
             quiet[name] = min(samples[name])
             continue
-        while os.getloadavg()[0] >= _QUIET_LOAD and wait_left > 0:
+        sib = _sibling_busy_cores()
+        while sib >= _QUIET_LOAD and wait_left > 0:
             step = min(5.0, wait_left)
             time.sleep(step)
             wait_left -= step
-        if os.getloadavg()[0] < _QUIET_LOAD:
-            loads[name].append(round(os.getloadavg()[0], 1))
+            sib = _sibling_busy_cores()
+        if sib < _QUIET_LOAD:
+            loads[name].append(round(sib, 1))
             t = run_once(runners[name])
             samples[name].append(t)
             quiet[name] = t
@@ -450,7 +540,8 @@ def main() -> None:
         for _ in range(3):
             t0 = time.time()
             sub_nodes, _sub_edges = search_subnetwork(
-                bnodes, edges, "GENE12", token_index=btokens, pinned_sym=sym
+                bnodes, edges, "GENE12", token_index=btokens,
+                pinned_sym=sym, pin_policy="force",
             )
             sub_nodes.select("fragment", "type", "searched", "degree").collect()
             pinned_samples.append(round(time.time() - t0, 3))
@@ -478,14 +569,14 @@ def main() -> None:
     hot_at_best = {
         n: l for n, l in load_at_best.items() if l >= _QUIET_LOAD
     }
-    extras["loadavg_at_best"] = load_at_best
+    extras["sibling_load_at_best"] = load_at_best
 
     # attribution notes for round-over-round diffs (kept with the
     # numbers so a regression reader sees the cause next to the effect)
     extras["notes"] = BENCH_NOTES
     detail = {
         "samples": samples,
-        "loadavg_1m_before_sample": loads,
+        "sibling_cores_before_sample": loads,
         "quiet_sample": quiet,
         "extras": extras,
         "sf": sf,

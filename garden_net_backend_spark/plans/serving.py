@@ -110,6 +110,7 @@ def serve_search(
     ensembl2name: DataFrame | None = None,
     token_index: DataFrame | None = None,
     pinned_sym: DataFrame | None = None,
+    pin_policy: str = "auto",
 ) -> tuple[str, bool]:
     """One HTTP search request, memoized: (cytoscape JSON, was_hit).
 
@@ -135,6 +136,7 @@ def serve_search(
         nearest=nearest,
         token_index=token_index,
         pinned_sym=pinned_sym,
+        pin_policy=pin_policy,
     )
     from pyspark.sql import functions as F
 

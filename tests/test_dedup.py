@@ -676,3 +676,52 @@ def test_line_dedup_null_text_docs_survive(spark):
     assert set(got2) == {10, 11}
     assert got2[10]["clean_text"] == "" and got2[10]["n_cut_lines"] == 0
     assert got2[11]["clean_text"] == "fresh" and got2[11]["n_cut_lines"] == 1
+
+
+def test_q29_linedup_oracle_pins_null_text_contract(spark):
+    """ADVICE r10: the q29 linedup oracle arm now anchors on the
+    documents frame (LEFT JOIN to the split/rebuild CTEs), so a
+    NULL-text document produces the SAME ('id#', 0) row on both sides
+    — the driver corpus has no NULL text, so this pins the contract on
+    an adversarial frame the gate itself never sees."""
+    import duckdb
+
+    from garden_net_backend_spark.operators.dedup import line_dedup
+    from garden_net_backend_spark.queries import CATALOG
+
+    rows = [
+        (0, "alpha beta line nav bar line tail words"),
+        (1, None),
+        (2, "nav bar line fresh content"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    engine = {
+        (r["k"], r["val"])
+        for r in line_dedup(docs, sep=" line ")
+        .select(
+            F.concat_ws(
+                "#", F.col("doc_id").cast("string"), F.col("clean_text")
+            ).alias("k"),
+            F.col("n_cut_lines").cast("double").alias("val"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {'NULL' if t is None else repr(t)})" for i, t in rows
+        )
+        + ") AS t(doc_id, text)"
+    )
+    oracle = {
+        (k, v)
+        for g, k, v in con.execute(
+            CATALOG["q29_content_dedup"].oracle_sql
+        ).fetchall()
+        if g == "linedup"
+    }
+    assert engine == oracle
+    assert ("1#", 0.0) in engine  # the NULL-text row exists on BOTH sides
+    assert ("3#", 0.0) in engine

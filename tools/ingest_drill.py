@@ -29,6 +29,7 @@ from garden_net_backend_spark.session import get_session
 from garden_net_backend_spark.streaming.ingest import (
     compact_ingest_index,
     process_ingest_batch,
+    process_ingest_batch_curation,
     process_ingest_batch_lines,
     process_ingest_batch_substring,
 )
@@ -42,12 +43,15 @@ if "--family=substring" in sys.argv:
     FAMILY = "substring"
 elif "--family=line" in sys.argv:
     FAMILY = "line"
+elif "--family=curation" in sys.argv:
+    FAMILY = "curation"
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     {
         "minhash": "SCALING_RAW_INGEST.json",
         "substring": "SCALING_RAW_INGEST_SUBSTRING.json",
         "line": "SCALING_RAW_INGEST_LINE.json",
+        "curation": "SCALING_RAW_INGEST_CURATION.json",
     }[FAMILY],
 )
 
@@ -72,12 +76,27 @@ def main() -> None:
         # batch 0's doc (≥ min_tokens), so those spans get excised
         kw = dict(min_tokens=20)
         step = process_ingest_batch_substring
-    else:
+    elif FAMILY == "line":
         # the line face: the drill text has no newlines — treat every
         # 'w'-boundary word group as one 'line' by splitting on spaces
         # (every repeated 60-word doc then repeats line-wise)
         kw = dict(sep=" ", min_chars=1)
         step = process_ingest_batch_lines
+    else:
+        # the composed face (gate -> line -> substring): minhash gate
+        # rejects the dup slots; line/substring stages pay their
+        # stored-index scans on the survivors — the drill measures the
+        # SUM of the three contracts staying flat per batch
+        kw = dict(
+            threshold=0.7, ngram=3, shingle="word", num_hashes=64,
+            bands=16, sep=" ", min_chars=1, min_tokens=20,
+        )
+
+        def step(df, b, accepted_dir, index_dir, **kw):
+            process_ingest_batch_curation(
+                df, b, accepted_dir, index_dir + "_mh",
+                index_dir + "_lidx", index_dir + "_widx", **kw
+            )
     facts: dict = {
         "family": FAMILY,
         "n_batches": N_BATCHES,
@@ -118,7 +137,11 @@ def main() -> None:
                    "loadavg_1m": load}
             if b == COMPACT_AFTER:
                 tc = time.time()
-                compact_ingest_index(spark, index_dir)
+                if FAMILY == "curation":
+                    for d in ("_mh", "_lidx", "_widx"):
+                        compact_ingest_index(spark, index_dir + d)
+                else:
+                    compact_ingest_index(spark, index_dir)
                 compact_ingest_index(spark, accepted_dir)
                 rec["compaction_sec"] = round(time.time() - tc, 2)
             facts["batches"].append(rec)
