@@ -1338,6 +1338,7 @@ def audit_ingest_index(
     sep: str = r"\n",
     min_chars: int = 1,
     normalize: bool = True,
+    docs: DataFrame | None = None,
 ) -> dict:
     """Consistency audit ("fsck") for a stored ingest index against
     its accepted corpus — the stored index is DERIVED state (a pure
@@ -1349,6 +1350,11 @@ def audit_ingest_index(
     with (a mismatch shows up as wholesale hash disagreement — which
     is itself the drift signal).
 
+    ``docs`` overrides the frame the index is re-derived FROM (default:
+    the accepted corpus read from ``accepted_dir``) — the composed
+    curation face derives its substring index from the LINE-CLEANED
+    text, so its audit must too (:func:`audit_curation_indexes`).
+
     → ``{"family", "ok", "n_corpus_rows", "n_index_rows",
     "n_missing", "n_extra", "n_mismatched"}`` where missing = derived
     rows absent from the stored index, extra = stored rows no accepted
@@ -1356,7 +1362,7 @@ def audit_ingest_index(
     different payload. Cost: one corpus re-derivation + one full outer
     join on the index key — the offline-job price, never paid by the
     per-batch loop."""
-    accepted = _read_if_exists(spark, accepted_dir)
+    accepted = _read_if_exists(spark, accepted_dir) if docs is None else docs
     stored = _read_if_exists(spark, index_dir)
     if accepted is None or stored is None:
         raise ValueError(
@@ -1467,6 +1473,69 @@ def audit_ingest_index(
         and report["n_mismatched"] == 0
     )
     return report
+
+
+def audit_curation_indexes(
+    spark: SparkSession,
+    accepted_dir: str,
+    minhash_index_dir: str,
+    line_index_dir: str,
+    substring_index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    shingle: str = "word",
+    seed: int = 42,
+    sep: str = r"\n",
+    min_chars: int = 1,
+    normalize: bool = True,
+    joiner: str = "\n",
+    min_tokens: int = 50,
+) -> dict:
+    """Fsck for the COMPOSED curation face: audits all three stored
+    indexes against the one accepted corpus, honoring the stage
+    wiring — the MinHash bands and the line index re-derive from the
+    accepted docs' ORIGINAL text, the substring window index from the
+    LINE-CLEANED text (re-derived via :func:`line_dedup` over the full
+    corpus, which equals the per-batch incremental cleaning by the
+    line family's chained==batch equivalence). → ``{"ok", "minhash",
+    "line", "substring"}`` with the per-family
+    :func:`audit_ingest_index` reports. Parameters must match the
+    loop's (drift shows as wholesale key disagreement)."""
+    from ..operators.dedup import line_dedup
+
+    reports = {
+        "minhash": audit_ingest_index(
+            spark, accepted_dir, minhash_index_dir, family="minhash",
+            text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+            bands=bands, ngram=ngram, shingle=shingle, seed=seed,
+        ),
+        "line": audit_ingest_index(
+            spark, accepted_dir, line_index_dir, family="line",
+            text_col=text_col, id_col=id_col, sep=sep,
+            min_chars=min_chars, normalize=normalize,
+        ),
+    }
+    accepted = _read_if_exists(spark, accepted_dir)
+    if accepted is None:
+        raise ValueError(
+            f"audit_curation_indexes: no accepted corpus at {accepted_dir!r}"
+        )
+    lined = line_dedup(
+        accepted.select(id_col, text_col), text_col, id_col,
+        sep=sep, min_chars=min_chars, normalize=normalize, joiner=joiner,
+    ).select(id_col, F.col("clean_text").alias(text_col))
+    reports["substring"] = audit_ingest_index(
+        spark, accepted_dir, substring_index_dir, family="substring",
+        text_col=text_col, id_col=id_col, min_tokens=min_tokens,
+        seed=seed, docs=lined,
+    )
+    reports["ok"] = all(
+        reports[f]["ok"] for f in ("minhash", "line", "substring")
+    )
+    return reports
 
 
 def ingest_dedup_stream(

@@ -580,6 +580,59 @@ def test_curation_ingest_composition_matches_chained_faces(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_audit_curation_indexes(spark):
+    """The composed face's fsck: all three indexes re-derive clean —
+    with the substring index audited against the LINE-CLEANED text
+    (auditing it against the original text must FAIL, which is the
+    ordering property the composed face exists to get right); a
+    tampered index is caught."""
+    from garden_net_backend_spark.streaming.ingest import (
+        audit_curation_indexes,
+        audit_ingest_index,
+        process_ingest_batch_curation,
+    )
+
+    boiler = "subscribe to our newsletter today please"
+    span = " ".join(f"sp{j:02d}" for j in range(8))
+    kw = dict(min_tokens=5, sep=r"\n", min_chars=1, normalize=True)
+    work = tempfile.mkdtemp(prefix="curation_audit_")
+    acc, mh, li, wi = (f"{work}/{d}" for d in ("acc", "mh", "li", "wi"))
+    try:
+        b0 = spark.createDataFrame(
+            [(0, f"{boiler}\n{span}\nunique zero tail"), (1, "alpha beta")],
+            "doc_id long, text string",
+        )
+        b1 = spark.createDataFrame(
+            [(2, f"{boiler}\n{span} and more words here")],
+            "doc_id long, text string",
+        )
+        for b, df in enumerate((b0, b1)):
+            process_ingest_batch_curation(df, b, acc, mh, li, wi, **kw)
+        rep = audit_curation_indexes(spark, acc, mh, li, wi, min_tokens=5)
+        assert rep["ok"], rep
+        # the window index is over LINE-CLEANED text: auditing it
+        # against the original text diverges (doc 2's boiler+span lines
+        # were cut before windowing)
+        wrong = audit_ingest_index(
+            spark, acc, wi, family="substring", min_tokens=5
+        )
+        assert not wrong["ok"], wrong
+        # tampering: a foreign index row (cloned from a real one so the
+        # parquet types match) shows up as extra
+        tamper = (
+            spark.read.parquet(li)
+            .limit(1)
+            .withColumn("lkey", F.lit(999999).cast("long"))
+            .withColumn("ingest_batch", F.lit(99))
+            .localCheckpoint(eager=True)
+        )
+        tamper.write.mode("append").partitionBy("ingest_batch").parquet(li)
+        rep2 = audit_curation_indexes(spark, acc, mh, li, wi, min_tokens=5)
+        assert not rep2["ok"] and rep2["line"]["n_extra"] == 1
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_input_fingerprint_content_component(spark):
     """ADVICE r10: the replay manifest folds a content component into
     the fingerprint, so a batch that reuses the original ids with

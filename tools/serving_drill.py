@@ -155,7 +155,10 @@ def drill_scale(
         loads.append(round(os.getloadavg()[0], 1))
         t0 = time.time()
         sub_nodes, _sub_edges = search_subnetwork(
-            bnodes, edges, term, token_index=btokens, pinned_sym=sym
+            bnodes, edges, term, token_index=btokens, pinned_sym=sym,
+            pin_policy="force",  # the drill MEASURES the pinned path at
+            # every scale; auto would route the small baseline to the
+            # join path and the ratios would compare different plans
         )
         sub_nodes.select("fragment", "type", "searched", "degree").collect()
         warm.append(round(time.time() - t0, 3))
@@ -171,7 +174,8 @@ def drill_scale(
         _wait_quiet()
         t0 = time.time()
         _result, was_hit = serve_search(
-            cache, bnodes, edges, term, token_index=btokens, pinned_sym=sym
+            cache, bnodes, edges, term, token_index=btokens, pinned_sym=sym,
+            pin_policy="force"
         )
         assert not was_hit
         miss.append(round(time.time() - t0, 3))
