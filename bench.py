@@ -78,9 +78,16 @@ def _host_cpu_jiffies() -> tuple[float, float]:
 
 
 def _subtree_cpu_jiffies() -> float:
-    """utime+stime jiffies summed over THIS process and all its
-    descendants (the Spark JVM and the Python/Arrow worker pool are
-    children of the bench driver) — one /proc walk."""
+    """utime+stime (+cutime+cstime) jiffies summed over THIS process
+    and all its descendants (the Spark JVM and the Python/Arrow worker
+    pool are children of the bench driver) — one /proc walk. The
+    reaped-children fields matter (review r11): a worker that exits
+    between the two walks takes its cumulative utime with it, which
+    would read as deeply-negative own-delta (clamped to 0) and its
+    real window CPU would be misattributed as SIBLING load — its
+    jiffies land in the reaper's cutime/cstime, so summing those keeps
+    the delta exact (an unreaped zombie is the only residual gap, and
+    it no longer burns CPU)."""
     procs: dict[int, tuple[int, int]] = {}
     for d in os.listdir("/proc"):
         if not d.isdigit():
@@ -95,7 +102,13 @@ def _subtree_cpu_jiffies() -> float:
             continue
         fields = rp[1].split()
         try:
-            procs[int(d)] = (int(fields[1]), int(fields[11]) + int(fields[12]))
+            # post-comm fields: [0]=state [1]=ppid … [11]=utime
+            # [12]=stime [13]=cutime [14]=cstime
+            procs[int(d)] = (
+                int(fields[1]),
+                int(fields[11]) + int(fields[12])
+                + int(fields[13]) + int(fields[14]),
+            )
         except (IndexError, ValueError):
             continue
     kids: dict[int, list[int]] = {}
@@ -193,11 +206,18 @@ BENCH_NOTES = {
     "~+1-2s structural for the ADC scan + exact re-rank + its "
     "property-gate rescoring. Round 11 adds the 'ivfpq' arm "
     "(ivf_pq_topk — the composed faiss-IVFPQ serving layout, judge "
-    "r10 task 1) reusing BOTH prebuilt indexes: expect ~+1-1.5s "
-    "structural (probe window + probed-member ADC join-scan + re-rank "
-    "+ gate rescoring; no new build cost). The PQ codebook build "
-    "itself switched to a matmul-identity argmin (r10 task 7) — "
-    "expect ann_pq_build_sec DOWN materially from 16.3s.",
+    "r10 task 1) reusing BOTH prebuilt indexes: measured +3.4s over "
+    "the r10 three-arm suite (predicted +1-1.5; the probe window + "
+    "probed-member ADC join-scan + exact re-rank + gate rescoring "
+    "each add a stage — candidate-sized work, no corpus term). The "
+    "PQ build (r10 task 7) was profiled job-overhead-bound, not "
+    "numpy-bound: the matmul-identity argmin alone moved nothing at "
+    "2k vectors, so the restructure also persists the exploded "
+    "subvector frame and carries sub_vec through the assign closure "
+    "(killing the per-iteration (id,subspace) shuffle join) — "
+    "measured 18.3s → ~10s like-for-like, codebooks bit-identical; "
+    "train_sample= caps training at a hash-ordered sample for "
+    "at-scale builds (the faiss practice).",
     "q56_embedding_dup_suite": "suite = exact cosine near-dup + "
     "former q57 LSH-blocked arm (avalanche-hashed hyperplanes per the "
     "100x drill fix) + round-8 semdedup arm + round-9 seminc arm "

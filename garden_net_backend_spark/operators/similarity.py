@@ -1321,6 +1321,7 @@ def pq_train_codebooks(
     vec_col: str = "embedding",
     seed: int = 42,
     refine_iters: int = 2,
+    train_sample: int | None = None,
 ) -> DataFrame:
     """Train PQ codebooks → ``(subspace, code, sub_vec array<double>)``,
     m·n_codes rows (driver-sized by construction, like IVF centroids).
@@ -1334,72 +1335,96 @@ def pq_train_codebooks(
     partitioning, objective never degrades (pinned in tests). Empty
     codes keep their previous entry.
 
-    Per iteration: one Arrow assign scan + one map-side-combinable
-    aggregation with m·n_codes·(d/m) groups — tiny shuffle. Codebooks
-    live on the driver between rounds (the MLlib KMeans shape), keeping
-    lineage flat."""
+    Per iteration: one Arrow assign scan (which CARRIES the subvector
+    through, so no (id, subspace) shuffle join re-attaches it — r11
+    build profile: that join was half the per-iteration wall) + one
+    map-side-combinable aggregation with m·n_codes·(d/m) groups — tiny
+    shuffle. The exploded subvector frame is persisted across the init
+    window and the refine iterations (MEMORY_AND_DISK — spills, never
+    OOMs; released before return) instead of being re-derived from the
+    corpus per consumer. Codebooks live on the driver between rounds
+    (the MLlib KMeans shape), keeping lineage flat.
+
+    ``train_sample``: cap the TRAINING corpus at a deterministic
+    hash-ordered sample of that many vectors (the faiss practice —
+    codebooks converge on a sample; Lloyd over the full corpus is
+    never the 100 TB plan). Default None trains on everything, which
+    keeps small-corpus builds bit-identical to earlier rounds; encode
+    always covers the full corpus regardless."""
     d = _pq_dim(corpus, vec_col, m)
     sub = d // m
+    train = corpus
+    if train_sample is not None:
+        train = (
+            corpus.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+            .limit(int(train_sample))
+        )
     # degrade like ivf_build_index's limit(): a corpus smaller than
     # n_codes trains one code per vector instead of crashing with an
     # IndexError in the refine-loop rebuild (review r10 pass 2). The
     # count is one build-time job — the build is an offline ingest
     # step, never the query path.
-    n_codes = min(n_codes, corpus.count())
-    subs = corpus.select(
+    n_codes = min(n_codes, train.count())
+    subs = train.select(
         F.col(id_col).alias("_id"),
         F.posexplode(_pq_slices(vec_col, m, sub)).alias("subspace", "sub_vec"),
-    )
-    w = W.partitionBy("subspace").orderBy(
-        F.xxhash64(F.col("_id"), F.col("subspace"), F.lit(seed)), F.col("_id")
-    )
-    init = (
-        subs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_codes)
-        .select(
-            "subspace",
-            (F.col("_rn") - 1).alias("code"),
-            F.transform(F.col("sub_vec"), lambda x: x.cast("double")).alias(
-                "sub_vec"
-            ),
-        )
-    )
-    cb = _pq_codebook_rows(init)
+    ).persist()
     spark = corpus.sparkSession
-    for _ in range(refine_iters):
-        ex = subs.join(_pq_assign_subcodes(subs, cb), ["_id", "subspace"])
-        means = (
-            ex.select(
-                "subspace", "code", F.posexplode("sub_vec").alias("pos", "_x")
-            )
-            .groupBy("subspace", "code", "pos")
-            .agg(
-                F.sum(
-                    F.col("_x").cast("double").cast("decimal(32,12)")
-                ).alias("_sx"),
-                F.count("*").alias("_n"),
-            )
+    try:
+        w = W.partitionBy("subspace").orderBy(
+            F.xxhash64(F.col("_id"), F.col("subspace"), F.lit(seed)),
+            F.col("_id"),
+        )
+        init = (
+            subs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n_codes)
             .select(
                 "subspace",
-                "code",
-                "pos",
-                (F.col("_sx").cast("double") / F.col("_n")).alias("_m"),
+                (F.col("_rn") - 1).alias("code"),
+                F.transform(
+                    F.col("sub_vec"), lambda x: x.cast("double")
+                ).alias("sub_vec"),
             )
         )
-        newc = means.groupBy("subspace", "code").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "_m"))),
-                lambda s: s["_m"],
-            ).alias("sub_vec")
-        )
-        updated = {
-            (r["subspace"], r["code"]): [float(x) for x in r["sub_vec"]]
-            for r in newc.collect()
-        }
-        cb = [
-            [updated.get((j, c), cb[j][c]) for c in range(n_codes)]
-            for j in range(m)
-        ]
+        cb = _pq_codebook_rows(init)
+        for _ in range(refine_iters):
+            ex = _pq_assign_subcodes(subs, cb, carry_vec=True)
+            means = (
+                ex.select(
+                    "subspace", "code",
+                    F.posexplode("sub_vec").alias("pos", "_x"),
+                )
+                .groupBy("subspace", "code", "pos")
+                .agg(
+                    F.sum(
+                        F.col("_x").cast("double").cast("decimal(32,12)")
+                    ).alias("_sx"),
+                    F.count("*").alias("_n"),
+                )
+                .select(
+                    "subspace",
+                    "code",
+                    "pos",
+                    (F.col("_sx").cast("double") / F.col("_n")).alias("_m"),
+                )
+            )
+            newc = means.groupBy("subspace", "code").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "_m"))),
+                    lambda s: s["_m"],
+                ).alias("sub_vec")
+            )
+            updated = {
+                (r["subspace"], r["code"]): [float(x) for x in r["sub_vec"]]
+                for r in newc.collect()
+            }
+            cb = [
+                [updated.get((j, c), cb[j][c]) for c in range(n_codes)]
+                for j in range(m)
+            ]
+    finally:
+        subs.unpersist()
     return spark.createDataFrame(
         [
             (j, c, cb[j][c])
@@ -1410,11 +1435,16 @@ def pq_train_codebooks(
     )
 
 
-def _pq_assign_subcodes(subs: DataFrame, cb) -> DataFrame:
+def _pq_assign_subcodes(
+    subs: DataFrame, cb, carry_vec: bool = False
+) -> DataFrame:
     """(_id, subspace, sub_vec) → (_id, subspace, code): argmin L2 to
     the subspace's codebook, Arrow-batched (codebooks ship in the
     closure — m·n_codes·sub doubles, tiny). Ties break to the lowest
-    code (argmin returns the first index).
+    code (argmin returns the first index). ``carry_vec`` passes
+    sub_vec through the closure so the refine loop's mean aggregation
+    reads it directly instead of shuffle-joining it back on
+    (_id, subspace) — half the per-iteration wall in the r11 profile.
 
     The argmin uses the expansion ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²: ‖x‖² is
     constant per row so argmin_c ‖x−c‖² = argmin_c (‖c‖² − 2x·c) — one
@@ -1441,17 +1471,21 @@ def _pq_assign_subcodes(subs: DataFrame, cb) -> DataFrame:
                 mask = sp == j
                 d2 = c2[int(j)][None, :] - 2.0 * (X[mask] @ mats[int(j)].T)
                 out_code[mask] = np.argmin(d2, axis=1)
-            yield pd.DataFrame(
-                {
-                    "_id": pdf["_id"].values,
-                    "subspace": sp,
-                    "code": out_code,
-                }
-            )
+            out = {
+                "_id": pdf["_id"].values,
+                "subspace": sp,
+                "code": out_code,
+            }
+            if carry_vec:
+                out["sub_vec"] = pdf["sub_vec"].values
+            yield pd.DataFrame(out)
 
-    return ensure_min_partitions(subs.select("_id", "subspace", "sub_vec")).mapInPandas(
-        _assign, schema="_id long, subspace int, code int"
-    )
+    schema = "_id long, subspace int, code int"
+    if carry_vec:
+        schema += ", sub_vec array<double>"
+    return ensure_min_partitions(
+        subs.select("_id", "subspace", "sub_vec")
+    ).mapInPandas(_assign, schema=schema)
 
 
 def pq_encode(
@@ -1519,13 +1553,18 @@ def pq_build_index(
     vec_col: str = "embedding",
     seed: int = 42,
     refine_iters: int = 2,
+    train_sample: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """→ ``(codebooks, codes)`` — train + encode in one call, the PQ
     analogue of ``ivf_build_index``. Build once at ingest, persist
     both frames, reload for every query batch (both deterministic →
-    reload-stable)."""
+    reload-stable). ``train_sample`` caps the TRAINING corpus at a
+    deterministic hash-ordered sample (see
+    :func:`pq_train_codebooks`) — the at-scale build knob; encoding
+    always covers the full corpus."""
     codebooks = pq_train_codebooks(
-        corpus, m, n_codes, id_col, vec_col, seed, refine_iters
+        corpus, m, n_codes, id_col, vec_col, seed, refine_iters,
+        train_sample=train_sample,
     )
     return codebooks, pq_encode(corpus, codebooks, id_col, vec_col)
 
@@ -1537,16 +1576,31 @@ def _chunked_query_union(
     chunks, run ``run_chunk`` (a full per-chunk top-k against a shared
     prebuilt index) on each, union the results. Per-query output rows
     are independent across queries, so the union is identical to one
-    unchunked run — the chunking only bounds driver/LUT memory."""
+    unchunked run — the chunking only bounds driver/LUT memory.
+
+    Rows are sorted by query id and a chunk boundary never splits a
+    run of equal ids (review r11): a duplicated query id straddling
+    two chunks would get its top-k emitted by BOTH chunks — 2k rows
+    where the unchunked window emits k. ``run_chunk(chunk, size)``
+    receives the chunk's row count so the inner call can set its own
+    batch size to at least ``size`` — a boundary-extended chunk can
+    exceed ``query_batch_size``, and re-chunking it would reproduce
+    the identical chunk forever (infinite recursion)."""
     spark = q_sel.sparkSession
     schema = q_sel.schema
+    id_name = schema.names[0]
+    qrows = sorted(qrows, key=lambda r: r[id_name])
     out = None
-    for i in range(0, len(qrows), query_batch_size):
-        chunk = spark.createDataFrame(
-            qrows[i : i + query_batch_size], schema
-        )
-        part = run_chunk(chunk)
+    i = 0
+    while i < len(qrows):
+        j = min(i + query_batch_size, len(qrows))
+        # extend past a duplicate-id run straddling the boundary
+        while j < len(qrows) and qrows[j][id_name] == qrows[j - 1][id_name]:
+            j += 1
+        chunk = spark.createDataFrame(qrows[i:j], schema)
+        part = run_chunk(chunk, j - i)
         out = part if out is None else out.unionByName(part)
+        i = j
     return out
 
 
@@ -1609,17 +1663,23 @@ def pq_topk(
     if not qrows:
         raise ValueError("pq_topk: empty query frame")
     if len(qrows) > query_batch_size:
+        if index is None:
+            # inline-built codes are LAZY — pin them before the fan-out
+            # or every chunk re-runs the full-corpus encode scan
+            # (review r11); codebooks are driver-built rows, already
+            # cheap to re-create
+            codes = codes.localCheckpoint(eager=True)
         return _chunked_query_union(
             queries.select(query_id_col, query_vec_col),
             qrows,
             query_batch_size,
-            lambda chunk: pq_topk(
+            lambda chunk, size: pq_topk(
                 corpus, chunk, k=k, m=m, n_codes=n_codes, id_col=id_col,
                 vec_col=vec_col, query_id_col=query_id_col,
                 query_vec_col=query_vec_col, seed=seed,
                 refine_iters=refine_iters, prefilter=prefilter,
                 rerank=rerank, index=(codebooks, codes),
-                query_batch_size=query_batch_size,
+                query_batch_size=max(query_batch_size, size),
             ),
         )
     qids = np.array([r[query_id_col] for r in qrows], dtype=np.int64)
@@ -1805,18 +1865,26 @@ def ivf_pq_topk(
     if not qrows:
         raise ValueError("ivf_pq_topk: empty query frame")
     if len(qrows) > query_batch_size:
+        # pin any INLINE-built stored tables before the fan-out so the
+        # per-chunk runs probe one materialized index instead of
+        # re-running the corpus-wide assignment/encode scans per chunk
+        # (review r11)
+        if ivf_index is None:
+            assignments = assignments.localCheckpoint(eager=True)
+        if pq_index is None:
+            codes = codes.localCheckpoint(eager=True)
         return _chunked_query_union(
             queries.select(query_id_col, query_vec_col),
             qrows,
             query_batch_size,
-            lambda chunk: ivf_pq_topk(
+            lambda chunk, size: ivf_pq_topk(
                 corpus, chunk, k=k, nprobe=nprobe, n_centroids=n_centroids,
                 m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col,
                 query_id_col=query_id_col, query_vec_col=query_vec_col,
                 seed=seed, refine_iters=refine_iters, prefilter=prefilter,
                 ivf_index=(centroids, assignments),
                 pq_index=(codebooks, codes),
-                query_batch_size=query_batch_size,
+                query_batch_size=max(query_batch_size, size),
             ),
         )
     qids = [r[query_id_col] for r in qrows]

@@ -1039,6 +1039,14 @@ def compact_ingest_index(
     # branch below would then stamp the -1 sentinel over EVERY row,
     # including batches whose real ids are in the files, silently
     # disarming the replay no-op guard (review r10)
+    if backup_generations < 1:
+        # validate BEFORE the corpus-sized rewrite below — _swap_live
+        # would catch it, but only after paying the full compaction
+        # and orphaning .compact.tmp (review r11)
+        raise ValueError(
+            f"backup_generations must be >= 1 (got {backup_generations}); "
+            "use keep_backup=False to keep none"
+        )
     df = _read_if_exists(spark, path, merge_schema=True)
     if df is None:
         raise ValueError(f"compact_ingest_index: nothing to compact at {path!r}")
@@ -1947,19 +1955,40 @@ def process_ingest_batch_curation(
             .partitionBy("ingest_batch", "band")
             .parquet(minhash_index_dir)
         )
-        for delta, path in (
-            (line_delta, line_index_dir),
-            (span_delta, substring_index_dir),
-        ):
-            (
-                delta.withColumn("src_batch", F.lit(int(batch_id)))
-                .withColumn("ingest_batch", F.lit(int(batch_id)))
-                .localCheckpoint(eager=True)
-                .write.mode("overwrite")
-                .options(**writer_opts)
-                .partitionBy("ingest_batch")
-                .parquet(path)
+        # legacy-layout compat mirrors the standalone substring face
+        # (review r11): a substring index still carrying the retired
+        # wbucket partition column must keep receiving it (modulus
+        # derived from the stored layout) or partition discovery
+        # throws CONFLICTING_PARTITION_COLUMN_NAMES on every read
+        span_part_cols = ["ingest_batch"]
+        span_rows = span_delta.withColumn(
+            "src_batch", F.lit(int(batch_id))
+        ).withColumn("ingest_batch", F.lit(int(batch_id)))
+        if stored_widx is not None and "wbucket" in stored_widx.columns:
+            n_buckets = int(
+                stored_widx.agg(F.max("wbucket")).collect()[0][0] or 0
+            ) + 1
+            span_rows = span_rows.withColumn(
+                "wbucket",
+                F.pmod(F.col("wkey"), F.lit(n_buckets)).cast("int"),
             )
+            span_part_cols.append("wbucket")
+        (
+            line_delta.withColumn("src_batch", F.lit(int(batch_id)))
+            .withColumn("ingest_batch", F.lit(int(batch_id)))
+            .localCheckpoint(eager=True)
+            .write.mode("overwrite")
+            .options(**writer_opts)
+            .partitionBy("ingest_batch")
+            .parquet(line_index_dir)
+        )
+        (
+            span_rows.localCheckpoint(eager=True)
+            .write.mode("overwrite")
+            .options(**writer_opts)
+            .partitionBy(*span_part_cols)
+            .parquet(substring_index_dir)
+        )
         if metrics:
             t2 = time.time()
             input_fp = _input_fingerprint(new, id_col, text_col)

@@ -1440,6 +1440,62 @@ def test_substring_old_wbucket_layout_upgrade_compat(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_curation_substring_index_wbucket_compat_and_derived_modulus(spark):
+    """Review r11: the composed curation face must carry the legacy
+    wbucket layout column exactly like the standalone substring face —
+    and BOTH faces now derive the modulus from the stored layout
+    instead of hardcoding 64 (ADVICE r10), so an old index written
+    with modulus 16 keeps a single bucket semantics. The deprecated
+    n_buckets kwarg warns and is ignored instead of raising."""
+    from garden_net_backend_spark.streaming.ingest import (
+        process_ingest_batch_curation,
+        process_ingest_batch_substring,
+    )
+
+    span = [f"qq{j:02d}" for j in range(6)]
+    schema = "doc_id long, text string, source string"
+
+    def mk(i, pre):
+        return (i, " ".join([f"w{i}a{j}" for j in range(pre)] + span), "c")
+
+    kw = dict(min_tokens=5)
+    work = tempfile.mkdtemp(prefix="curation_wbucket_")
+    c = f"{work}/cur"
+    try:
+        b0 = spark.createDataFrame([mk(0, 3), mk(1, 4)], schema)
+        b1 = spark.createDataFrame([mk(10, 5)], schema)
+        process_ingest_batch_curation(
+            b0, 0, f"{c}/acc", f"{c}/mh", f"{c}/li", f"{c}/wi", **kw
+        )
+        # rewrite the substring index in the OLD layout, modulus 16
+        old = (
+            spark.read.parquet(f"{c}/wi")
+            .withColumn("wbucket", F.pmod(F.col("wkey"), F.lit(16)).cast("int"))
+            .withColumn("ingest_batch", F.lit(0))
+        )
+        old.write.partitionBy("ingest_batch", "wbucket").parquet(f"{c}/wi_old")
+        shutil.rmtree(f"{c}/wi")
+        shutil.move(f"{c}/wi_old", f"{c}/wi")
+        process_ingest_batch_curation(
+            b1, 1, f"{c}/acc", f"{c}/mh", f"{c}/li", f"{c}/wi", **kw
+        )
+        idx = spark.read.parquet(f"{c}/wi")  # discovery not wedged
+        assert "wbucket" in idx.columns
+        new_rows = idx.filter(F.col("ingest_batch") == 1).collect()
+        assert new_rows  # doc 10's fresh prefix windows
+        # modulus derived from the stored layout (16), not hardcoded 64
+        assert all(r["wbucket"] == r["wkey"] % 16 for r in new_rows)
+        # deprecated kwarg on the standalone face: warns, ignored
+        b2 = spark.createDataFrame([mk(20, 6)], schema)
+        with pytest.warns(DeprecationWarning, match="n_buckets"):
+            process_ingest_batch_substring(
+                b2, 0, f"{work}/acc2", f"{work}/idx2", n_buckets=8, **kw
+            )
+        assert spark.read.parquet(f"{work}/acc2").count() == 1
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_replay_fallback_survives_pre_manifest_corpus(spark, feed):
     """Review r10: with the metrics manifest gone AND the corpus
     provenance flattened to the -1 sentinel (pre-manifest compaction),

@@ -1226,6 +1226,44 @@ def test_ivf_pq_topk_composition(spark, pq_clustered):
     assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
 
 
+def test_pq_train_sample_cap(spark, pq_clustered):
+    """train_sample: a cap at-or-above the corpus keeps codebooks
+    bit-identical to the full-corpus build (order-independent means);
+    a real subsample still yields a full, deterministic codebook grid
+    (the faiss sample-training practice for at-scale builds)."""
+    from garden_net_backend_spark.operators.similarity import (
+        pq_train_codebooks,
+    )
+
+    def grid(df):
+        return {
+            (r["subspace"], r["code"]): tuple(r["sub_vec"])
+            for r in df.collect()
+        }
+
+    full = grid(pq_train_codebooks(pq_clustered, m=8, n_codes=16, refine_iters=1))
+    capped = grid(
+        pq_train_codebooks(
+            pq_clustered, m=8, n_codes=16, refine_iters=1,
+            train_sample=10**6,
+        )
+    )
+    assert full == capped
+    sampled = grid(
+        pq_train_codebooks(
+            pq_clustered, m=8, n_codes=16, refine_iters=1, train_sample=100
+        )
+    )
+    assert len(sampled) == 8 * 16 and sampled != full
+    sampled2 = grid(
+        pq_train_codebooks(
+            pq_clustered.repartition(7), m=8, n_codes=16, refine_iters=1,
+            train_sample=100,
+        )
+    )
+    assert sampled == sampled2  # hash-ordered sample: partitioning-proof
+
+
 def test_pq_encode_dim_mismatch_guard(spark, pq_clustered):
     """ADVICE r10: encoding a corpus whose dim doesn't match the
     trained codebooks must raise a descriptive driver-side ValueError,
@@ -1278,6 +1316,16 @@ def test_ann_query_batch_chunking_identical(spark, pq_clustered):
         ivf_index=ivf_idx, pq_index=pq_idx, query_batch_size=7,
     ).collect()
     assert sorted(map(tuple, one2)) == sorted(map(tuple, chunked2))
+    # a duplicated query id must not straddle a chunk boundary (review
+    # r11: both chunks would emit its top-k — 2k rows instead of k);
+    # dup_q repeats every id, batch size 3 forces odd boundaries
+    dup_q = queries.limit(4).unionByName(queries.limit(4))
+    base = pq_topk(pq_clustered, dup_q, k=5, index=pq_idx).collect()
+    chunked3 = pq_topk(
+        pq_clustered, dup_q, k=5, index=pq_idx, query_batch_size=3
+    ).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, chunked3))
+    assert len(chunked3) == 4 * 5  # k rows per DISTINCT query id
 
 
 def test_pq_small_corpus_degrades_codebook(spark):
