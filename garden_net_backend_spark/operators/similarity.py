@@ -470,6 +470,7 @@ def ivf_build_index(
     vec_col: str = "embedding",
     seed: int = 42,
     refine_iters: int = 0,
+    train_sample: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF (inverted-file) index build → (centroids, assignments).
 
@@ -491,9 +492,21 @@ def ivf_build_index(
 
     At 100 TB the assignments table is written partitioned by
     centroid_id; a query touches nprobe partitions, not the corpus.
-    """
+    ``train_sample`` caps the REFINEMENT corpus at a deterministic
+    hash-ordered sample of that many vectors (the faiss practice —
+    Lloyd converges on a sample; per-iteration full-corpus assignment
+    scans are never the 100 TB training plan). The returned
+    assignments always cover the full corpus; default None refines on
+    everything (bit-identical to earlier rounds)."""
     spark = corpus.sparkSession
-    init = corpus.select(
+    train = corpus
+    if train_sample is not None:
+        train = (
+            corpus.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+            .limit(int(train_sample))
+        )
+    init = train.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec"),
         F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
     ).orderBy("_h").limit(n_centroids).drop("_h")
@@ -502,8 +515,8 @@ def ivf_build_index(
         for r in init.collect()
     ]
     for _ in range(refine_iters):
-        assign = _ivf_assign(corpus, cent_rows, id_col, vec_col)
-        member = corpus.select(id_col, vec_col).join(assign, id_col)
+        assign = _ivf_assign(train, cent_rows, id_col, vec_col)
+        member = train.select(id_col, vec_col).join(assign, id_col)
         ex = member.select(
             "centroid_id", F.posexplode(vec_col).alias("pos", "_x")
         )

@@ -228,6 +228,30 @@ def cells_fingerprint(cells: DataFrame) -> str:
     ).hexdigest()
 
 
+def codebooks_fingerprint(codebooks: DataFrame) -> str:
+    """Deterministic fingerprint of a PQ codebook frame — sha256 over
+    the (subspace, code)-sorted, 9-decimal-rounded subvectors: the
+    codes-table twin of :func:`cells_fingerprint`. The PQ-codes ingest
+    face persists it beside ``codes_dir`` and REFUSES batches whose
+    ``codebooks`` frame does not match (codes encoded under different
+    codebooks are mutually meaningless — ADC would score garbage
+    silently). Re-train = re-encode, via :func:`rebuild_pq_codes`.
+    The codebook frame is m·n_codes rows by construction — the collect
+    is driver-cheap."""
+    rows = codebooks.select("subspace", "code", "sub_vec").collect()
+    canon = sorted(
+        (
+            int(r["subspace"]),
+            int(r["code"]),
+            [round(float(x), 9) + 0.0 for x in r["sub_vec"]],
+        )
+        for r in rows
+    )
+    return hashlib.sha256(
+        json.dumps(canon, separators=(",", ":")).encode()
+    ).hexdigest()
+
+
 def _was_compacted(stored: DataFrame | None, batch_id: int) -> bool:
     """True iff this batch's rows were already folded into the
     compacted partition of ``stored`` — the batch is committed and
@@ -1333,6 +1357,7 @@ def audit_ingest_index(
     index_dir: str,
     family: str = "minhash",
     cells: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     vec_col: str = "embedding",
@@ -1450,6 +1475,34 @@ def audit_ingest_index(
         stored_n = stored.select(
             F.col("lkey").alias("_k1"), F.lit(0).alias("_k2"),
             F.struct("first_id", "first_pos").alias("_spayload"),
+        )
+    elif family == "pq":
+        from ..operators.similarity import pq_encode
+
+        if codebooks is None:
+            raise ValueError("pq audit needs the frozen codebooks frame")
+        # verify-only, like the semantic branch: an audit never stamps
+        stored_fp = _read_small_text(
+            spark, index_dir.rstrip("/") + "/_codebooks_fingerprint"
+        )
+        if stored_fp is not None and stored_fp.strip() != codebooks_fingerprint(
+            codebooks
+        ):
+            raise ValueError(
+                "audit_ingest_index: codebooks frame does not match the "
+                "stored codebook fingerprint — the audit would re-encode "
+                "with the wrong codebooks; pass the frame the codes were "
+                "encoded with"
+            )
+        derived = pq_encode(
+            accepted.select(id_col, vec_col), codebooks, id_col, vec_col
+        ).select(
+            F.col(id_col).alias("_k1"), F.lit(0).alias("_k2"),
+            F.col("codes").alias("_payload"),
+        )
+        stored_n = stored.select(
+            F.col(id_col).alias("_k1"), F.lit(0).alias("_k2"),
+            F.col("codes").alias("_spayload"),
         )
     else:
         raise ValueError(f"unknown family: {family!r}")
@@ -2034,6 +2087,216 @@ def ingest_dedup_stream_curation(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def process_ingest_batch_pq_codes(
+    batch: DataFrame,
+    batch_id: int,
+    codes_dir: str,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cells: DataFrame | None = None,
+    assign: str = "arrow",
+    metrics: bool = True,
+) -> None:
+    """PQ-codes index MAINTENANCE face: encode a micro-batch of newly
+    accepted vectors under a FROZEN codebook frame and append the
+    ``(id, codes)`` rows to the stored codes table — the serving-side
+    twin of :func:`process_ingest_batch_semantic`'s assignment upkeep,
+    closing the loop on the at-scale ANN story (``pq_topk`` /
+    ``ivf_pq_topk`` probe a PREBUILT codes table; a crawl pipeline has
+    to keep that table current without re-encoding the corpus).
+
+    ``codebooks`` must be the same frozen frame across all batches —
+    ENFORCED via a ``_codebooks_fingerprint`` sidecar exactly like the
+    semantic face's frozen cells (codes encoded under different
+    codebooks are mutually meaningless, and ADC would score them
+    silently); re-train = re-encode via :func:`rebuild_pq_codes`.
+    With ``cells``, each row also carries its IVF ``_cell`` and the
+    table partitions by (ingest_batch, _cell) — the composed
+    faiss-IVFPQ serving layout (``ivf_pq_topk``'s "codes partitioned
+    by IVF cell") maintained incrementally; ``compact_ingest_index``
+    preserves the ``_cell`` sub-partitioning when folding batches.
+
+    Same idempotency / replay-manifest / compaction contract as every
+    face. Per-batch cost: one Arrow encode scan of the batch (m·sub
+    dot products per vector) + one partitioned append — never a
+    corpus-sized job."""
+    from ..operators.similarity import (
+        _alias_cells,
+        _assign_cells,
+        pq_encode,
+    )
+
+    _check_batch_id(batch_id)
+    spark = batch.sparkSession
+    stored_codes = _stored_prefix(spark, codes_dir, batch_id)
+    fp = codebooks_fingerprint(codebooks)
+    fp_path = codes_dir.rstrip("/") + "/_codebooks_fingerprint"
+    stored_fp = _read_small_text(spark, fp_path)
+    if stored_fp is not None and stored_fp.strip() != fp:
+        raise ValueError(
+            "pq-codes ingest: the codebooks frame does not match the "
+            f"codebooks the stored codes in {codes_dir!r} were encoded "
+            f"with (stored fingerprint {stored_fp.strip()[:16]}…, got "
+            f"{fp[:16]}…). Codes from different codebooks are mutually "
+            "meaningless — re-train means re-encode (rebuild_pq_codes)."
+        )
+    if (
+        stored_fp is None
+        and stored_codes is not None
+        and bool(stored_codes.limit(1).take(1))
+    ):
+        raise ValueError(
+            f"pq-codes ingest: {codes_dir!r} holds codes but no "
+            "_codebooks_fingerprint — cannot verify the codebooks match "
+            "them. Adopt a frame explicitly with rebuild_pq_codes "
+            "(re-encodes the table AND stamps its fingerprint)."
+        )
+    if _was_compacted(stored_codes, batch_id):
+        _assert_true_replay(
+            spark, codes_dir, "pq_codes", batch_id, batch, id_col,
+            _input_fingerprint(batch, id_col, vec_col),
+        )
+        return
+    t0 = time.time()
+    new = batch.select(id_col, vec_col).persist()
+    try:
+        rows = pq_encode(new, codebooks, id_col, vec_col)
+        part_cols = ["ingest_batch"]
+        if cells is not None:
+            rows = rows.join(
+                _assign_cells(new, _alias_cells(cells), id_col, vec_col, assign),
+                id_col,
+            )
+            part_cols.append("_cell")
+        rows = (
+            rows.withColumn("src_batch", F.lit(int(batch_id)))
+            .withColumn("ingest_batch", F.lit(int(batch_id)))
+            .localCheckpoint(eager=True)
+        )
+        t1 = time.time()
+        (
+            rows.write.mode("overwrite")
+            .options(partitionOverwriteMode="dynamic")
+            .partitionBy(*part_cols)
+            .parquet(codes_dir)
+        )
+        if stored_fp is None:
+            _write_small_text(spark, fp_path, fp)
+        if metrics:
+            t2 = time.time()
+            input_fp = _input_fingerprint(new, id_col, vec_col)
+            _write_batch_metrics(
+                spark,
+                codes_dir.rstrip("/") + "_metrics",
+                "pq_codes",
+                batch_id,
+                int(input_fp.split(":")[0]),
+                rows.count(),
+                stored_codes is not None,
+                t1 - t0,
+                t2 - t1,
+                input_fp,
+            )
+    finally:
+        new.unpersist()
+
+
+def ingest_pq_codes_stream(
+    stream_vecs: DataFrame,
+    codes_dir: str,
+    checkpoint_dir: str,
+    codebooks: DataFrame,
+    available_now: bool = True,
+    **kernel_kwargs,
+):
+    """PQ-codes counterpart of :func:`ingest_dedup_stream` — wire a
+    streaming vector source into the codes-table maintenance loop."""
+
+    def _dispatch(df: DataFrame, batch_id: int) -> None:
+        process_ingest_batch_pq_codes(
+            df, batch_id, codes_dir, codebooks, **kernel_kwargs
+        )
+
+    writer = stream_vecs.writeStream.foreachBatch(_dispatch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def rebuild_pq_codes(
+    spark: SparkSession,
+    accepted_dir: str,
+    codes_dir: str,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cells: DataFrame | None = None,
+    assign: str = "arrow",
+    keep_backup: bool = True,
+) -> str:
+    """"Re-train = re-encode", operationalized: re-encode the ENTIRE
+    accepted corpus under a NEW codebook frame and atomically replace
+    ``codes_dir`` (compacted layout, fresh ``_codebooks_fingerprint``)
+    — the :func:`rebuild_semantic_assignments` twin for the PQ codes
+    table, and the sanctioned path when codebooks must evolve. Run it
+    QUIESCED; cost is one full-corpus encode scan, which is exactly
+    what the per-batch face exists to avoid."""
+    from ..operators.similarity import _alias_cells, _assign_cells, pq_encode
+
+    _check_compacting_marker(spark, codes_dir)
+    accepted = _read_if_exists(spark, accepted_dir, merge_schema=True)
+    if accepted is None:
+        raise ValueError(
+            f"rebuild_pq_codes: no accepted corpus at {accepted_dir!r}"
+        )
+    rows = pq_encode(accepted.select(id_col, vec_col), codebooks, id_col, vec_col)
+    part_cols = ["ingest_batch"]
+    sub_sort: list[str] = []
+    if cells is not None:
+        rows = rows.join(
+            _assign_cells(
+                accepted.select(id_col, vec_col), _alias_cells(cells),
+                id_col, vec_col, assign,
+            ),
+            id_col,
+        )
+        part_cols.append("_cell")
+        sub_sort.append("_cell")
+    src = (
+        accepted.select(
+            id_col,
+            F.coalesce(
+                F.col("src_batch"), F.lit(COMPACTED_BATCH_ID)
+            ).alias("src_batch"),
+        )
+        if "src_batch" in accepted.columns
+        else accepted.select(
+            id_col, F.lit(COMPACTED_BATCH_ID).alias("src_batch")
+        )
+    )
+    rows = rows.join(src, id_col).withColumn(
+        "ingest_batch", F.lit(COMPACTED_BATCH_ID)
+    )
+    base = codes_dir.rstrip("/")
+    tmp = base + ".compact.tmp"
+    nparts = max(1, spark.sparkContext.defaultParallelism)
+    (
+        rows.repartition(nparts)
+        .sortWithinPartitions(*sub_sort, "src_batch")
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(tmp)
+    )
+    _write_small_text(
+        spark, tmp + "/_codebooks_fingerprint", codebooks_fingerprint(codebooks)
+    )
+    _swap_live(spark, base, tmp, keep_backup, copy_sidecars=False)
+    return codes_dir
 
 
 def ingest_dedup_stream_semantic(

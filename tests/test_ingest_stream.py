@@ -633,6 +633,110 @@ def test_audit_curation_indexes(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_pq_codes_ingest_face(spark):
+    """PQ-codes index maintenance: chained batches equal one batch
+    encode of the union; replay converges; a different codebook frame
+    is refused (frozen-codebooks fingerprint); rebuild_pq_codes adopts
+    a re-trained frame; the pq audit family verifies the table; with
+    cells the table partitions by IVF cell (the ivfpq serving
+    layout)."""
+    import numpy as np
+
+    from garden_net_backend_spark.operators.similarity import (
+        ivf_build_index,
+        pq_encode,
+        pq_train_codebooks,
+    )
+    from garden_net_backend_spark.streaming.ingest import (
+        audit_ingest_index,
+        process_ingest_batch_pq_codes,
+        rebuild_pq_codes,
+    )
+
+    rng = np.random.default_rng(5)
+
+    def vecs(lo, hi):
+        out = []
+        for i in range(lo, hi):
+            v = rng.standard_normal(16)
+            out.append((i, (v / np.linalg.norm(v)).tolist()))
+        return out
+
+    all_rows = vecs(0, 30)
+    corpus = spark.createDataFrame(all_rows, "vec_id long, embedding array<float>")
+    cb = pq_train_codebooks(corpus, m=4, n_codes=8, refine_iters=1)
+    b0 = corpus.filter(F.col("vec_id") < 20)
+    b1 = corpus.filter(F.col("vec_id") >= 20)
+    work = tempfile.mkdtemp(prefix="pqcodes_")
+    codes_dir = f"{work}/codes"
+    try:
+        process_ingest_batch_pq_codes(b0, 0, codes_dir, cb)
+        process_ingest_batch_pq_codes(b1, 1, codes_dir, cb)
+        got = {
+            r["vec_id"]: list(r["codes"])
+            for r in spark.read.parquet(codes_dir).collect()
+        }
+        want = {
+            r["vec_id"]: list(r["codes"])
+            for r in pq_encode(corpus, cb).collect()
+        }
+        assert got == want
+        # replay converges
+        process_ingest_batch_pq_codes(b1, 1, codes_dir, cb)
+        assert {
+            r["vec_id"] for r in spark.read.parquet(codes_dir).collect()
+        } == set(range(30))
+        # frozen codebooks enforced
+        cb2 = pq_train_codebooks(corpus, m=4, n_codes=8, refine_iters=1, seed=99)
+        with pytest.raises(ValueError, match="codebooks"):
+            process_ingest_batch_pq_codes(
+                spark.createDataFrame(vecs(30, 32), "vec_id long, embedding array<float>"),
+                2, codes_dir, cb2,
+            )
+        # audit: clean with the right frame, refuses the wrong one
+        acc_dir = f"{work}/acc"
+        corpus.withColumn("ingest_batch", F.lit(0)).withColumn(
+            "src_batch", F.lit(0)
+        ).write.partitionBy("ingest_batch").parquet(acc_dir)
+        rep = audit_ingest_index(
+            spark, acc_dir, codes_dir, family="pq", codebooks=cb,
+            id_col="vec_id",
+        )
+        assert rep["ok"], rep
+        with pytest.raises(ValueError, match="fingerprint"):
+            audit_ingest_index(
+                spark, acc_dir, codes_dir, family="pq", codebooks=cb2,
+                id_col="vec_id",
+            )
+        # re-train = re-encode: rebuild adopts cb2, next batch works
+        rebuild_pq_codes(spark, acc_dir, codes_dir, cb2)
+        got2 = {
+            r["vec_id"]: list(r["codes"])
+            for r in spark.read.parquet(codes_dir).collect()
+        }
+        assert got2 == {
+            r["vec_id"]: list(r["codes"]) for r in pq_encode(corpus, cb2).collect()
+        }
+        process_ingest_batch_pq_codes(
+            spark.createDataFrame(vecs(30, 32), "vec_id long, embedding array<float>"),
+            2, codes_dir, cb2,
+        )
+        assert spark.read.parquet(codes_dir).count() == 32
+        # cell-partitioned layout (the composed ivfpq serving shape)
+        cells, _ = ivf_build_index(corpus, n_centroids=4)
+        cell_dir = f"{work}/codes_cells"
+        process_ingest_batch_pq_codes(
+            b0, 0, cell_dir, cb,
+            cells=cells.selectExpr(
+                "centroid_id as cell_id", "centroid_vec as centroid"
+            ),
+        )
+        leaf = os.listdir(f"{cell_dir}/ingest_batch=0")
+        assert any(d.startswith("_cell=") for d in leaf), leaf
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_input_fingerprint_content_component(spark):
     """ADVICE r10: the replay manifest folds a content component into
     the fingerprint, so a batch that reuses the original ids with

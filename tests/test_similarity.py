@@ -1264,6 +1264,44 @@ def test_pq_train_sample_cap(spark, pq_clustered):
     assert sampled == sampled2  # hash-ordered sample: partitioning-proof
 
 
+def test_ivf_train_sample_cap(spark, pq_clustered):
+    """ivf_build_index train_sample: a cap at-or-above the corpus is
+    bit-identical to the full build; a real subsample still assigns
+    the FULL corpus and stays deterministic under repartition (the
+    sample is hash-ordered, so init centroids are the same global
+    smallest hashes)."""
+    from garden_net_backend_spark.operators.similarity import ivf_build_index
+
+    def snap(pair):
+        cents, assign = pair
+        return (
+            {r["centroid_id"]: tuple(r["centroid_vec"]) for r in cents.collect()},
+            {r["vec_id"]: r["centroid_id"] for r in assign.collect()},
+        )
+
+    full = snap(ivf_build_index(pq_clustered, n_centroids=8, refine_iters=1))
+    capped = snap(
+        ivf_build_index(
+            pq_clustered, n_centroids=8, refine_iters=1, train_sample=10**6
+        )
+    )
+    assert full == capped
+    c1, a1 = snap(
+        ivf_build_index(
+            pq_clustered, n_centroids=8, refine_iters=1, train_sample=100
+        )
+    )
+    assert len(a1) == pq_clustered.count()  # assignments cover everything
+    assert c1 != full[0]  # refinement really ran on the sample
+    c2, a2 = snap(
+        ivf_build_index(
+            pq_clustered.repartition(9), n_centroids=8, refine_iters=1,
+            train_sample=100,
+        )
+    )
+    assert (c1, a1) == (c2, a2)
+
+
 def test_pq_encode_dim_mismatch_guard(spark, pq_clustered):
     """ADVICE r10: encoding a corpus whose dim doesn't match the
     trained codebooks must raise a descriptive driver-side ValueError,
