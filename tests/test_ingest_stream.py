@@ -737,6 +737,71 @@ def test_pq_codes_ingest_face(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_ivfpq_serves_from_maintained_codes_table(spark):
+    """End-to-end: ivf_pq_topk answering queries off the codes table
+    the ingest face maintained (cell-partitioned parquet on disk) must
+    equal the same search over a freshly built in-memory index — the
+    'first user of the composed serving layout' path, closed loop."""
+    import numpy as np
+
+    from garden_net_backend_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_pq_topk,
+        pq_build_index,
+        pq_train_codebooks,
+    )
+    from garden_net_backend_spark.streaming.ingest import (
+        process_ingest_batch_pq_codes,
+    )
+
+    rng = np.random.default_rng(21)
+    anchors = rng.standard_normal((4, 16))
+    rows = []
+    for i in range(60):
+        v = anchors[i % 4] + rng.standard_normal(16) * 0.1
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents, assign = ivf_build_index(corpus, n_centroids=4, refine_iters=1)
+    assign = assign.localCheckpoint(eager=True)
+    cb = pq_train_codebooks(corpus, m=4, n_codes=8, refine_iters=1)
+    work = tempfile.mkdtemp(prefix="ivfpq_served_")
+    codes_dir = f"{work}/codes"
+    try:
+        cells = cents.selectExpr(
+            "centroid_id as cell_id", "centroid_vec as centroid"
+        )
+        for b, lo, hi in ((0, 0, 40), (1, 40, 60)):
+            process_ingest_batch_pq_codes(
+                corpus.filter(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+                ),
+                b, codes_dir, cb, cells=cells,
+            )
+        stored_codes = spark.read.parquet(codes_dir)
+        queries = corpus.filter(F.col("vec_id") % 17 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        served = ivf_pq_topk(
+            corpus, queries, k=5, nprobe=2,
+            ivf_index=(cents, assign),
+            pq_index=(cb, stored_codes.select("vec_id", "codes")),
+        ).collect()
+        fresh_pq = pq_build_index(corpus, m=4, n_codes=8, refine_iters=1)
+        fresh = ivf_pq_topk(
+            corpus, queries, k=5, nprobe=2,
+            ivf_index=(cents, assign), pq_index=fresh_pq,
+        ).collect()
+        assert sorted(map(tuple, served)) == sorted(map(tuple, fresh))
+        # the stored table really is the composed layout: cell dirs
+        assert any(
+            d.startswith("_cell=")
+            for d in os.listdir(f"{codes_dir}/ingest_batch=0")
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_input_fingerprint_content_component(spark):
     """ADVICE r10: the replay manifest folds a content component into
     the fingerprint, so a batch that reuses the original ids with
