@@ -500,12 +500,20 @@ def ivf_build_index(
     everything (bit-identical to earlier rounds)."""
     spark = corpus.sparkSession
     train = corpus
+    pinned = False
     if train_sample is not None:
+        # pin the sample: it is a lazy full-corpus orderBy+limit, and
+        # each Lloyd iteration reads it twice (assign scan + member
+        # join) — unpinned, sampling would COST corpus scans instead
+        # of saving them (review r11). MEMORY_AND_DISK: spills, never
+        # OOMs; released before return.
         train = (
             corpus.select(id_col, vec_col)
             .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
             .limit(int(train_sample))
+            .persist()
         )
+        pinned = True
     init = train.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec"),
         F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
@@ -544,6 +552,8 @@ def ivf_build_index(
             (cid, [float(x) for x in updated.get(cid, vec)])
             for cid, vec in cent_rows
         ]
+    if pinned:
+        train.unpersist()
     centroids = spark.createDataFrame(
         cent_rows, "centroid_id long, centroid_vec array<double>"
     )
@@ -1519,12 +1529,26 @@ def pq_encode(
     cb = _pq_codebook_rows(codebooks)
     m = len(cb)
     sub = len(cb[0][0])
+    # an EMPTY input encodes to an empty frame, not a 'pq: empty
+    # corpus' error — the PQ-codes ingest face runs this per
+    # micro-batch, and a no-new-data foreachBatch tick must no-op, not
+    # wedge the stream on a retrying ValueError (review r11)
+    if not corpus.select(id_col).take(1):
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} long, codes array<int>"
+        )
     # validate the corpus dimension against the trained codebooks UP
     # FRONT (ADVICE r10): a mismatched corpus (encoded against
     # codebooks trained at another dim, or dim not divisible by m)
     # previously failed with an opaque numpy broadcast error inside the
     # executor; _pq_dim's take(1) is one tiny driver-side job and
     # encode is an offline build step, never the query path.
+    # NOTE cross-era contract: r11 switched the argmin to the
+    # ‖c‖²−2x·c identity — a vector NEAR-equidistant (≲1e-13 relative)
+    # to two codes could in principle round to the other winner than
+    # the pre-r11 (x−c)² form; if an audit of a pre-r11 table ever
+    # reports isolated mismatches on healthy data, re-encode via
+    # rebuild_pq_codes rather than chasing ulps.
     d = _pq_dim(corpus, vec_col, m)
     if d != m * sub:
         raise ValueError(
@@ -1663,6 +1687,10 @@ def pq_topk(
     import numpy as np
     import pandas as pd
 
+    if query_batch_size < 1:
+        raise ValueError(
+            f"query_batch_size must be >= 1 (got {query_batch_size})"
+        )
     if prefilter is None:
         prefilter = max(4 * k, k)
     prefilter = max(prefilter, k)
@@ -1854,6 +1882,10 @@ def ivf_pq_topk(
     import numpy as np
     import pandas as pd
 
+    if query_batch_size < 1:
+        raise ValueError(
+            f"query_batch_size must be >= 1 (got {query_batch_size})"
+        )
     if prefilter is None:
         prefilter = max(4 * k, k)
     prefilter = max(prefilter, k)

@@ -417,6 +417,37 @@ def _check_batch_id(batch_id: int) -> None:
         )
 
 
+def _attach_legacy_wbucket(
+    stored_idx: DataFrame | None, rows: DataFrame
+) -> tuple[DataFrame, list[str]]:
+    """Upgrade compat shared by the standalone substring face and the
+    composed curation face (one definition — review r11: the block was
+    duplicated and its history shows it gets patched): a window index
+    written before the wbucket layout column was retired has
+    ``ingest_batch=N/wbucket=K/`` leaf dirs — appending a wbucket-less
+    partition next to them makes partition discovery throw
+    CONFLICTING_PARTITION_COLUMN_NAMES on every subsequent read,
+    permanently wedging the stream. Keep writing the column (decisions
+    never read it) whenever the stored index carries it, with the
+    MODULUS DERIVED from the stored layout (max(wbucket)+1 — a
+    partition column, so the max reads partition metadata; the retired
+    parameter was caller-configurable, so hardcoding 64 would mix
+    bucket semantics in one directory — ADVICE r10). Best-effort: an
+    index so small that some buckets are empty under-derives the
+    modulus, which only affects layout consistency, never decisions.
+    → (rows [± wbucket column], partition columns)."""
+    part_cols = ["ingest_batch"]
+    if stored_idx is not None and "wbucket" in stored_idx.columns:
+        n_buckets = int(
+            stored_idx.agg(F.max("wbucket")).collect()[0][0] or 0
+        ) + 1
+        rows = rows.withColumn(
+            "wbucket", F.pmod(F.col("wkey"), F.lit(n_buckets)).cast("int")
+        )
+        part_cols.append("wbucket")
+    return rows, part_cols
+
+
 def _stored_prefix(
     spark: SparkSession, path: str, batch_id: int
 ) -> DataFrame | None:
@@ -789,34 +820,13 @@ def process_ingest_batch_substring(
         # partitions of (cleaned/delta ← index_dir) — pin the
         # batch-sized frames before any overwrite
         accepted = accepted.localCheckpoint(eager=True)
-        # upgrade compat: an index written before the wbucket layout
-        # column was retired has ingest_batch=N/wbucket=K/ leaf dirs —
-        # appending a wbucket-less partition next to them makes Spark's
-        # partition discovery throw CONFLICTING_PARTITION_COLUMN_NAMES
-        # on every subsequent read, permanently wedging the stream
-        # (review r10 pass 2). Keep writing the column (decisions never
-        # read it) whenever the stored index already carries it — with
-        # the MODULUS DERIVED from the stored layout (max(wbucket)+1;
-        # wbucket is a partition column so the max reads partition
-        # metadata, not data files), because the retired parameter was
-        # caller-configurable: hardcoding 64 would bucket new deltas
-        # mod 64 into a directory laid out mod K≠64, mixing bucket
-        # semantics (ADVICE r10). Best-effort: an old index so small
-        # that some buckets are empty under-derives K, which only
-        # affects layout consistency, never decisions.
+        # legacy wbucket layout compat — see _attach_legacy_wbucket
         delta_rows = delta.withColumn(
             "src_batch", F.lit(int(batch_id))
         ).withColumn("ingest_batch", F.lit(int(batch_id)))
-        idx_part_cols = ["ingest_batch"]
-        if stored_idx is not None and "wbucket" in stored_idx.columns:
-            n_buckets = int(
-                stored_idx.agg(F.max("wbucket")).collect()[0][0] or 0
-            ) + 1
-            delta_rows = delta_rows.withColumn(
-                "wbucket",
-                F.pmod(F.col("wkey"), F.lit(n_buckets)).cast("int"),
-            )
-            idx_part_cols.append("wbucket")
+        delta_rows, idx_part_cols = _attach_legacy_wbucket(
+            stored_idx, delta_rows
+        )
         delta_rows = delta_rows.localCheckpoint(eager=True)
         t1 = time.time()
         writer_opts = {"partitionOverwriteMode": "dynamic"}
@@ -1183,9 +1193,14 @@ def _swap_live(
         suffix = ".precompact" + ("" if g == 0 else f".{g}")
         return jvm.org.apache.hadoop.fs.Path(base + suffix)
 
-    oldest = _gen_path(backup_generations - 1)
-    if fs.exists(oldest):
-        fs.delete(oldest, True)
+    # delete the generation falling off the end AND any stale deeper
+    # generations a previous higher-N run left behind (review r11:
+    # lowering backup_generations must not strand corpus-sized
+    # .precompact.K dirs forever, posing as valid restore points)
+    g = backup_generations - 1
+    while fs.exists(_gen_path(g)):
+        fs.delete(_gen_path(g), True)
+        g += 1
     for g in range(backup_generations - 2, -1, -1):
         src = _gen_path(g)
         if fs.exists(src):
@@ -2008,24 +2023,13 @@ def process_ingest_batch_curation(
             .partitionBy("ingest_batch", "band")
             .parquet(minhash_index_dir)
         )
-        # legacy-layout compat mirrors the standalone substring face
-        # (review r11): a substring index still carrying the retired
-        # wbucket partition column must keep receiving it (modulus
-        # derived from the stored layout) or partition discovery
-        # throws CONFLICTING_PARTITION_COLUMN_NAMES on every read
-        span_part_cols = ["ingest_batch"]
+        # legacy wbucket layout compat — see _attach_legacy_wbucket
         span_rows = span_delta.withColumn(
             "src_batch", F.lit(int(batch_id))
         ).withColumn("ingest_batch", F.lit(int(batch_id)))
-        if stored_widx is not None and "wbucket" in stored_widx.columns:
-            n_buckets = int(
-                stored_widx.agg(F.max("wbucket")).collect()[0][0] or 0
-            ) + 1
-            span_rows = span_rows.withColumn(
-                "wbucket",
-                F.pmod(F.col("wkey"), F.lit(n_buckets)).cast("int"),
-            )
-            span_part_cols.append("wbucket")
+        span_rows, span_part_cols = _attach_legacy_wbucket(
+            stored_widx, span_rows
+        )
         (
             line_delta.withColumn("src_batch", F.lit(int(batch_id)))
             .withColumn("ingest_batch", F.lit(int(batch_id)))

@@ -443,6 +443,12 @@ def test_compaction_backup_generations_survive(spark):
         with pytest.raises(ValueError, match="backup_generations"):
             compact_ingest_index(spark, path, backup_generations=0)
         assert spark.read.parquet(path).count() == 13
+        # lowering N sweeps the now-out-of-window generations instead
+        # of stranding corpus-sized stale dirs forever (review r11)
+        compact_ingest_index(spark, path, backup_generations=1)
+        assert os.path.isdir(path + ".precompact")
+        assert not os.path.exists(path + ".precompact.1")
+        assert not os.path.exists(path + ".precompact.2")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -720,6 +726,13 @@ def test_pq_codes_ingest_face(spark):
         process_ingest_batch_pq_codes(
             spark.createDataFrame(vecs(30, 32), "vec_id long, embedding array<float>"),
             2, codes_dir, cb2,
+        )
+        assert spark.read.parquet(codes_dir).count() == 32
+        # an EMPTY micro-batch (no-new-data foreachBatch tick) no-ops
+        # instead of wedging the stream on 'pq: empty corpus' (r11)
+        process_ingest_batch_pq_codes(
+            spark.createDataFrame([], "vec_id long, embedding array<float>"),
+            3, codes_dir, cb2,
         )
         assert spark.read.parquet(codes_dir).count() == 32
         # cell-partitioned layout (the composed ivfpq serving shape)

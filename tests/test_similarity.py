@@ -1364,6 +1364,35 @@ def test_ann_query_batch_chunking_identical(spark, pq_clustered):
     ).collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, chunked3))
     assert len(chunked3) == 4 * 5  # k rows per DISTINCT query id
+    # INLINE-built index + chunking: exercises the pin-before-fan-out
+    # branch (the q38 gate now always passes prebuilt — review r11);
+    # the chunked run must equal the unchunked inline run
+    inline_once = pq_topk(
+        pq_clustered, queries, k=5, m=8, n_codes=16, refine_iters=0
+    ).collect()
+    inline_chunked = pq_topk(
+        pq_clustered, queries, k=5, m=8, n_codes=16, refine_iters=0,
+        query_batch_size=7,
+    ).collect()
+    assert sorted(map(tuple, inline_once)) == sorted(map(tuple, inline_chunked))
+    iv_once = ivf_pq_topk(
+        pq_clustered, queries, k=5, nprobe=3, n_centroids=8,
+        m=8, n_codes=16, refine_iters=0,
+    ).collect()
+    iv_chunked = ivf_pq_topk(
+        pq_clustered, queries, k=5, nprobe=3, n_centroids=8,
+        m=8, n_codes=16, refine_iters=0, query_batch_size=7,
+    ).collect()
+    assert sorted(map(tuple, iv_once)) == sorted(map(tuple, iv_chunked))
+    # guard: a nonsensical batch size fails loudly, not with a
+    # misleading empty-frame error from a zero-row chunk
+    with pytest.raises(ValueError, match="query_batch_size"):
+        pq_topk(pq_clustered, queries, k=5, index=pq_idx, query_batch_size=0)
+    with pytest.raises(ValueError, match="query_batch_size"):
+        ivf_pq_topk(
+            pq_clustered, queries, k=5,
+            ivf_index=ivf_idx, pq_index=pq_idx, query_batch_size=-1,
+        )
 
 
 def test_pq_small_corpus_degrades_codebook(spark):
