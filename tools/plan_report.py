@@ -166,6 +166,21 @@ CASES = [
         ["BroadcastHashJoin", "Generate", "HashAggregate", "Exchange"],
     ),
     (
+        "q38_ann_suite",
+        "ANN suite (lsh/ivf/pq/ivfpq arms, round 11): no arm scans the "
+        "corpus per query — candidates come from banded-bucket "
+        "equi-joins (lsh), broadcast-centroid probes, and Arrow ADC "
+        "scans of the checkpointed codes table (MapInPandas over Scan "
+        "ExistingRDD — the gate-path index builds are shared across "
+        "arms); re-ranks and the property-gate rescoring are "
+        "BroadcastHashJoins of candidate-sized frames. The "
+        "BroadcastNestedLoopJoins are all the nprobe centroid probes — a "
+        "32-row centroid dim broadcast keylessly against the 10-query "
+        "frame (dim×|Q|, never data×data; the ivf/ivfpq probe shape "
+        "documented in SCALING.md)",
+        ["BroadcastHashJoin", "MapInPandas", "Scan ExistingRDD", "Exchange"],
+    ),
+    (
         "q69_search_dispatch",
         "Search dispatch: every gene/ensembl arm probes the token index "
         "with an equi-join (no full-table rlike in any seed path); range "
