@@ -586,6 +586,70 @@ def test_curation_ingest_composition_matches_chained_faces(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_curation_stream_wrapper_end_to_end(spark):
+    """ingest_dedup_stream_curation drains a real file-source stream
+    (one file per micro-batch, availableNow) through the composed face
+    and equals driving the batches by direct calls — covers the
+    foreachBatch dispatch + checkpoint wiring the equivalence test
+    bypasses."""
+    from garden_net_backend_spark.streaming.ingest import (
+        ingest_dedup_stream_curation,
+        process_ingest_batch_curation,
+    )
+
+    boiler = "subscribe to our newsletter today please"
+    files = [
+        [
+            {"doc_id": 0, "text": boiler + "\nalpha beta gamma delta"},
+            {"doc_id": 1, "text": "unique first words here"},
+        ],
+        [
+            {"doc_id": 2, "text": boiler + "\nfresh second content"},
+        ],
+    ]
+    kw = dict(min_tokens=5)
+    work = tempfile.mkdtemp(prefix="curation_stream_")
+    feed = f"{work}/feed"
+    os.makedirs(feed)
+    for i, docs in enumerate(files):
+        with open(f"{feed}/f{i}.json", "w") as fh:
+            for rec in docs:
+                fh.write(json.dumps(rec) + "\n")
+        t = time.time() - 30 + i
+        os.utime(f"{feed}/f{i}.json", (t, t))
+    try:
+        s = f"{work}/via_stream"
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(feed)
+        )
+        q = ingest_dedup_stream_curation(
+            stream, f"{s}/acc", f"{s}/mh", f"{s}/li", f"{s}/wi",
+            f"{s}/ckpt", **kw,
+        )
+        q.awaitTermination(300)
+        assert q.exception() is None, q.exception()
+        d = f"{work}/direct"
+        for b, docs in enumerate(files):
+            process_ingest_batch_curation(
+                spark.createDataFrame(
+                    [(r["doc_id"], r["text"]) for r in docs],
+                    "doc_id long, text string",
+                ),
+                b, f"{d}/acc", f"{d}/mh", f"{d}/li", f"{d}/wi", **kw,
+            )
+        pick = lambda p: {
+            r["doc_id"]: (r["clean_text"], r["n_cut_lines"], r["n_cut_tokens"])
+            for r in spark.read.parquet(p).collect()
+        }
+        got, want = pick(f"{s}/acc"), pick(f"{d}/acc")
+        assert got == want and set(got) == {0, 1, 2}
+        assert got[2][1] >= 1  # doc 2's boiler line was cut
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_audit_curation_indexes(spark):
     """The composed face's fsck: all three indexes re-derive clean —
     with the substring index audited against the LINE-CLEANED text
