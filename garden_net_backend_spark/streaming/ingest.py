@@ -1196,11 +1196,28 @@ def _swap_live(
     # delete the generation falling off the end AND any stale deeper
     # generations a previous higher-N run left behind (review r11:
     # lowering backup_generations must not strand corpus-sized
-    # .precompact.K dirs forever, posing as valid restore points)
-    g = backup_generations - 1
-    while fs.exists(_gen_path(g)):
-        fs.delete(_gen_path(g), True)
-        g += 1
+    # .precompact.K dirs forever, posing as valid restore points).
+    # Enumerated by GLOB, not contiguous probing (advisor r11): a
+    # gapped chain — `.precompact.1` hand-removed while `.precompact.2`
+    # survives — used to stop the old exists() walk at the gap and
+    # strand every deeper generation forever.
+    bn = live_p.getName()
+    stale = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(base + ".precompact*")
+    )
+    for st in (stale if stale is not None else []):
+        name = st.getPath().getName()
+        if name == bn + ".precompact":
+            g = 0
+        elif name.startswith(bn + ".precompact."):
+            tail = name[len(bn) + len(".precompact."):]
+            if not tail.isdigit():
+                continue  # not a generation dir (e.g. a tmp) — keep
+            g = int(tail)
+        else:
+            continue
+        if g >= backup_generations - 1:
+            fs.delete(st.getPath(), True)
     for g in range(backup_generations - 2, -1, -1):
         src = _gen_path(g)
         if fs.exists(src):

@@ -449,6 +449,14 @@ def test_compaction_backup_generations_survive(spark):
         assert os.path.isdir(path + ".precompact")
         assert not os.path.exists(path + ".precompact.1")
         assert not os.path.exists(path + ".precompact.2")
+        # a GAPPED chain must still sweep (advisor r11): plant a stale
+        # deep generation with a hole at .1 — the old contiguous
+        # exists() probe stopped at the first missing dir and stranded
+        # .precompact.2 forever, posing as a valid restore point
+        os.makedirs(path + ".precompact.2")
+        compact_ingest_index(spark, path, backup_generations=1)
+        assert os.path.isdir(path + ".precompact")
+        assert not os.path.exists(path + ".precompact.2")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
