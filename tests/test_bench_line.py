@@ -205,3 +205,35 @@ def test_property_hot_map_never_breaks_the_line():
         assert set(json.loads(line)["queries"]) == set(t)
 
     check()
+
+
+def test_signal_read_flags_loadavg_fallback(monkeypatch):
+    """Advisor r11: a /proc parse failure silently switched units
+    (1-min loadavg vs busy cores) with no marker — _signal_read now
+    returns a per-read fallback flag and _SIGNAL counts them."""
+    import bench
+
+    v, fb = bench._signal_read(window=0.01)
+    assert v >= 0.0 and fb is False
+    monkeypatch.setattr(bench, "_host_cpu_jiffies", lambda: 1 / 0)
+    before = bench._SIGNAL["fallbacks"]
+    v2, fb2 = bench._signal_read(window=0.01)
+    assert fb2 is True
+    assert bench._SIGNAL["fallbacks"] == before + 1
+    assert v2 >= 0.0  # loadavg value — unit-switched but gate-usable
+
+
+def test_sample_load_ticker_collects():
+    """Judge r11 task 6: the ticker samples sibling load DURING a
+    window and summarizes max/mean/n; short windows still get >=1
+    tick (the first read starts immediately)."""
+    import time
+
+    import bench
+
+    tk = bench._SampleLoadTicker(interval=0.3).start()
+    time.sleep(0.7)
+    out = tk.stop()
+    assert out is not None
+    assert out["n"] >= 1
+    assert out["max"] >= out["mean"] >= 0.0
