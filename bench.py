@@ -294,9 +294,14 @@ BENCH_NOTES = {
     "serializes the cross-arm stage concurrency the lazy 4-arm union "
     "exploits, while the fetch it dedupes costs ~0.2s at a 2k-row "
     "corpus. It becomes the right tail when the candidate vector "
-    "fetch dominates (serving-scale corpora); q38 keeps the "
-    "concurrent per-arm shape and should read ≈ r11 quiet (~8.5-10s "
-    "depending on host).",
+    "fetch dominates (serving-scale corpora); q38 keeps concurrent "
+    "per-arm re-rank tails. What DID land (round 12): the four arms' "
+    "property gates fused into ONE tagged pipeline "
+    "(_ann_property_gate_tagged — one rescore join + two broadcast "
+    "lookups + one (gate,query_id) window/agg instead of four of "
+    "each). Alternating quiet A/B, all four arms, row-identical: "
+    "old 8.6-12.4s vs fused 8.5-8.8s — about -1.5s mean and much "
+    "tighter variance; expect q38 quiet ≈ 8.5s.",
     "q56_embedding_dup_suite": "suite = exact cosine near-dup + "
     "former q57 LSH-blocked arm (avalanche-hashed hyperplanes per the "
     "100x drill fix) + round-8 semdedup arm + round-9 seminc arm "

@@ -173,7 +173,13 @@ CASES = [
         "checkpointed codes table (MapInPandas over Scan ExistingRDD — "
         "the gate-path index builds are shared across arms); re-ranks "
         "and the property-gate rescoring are BroadcastHashJoins of "
-        "candidate-sized frames. The pq/ivfpq arms keep their per-arm "
+        "candidate-sized frames. Round 12 fused the four per-arm "
+        "property-gate pipelines into ONE tagged pipeline over the arm "
+        "union (_ann_property_gate_tagged): one rescore join, two "
+        "broadcast lookups, one (gate, query_id) window/agg — the arm "
+        "plans stay concurrent under the union while ~3 pipelines of "
+        "fixed stage overhead disappear (quiet A/B row-identical, "
+        "8.6-12.4s -> 8.5-8.8s). The pq/ivfpq arms keep their per-arm "
         "re-rank tails ON PURPOSE (judge r11 task 5 measured, not "
         "wired: the shared candidate-union tail — ann_shared_rerank, "
         "equivalence-tested — is ~1s slower at this scale because its "
