@@ -45,6 +45,12 @@ elif "--family=line" in sys.argv:
     FAMILY = "line"
 elif "--family=curation" in sys.argv:
     FAMILY = "curation"
+elif "--family=curation-quality" in sys.argv:
+    # the composed face with the round-12 stage-0 quality filter ON and
+    # a planted junk fraction — proves the extra stage adds a
+    # shard-sized filter, not a new per-batch scaling term
+    FAMILY = "curation-quality"
+JUNK_FRACTION = 0.15  # of each batch fails the quality rule (curation-quality)
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     {
@@ -52,6 +58,7 @@ OUT = os.path.join(
         "substring": "SCALING_RAW_INGEST_SUBSTRING.json",
         "line": "SCALING_RAW_INGEST_LINE.json",
         "curation": "SCALING_RAW_INGEST_CURATION.json",
+        "curation-quality": "SCALING_RAW_INGEST_CURATION_QUALITY.json",
     }[FAMILY],
 )
 
@@ -91,6 +98,12 @@ def main() -> None:
             threshold=0.7, ngram=3, shingle="word", num_hashes=64,
             bands=16, sep=" ", min_chars=1, min_tokens=20,
         )
+        if FAMILY == "curation-quality":
+            from pyspark.sql import functions as F
+
+            # round 12: stage-0 quality ON — junk rows (planted short)
+            # must be dropped BEFORE the gate and never touch an index
+            kw["quality_rules"] = lambda c: F.length(c) >= 100
 
         def step(df, b, accepted_dir, index_dir, **kw):
             process_ingest_batch_curation(
@@ -124,6 +137,11 @@ def main() -> None:
                     )
                 else:
                     text = _text(b, i)
+                if (
+                    FAMILY == "curation-quality"
+                    and i >= DOCS_PER_BATCH - int(DOCS_PER_BATCH * JUNK_FRACTION)
+                ):
+                    text = f"junk b{b:02d}d{i:03d}"  # fails length >= 100
                 rows.append((doc_id, text, "crawl"))
             df = spark.createDataFrame(
                 rows, "doc_id long, text string, source string"
@@ -137,7 +155,7 @@ def main() -> None:
                    "loadavg_1m": load}
             if b == COMPACT_AFTER:
                 tc = time.time()
-                if FAMILY == "curation":
+                if FAMILY.startswith("curation"):
                     for d in ("_mh", "_lidx", "_widx"):
                         compact_ingest_index(spark, index_dir + d)
                 else:
