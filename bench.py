@@ -520,7 +520,10 @@ def main() -> None:
     # deployment shape end-to-end: codes table maintained on disk by
     # the ingest face (build billed separately), then query batches
     # answered off spark.read.parquet(...) with the probed-cell
-    # partition filter. Never sinks the bench on error.
+    # partition filter AND cell membership taken from the codes table
+    # itself (ivf_index=(centroids, None) — the faiss inverted-list
+    # shape; no assignment table exists at serving time). Never sinks
+    # the bench on error.
     try:
         import shutil as _shutil
         import tempfile as _tempfile
@@ -553,7 +556,8 @@ def main() -> None:
                 ivf_pq_topk(
                     emb, _pq_queries, k=5, nprobe=4, n_centroids=32,
                     m=8, n_codes=16, refine_iters=1,
-                    ivf_index=_ivf_index, pq_index=(_pq_cb, _stored_codes),
+                    ivf_index=(_cents, None),
+                    pq_index=(_pq_cb, _stored_codes),
                 ).collect()
                 _pruned_samples.append(round(time.time() - t0, 3))
                 _release()

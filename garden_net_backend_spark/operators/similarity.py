@@ -1992,7 +1992,7 @@ def ivf_pq_topk(
     seed: int = 42,
     refine_iters: int = 1,
     prefilter: int | None = None,
-    ivf_index: tuple[DataFrame, DataFrame] | None = None,
+    ivf_index: tuple[DataFrame, DataFrame | None] | None = None,
     pq_index: tuple[DataFrame, DataFrame] | None = None,
     query_batch_size: int = 4096,
     prune_cells: bool = True,
@@ -2020,6 +2020,16 @@ def ivf_pq_topk(
     silently prune true candidates. ``prune_cells=False`` opts out
     (e.g. for a codes frame whose ``_cell`` is known stale);
     without a ``_cell`` column the scan is corpus-wide as before.
+
+    **Membership from the codes table (round 12).** Passing
+    ``ivf_index=(centroids, None)`` derives cell membership from the
+    codes frame's ``_cell`` column itself — the faiss shape, where the
+    codes ARE the inverted lists and no separate assignment structure
+    exists at serving time. A deployment then maintains ONE table
+    (the celled codes table the PQ-codes ingest face writes) instead
+    of two, and the candidate join drops from
+    probes→assignments→codes to probes→codes. Requires a ``_cell``
+    column (raises otherwise); the same frozen-cells contract applies.
 
     Candidate ADC scoring runs on the (query, member) join stream —
     per-query LUT lookup inside one Arrow pass — so its cost is
@@ -2056,6 +2066,13 @@ def ivf_pq_topk(
         )
     )
     cb = _pq_codebook_rows(codebooks)
+    if assignments is None and "_cell" not in codes.columns:
+        raise ValueError(
+            "ivf_pq_topk: ivf_index=(centroids, None) derives cell "
+            "membership from the codes frame, which requires a _cell "
+            "column (the process_ingest_batch_pq_codes(cells=...) "
+            "layout); this codes frame has none."
+        )
     qrows = queries.select(query_id_col, query_vec_col).collect()
     if not qrows:
         raise ValueError("ivf_pq_topk: empty query frame")
@@ -2116,8 +2133,10 @@ def _ivf_pq_adc_top_r(
     """One IVF-probed ADC pass for ≤ batch_size collected queries:
     probe window → (with ``use_cells``) ``_cell isin(probed)`` filter
     on the codes frame so the stored-table scan is partition-pruned to
-    the probed cells → candidate id join → Arrow LUT scoring → top-R
-    window → (query_id, _cid, adc)."""
+    the probed cells → candidate join (via the assignment table, or —
+    ``assignments=None`` — directly on the codes frame's ``_cell``,
+    the inverted-list shape) → Arrow LUT scoring → top-R window →
+    (query_id, _cid, adc)."""
     import numpy as np
     import pandas as pd
 
@@ -2162,16 +2181,25 @@ def _ivf_pq_adc_top_r(
         probe_rows = probes.collect()
         probes = spark.createDataFrame(probe_rows, probes.schema)
         probed_cells = sorted({r["centroid_id"] for r in probe_rows})
-        codes_src = codes.filter(
-            F.col("_cell").isin(probed_cells)
-        ).select(id_col, "codes")
+        codes_src = codes.filter(F.col("_cell").isin(probed_cells))
     else:
-        codes_src = codes.select(id_col, "codes")
-    cand_codes = (
-        probes.join(assignments, "centroid_id")
-        .select("query_id", id_col)
-        .join(codes_src, id_col)
-    )
+        codes_src = codes
+    if assignments is None:
+        # membership from the codes table itself (the faiss shape: the
+        # codes ARE the inverted lists) — probes join the celled codes
+        # on _cell, no assignment table exists at serving time
+        cand_codes = probes.join(
+            codes_src.select(
+                F.col("_cell").alias("centroid_id"), id_col, "codes"
+            ),
+            "centroid_id",
+        ).select("query_id", id_col, "codes")
+    else:
+        cand_codes = (
+            probes.join(assignments, "centroid_id")
+            .select("query_id", id_col)
+            .join(codes_src.select(id_col, "codes"), id_col)
+        )
 
     def _score(batches):
         for pdf in batches:

@@ -72,6 +72,15 @@ driver state. Per-batch partition accumulation is bounded by
 :func:`compact_ingest_index` (run it periodically on a quiesced or
 committed prefix); per-batch observability lands as one metrics row
 per batch beside the corpus (``<accepted_dir>_metrics``).
+
+Beyond dedup, the same loop discipline maintains and CONSUMES the ANN
+serving tables: :func:`process_ingest_batch_pq_codes` keeps the
+cell-partitioned PQ codes table current under frozen codebook/cells
+fingerprints, and :func:`process_serve_batch_ann` /
+:func:`ann_query_stream` answer a QUERY stream off that table —
+membership and partition pruning both from ``_cell``, one maintained
+index table in the request path, results idempotent per
+``serve_batch`` partition.
 """
 
 from __future__ import annotations
@@ -2217,7 +2226,9 @@ def process_ingest_batch_pq_codes(
     Same idempotency / replay-manifest / compaction contract as every
     face. Per-batch cost: one Arrow encode scan of the batch (m·sub
     dot products per vector) + one partitioned append — never a
-    corpus-sized job."""
+    corpus-sized job. The consumer half is
+    :func:`process_serve_batch_ann` (a query stream answered off this
+    table)."""
     from ..operators.similarity import (
         _alias_cells,
         _assign_cells,
@@ -2441,6 +2452,177 @@ def rebuild_pq_codes(
         )
     _swap_live(spark, base, tmp, keep_backup, copy_sidecars=False)
     return codes_dir
+
+
+def process_serve_batch_ann(
+    batch: DataFrame,
+    batch_id: int,
+    results_dir: str,
+    cells: DataFrame,
+    codebooks: DataFrame,
+    codes_dir: str,
+    corpus_dir: str,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_batch_size: int = 4096,
+    metrics: bool = True,
+) -> None:
+    """ANN query-SERVING face — the consumer half of the loop whose
+    producer half is :func:`process_ingest_batch_pq_codes`: answer a
+    micro-batch of queries off the MAINTAINED tables (the celled codes
+    table and the accepted corpus), never off an index built inside
+    the request path. Per batch: one :func:`~garden_net_backend_spark.
+    operators.similarity.ivf_pq_topk` run with ``ivf_index=(centroids,
+    None)`` — cell membership comes from the codes table itself (the
+    faiss inverted-list shape), so serving maintains ONE index table,
+    the scan is partition-pruned to the probed cells, and the exact
+    re-rank joins candidate ids against the stored corpus vectors.
+    Results land partitioned by ``serve_batch`` with dynamic-partition
+    overwrite, so a replayed batch overwrites its own partition —
+    idempotent like every face.
+
+    The frozen-frame contract is VERIFIED, not assumed: the
+    ``_codebooks_fingerprint`` / ``_cells_fingerprint`` sidecars the
+    ingest face stamped must both exist and match the frames passed
+    here — a serving deployment handed a re-trained codebook or
+    re-clustered centroid frame fails loudly instead of ADC-scoring
+    garbage or probing wrong partitions. Reads the codes table fresh
+    every batch, so rows the ingest face appended between query
+    batches are immediately visible (eventual completeness is the
+    ingest stream's cadence, not a rebuild).
+
+    Cost per batch: probe window (|queries|·n_centroids broadcast) +
+    pruned codes scan (nprobe/n_centroids of the table) + candidate-
+    sized ADC + candidate-sized exact re-rank. No corpus-sized term.
+    """
+    _check_batch_id(batch_id)
+    spark = batch.sparkSession
+    qrows_probe = batch.limit(1).take(1)
+    if not qrows_probe:
+        return  # an empty query batch serves nothing — not an error
+    from ..operators.similarity import ivf_pq_topk
+
+    _check_compacting_marker(spark, codes_dir)
+    base = codes_dir.rstrip("/")
+    stored_fp = _read_small_text(spark, base + "/_codebooks_fingerprint")
+    fp = codebooks_fingerprint(codebooks)
+    if stored_fp is None or stored_fp.strip() != fp:
+        raise ValueError(
+            "ann serve: the codebooks frame does not match the stored "
+            f"codes table at {codes_dir!r} (sidecar "
+            f"{(stored_fp or '<missing>').strip()[:16]}…, got {fp[:16]}…)"
+            " — ADC against foreign codes scores garbage silently. "
+            "Serve with the frame the ingest face froze, or "
+            "rebuild_pq_codes first."
+        )
+    stored_cfp = _read_small_text(spark, base + "/_cells_fingerprint")
+    cfp = cells_fingerprint(cells)
+    if stored_cfp is None or stored_cfp.strip() != cfp:
+        raise ValueError(
+            "ann serve: the cells frame does not match the stored codes "
+            f"table at {codes_dir!r} (sidecar "
+            f"{(stored_cfp or '<missing>').strip()[:16]}…, got "
+            f"{cfp[:16]}…) — probing under foreign centroids reads "
+            "wrong partitions. Serve with the frozen cells frame, or "
+            "rebuild_pq_codes(cells=...) first."
+        )
+    # cheap-default reads (module doctrine: per-batch probes must not
+    # footer-merge 10⁵ files): _cell/ingest_batch are PARTITION columns
+    # (always in the inferred schema), and the data columns consumed
+    # here (vec_id, codes / id, vec) exist in every era's files
+    stored_codes = _read_if_exists(spark, codes_dir)
+    if stored_codes is None or "_cell" not in stored_codes.columns:
+        raise ValueError(
+            f"ann serve: {codes_dir!r} is not a celled codes table — "
+            "the serving face probes the (ingest_batch, _cell) layout "
+            "process_ingest_batch_pq_codes(cells=...) maintains."
+        )
+    corpus = _read_if_exists(spark, corpus_dir)
+    if corpus is None:
+        raise ValueError(f"ann serve: no corpus at {corpus_dir!r}")
+    from ..operators.similarity import _alias_cells
+
+    centroids = _alias_cells(cells).select(
+        F.col("_cell").alias("centroid_id"),
+        F.col("_cvec").alias("centroid_vec"),
+    )
+    t0 = time.time()
+    result = ivf_pq_topk(
+        corpus.select(id_col, vec_col),
+        batch.select(query_id_col, query_vec_col),
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        ivf_index=(centroids, None),
+        pq_index=(codebooks, stored_codes),
+        query_batch_size=query_batch_size,
+    ).withColumn("serve_batch", F.lit(int(batch_id)))
+    t1 = time.time()
+    (
+        result.write.mode("overwrite")
+        .options(partitionOverwriteMode="dynamic")
+        .partitionBy("serve_batch")
+        .parquet(results_dir)
+    )
+    if metrics:
+        t2 = time.time()
+        input_fp = _input_fingerprint(batch, query_id_col, query_vec_col)
+        n_in = int(input_fp.split(":")[0])
+        out = spark.read.parquet(results_dir).filter(
+            F.col("serve_batch") == int(batch_id)
+        )
+        _write_batch_metrics(
+            spark,
+            results_dir.rstrip("/") + "_metrics",
+            "ann_serve",
+            batch_id,
+            n_in,
+            out.count(),
+            True,
+            t1 - t0,
+            t2 - t1,
+            input_fp,
+        )
+
+
+def ann_query_stream(
+    stream_queries: DataFrame,
+    results_dir: str,
+    checkpoint_dir: str,
+    cells: DataFrame,
+    codebooks: DataFrame,
+    codes_dir: str,
+    corpus_dir: str,
+    available_now: bool = True,
+    **kernel_kwargs,
+):
+    """Streaming wrapper for :func:`process_serve_batch_ann` — wire a
+    query stream into per-micro-batch ANN answering off the maintained
+    codes table: ``readStream`` (queries) → ``foreachBatch`` → pruned
+    ``ivf_pq_topk`` → results partitioned by ``serve_batch``. The
+    serving twin of :func:`ingest_pq_codes_stream`; run both against
+    the same ``codes_dir`` and newly ingested vectors become
+    retrievable at the ingest stream's micro-batch cadence."""
+
+    def _dispatch(df: DataFrame, batch_id: int) -> None:
+        process_serve_batch_ann(
+            df, batch_id, results_dir, cells, codebooks, codes_dir,
+            corpus_dir, **kernel_kwargs
+        )
+
+    writer = stream_queries.writeStream.foreachBatch(_dispatch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def ingest_dedup_stream_semantic(

@@ -2041,3 +2041,227 @@ def test_replay_fallback_survives_pre_manifest_corpus(spark, feed):
             process_ingest_batch(fresh, 1, acc, idx, **KW)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _ann_fixture(spark, n=60, seed=23):
+    """Clustered corpus + frozen frames for the serving-face tests:
+    (corpus, cents, assign, cb, cells)."""
+    import numpy as np
+
+    from garden_net_backend_spark.operators.similarity import (
+        ivf_build_index,
+        pq_train_codebooks,
+    )
+
+    rng = np.random.default_rng(seed)
+    anchors = rng.standard_normal((4, 16))
+    rows = []
+    for i in range(n):
+        v = anchors[i % 4] + rng.standard_normal(16) * 0.1
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents, assign = ivf_build_index(corpus, n_centroids=4, refine_iters=1)
+    assign = assign.localCheckpoint(eager=True)
+    cb = pq_train_codebooks(corpus, m=4, n_codes=8, refine_iters=1)
+    cells = cents.selectExpr(
+        "centroid_id as cell_id", "centroid_vec as centroid"
+    )
+    return corpus, cents, assign, cb, cells
+
+
+def test_ann_query_stream_serves_off_maintained_tables(spark):
+    """Round 12: the query-SERVING face — a query stream drained one
+    file per micro-batch through ann_query_stream must answer off the
+    maintained celled codes table (membership from _cell, no
+    assignment table) exactly as a fresh-index ivf_pq_topk over the
+    same corpus; replay overwrites its own serve_batch partition; the
+    frozen-frame sidecars are VERIFIED against the frames served
+    with."""
+    from garden_net_backend_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_build_index,
+    )
+    from garden_net_backend_spark.streaming.ingest import (
+        ann_query_stream,
+        process_ingest_batch_pq_codes,
+        process_serve_batch_ann,
+    )
+
+    corpus, cents, assign, cb, cells = _ann_fixture(spark)
+    work = tempfile.mkdtemp(prefix="ann_serve_")
+    codes_dir, corpus_dir = f"{work}/codes", f"{work}/corpus"
+    results_dir = f"{work}/results"
+    try:
+        for b, lo, hi in ((0, 0, 40), (1, 40, 60)):
+            process_ingest_batch_pq_codes(
+                corpus.filter(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+                ),
+                b, codes_dir, cb, cells=cells,
+            )
+        corpus.write.parquet(corpus_dir)
+        qids = [[0, 17, 34], [51, 5]]
+        vecs = {
+            r["vec_id"]: list(map(float, r["embedding"]))
+            for r in corpus.collect()
+        }
+        feed = f"{work}/qfeed"
+        os.makedirs(feed)
+        for i, ids in enumerate(qids):
+            with open(f"{feed}/f{i}.json", "w") as fh:
+                for q in ids:
+                    fh.write(
+                        json.dumps({"query_id": q, "query_vec": vecs[q]})
+                        + "\n"
+                    )
+            t = time.time() - 30 + i
+            os.utime(f"{feed}/f{i}.json", (t, t))
+        stream = (
+            spark.readStream.schema("query_id long, query_vec array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .json(feed)
+        )
+        q = ann_query_stream(
+            stream, results_dir, f"{work}/ckpt", cells, cb, codes_dir,
+            corpus_dir, k=5, nprobe=2,
+        )
+        q.awaitTermination(300)
+        assert q.exception() is None, q.exception()
+        got = spark.read.parquet(results_dir)
+        assert set(
+            r["serve_batch"] for r in got.select("serve_batch").collect()
+        ) == {0, 1}
+        all_queries = spark.createDataFrame(
+            [(i, vecs[i]) for ids in qids for i in ids],
+            "query_id long, query_vec array<float>",
+        )
+        fresh = ivf_pq_topk(
+            corpus, all_queries, k=5, nprobe=2,
+            ivf_index=(cents, assign),
+            pq_index=pq_build_index(corpus, m=4, n_codes=8, refine_iters=1),
+        ).collect()
+        key = lambda rows: sorted(
+            (r["query_id"], r["vec_id"], r["cosine"], r["rank"]) for r in rows
+        )
+        assert key(got.collect()) == key(fresh)
+        # replay: re-driving batch 0 overwrites its own partition only
+        b0 = spark.createDataFrame(
+            [(i, vecs[i]) for i in qids[0]],
+            "query_id long, query_vec array<float>",
+        )
+        process_serve_batch_ann(
+            b0, 0, results_dir, cells, cb, codes_dir, corpus_dir,
+            k=5, nprobe=2,
+        )
+        assert key(spark.read.parquet(results_dir).collect()) == key(fresh)
+        # a RE-TRAINED codebook frame must be refused (sidecar check)
+        cb2 = cb.withColumn(
+            "sub_vec", F.transform("sub_vec", lambda x: x + F.lit(0.5))
+        )
+        with pytest.raises(ValueError, match="codebooks frame"):
+            process_serve_batch_ann(
+                b0, 2, results_dir, cells, cb2, codes_dir, corpus_dir
+            )
+        # a RE-CLUSTERED cells frame must be refused
+        cells2 = cells.withColumn(
+            "centroid", F.transform("centroid", lambda x: x + F.lit(0.5))
+        )
+        with pytest.raises(ValueError, match="cells frame"):
+            process_serve_batch_ann(
+                b0, 2, results_dir, cells2, cb, codes_dir, corpus_dir
+            )
+        # empty query batch: a no-op, not an error
+        process_serve_batch_ann(
+            b0.filter(F.lit(False)), 3, results_dir, cells, cb, codes_dir,
+            corpus_dir,
+        )
+        assert key(spark.read.parquet(results_dir).collect()) == key(fresh)
+        # metrics: one observability row per served batch
+        m = spark.read.parquet(f"{results_dir}_metrics")
+        assert {
+            (r["ingest_batch"], r["family"], r["n_in"])
+            for r in m.collect()
+        } == {(0, "ann_serve", 3), (1, "ann_serve", 2)}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_pq_codes_compaction_preserves_pruned_serving(spark):
+    """compact_ingest_index on the celled codes table must fold the
+    per-batch partitions into ingest_batch=-1 while KEEPING the _cell
+    sub-partitioning, the fingerprint sidecars, the folded batches'
+    replay no-op, and post-compaction appends — and the pruned serving
+    path (membership + partition filter from _cell) must answer
+    identically off the folded table."""
+    from garden_net_backend_spark.functions.plancheck import plan_string
+    from garden_net_backend_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_build_index,
+    )
+    from garden_net_backend_spark.streaming.ingest import (
+        compact_ingest_index,
+        process_ingest_batch_pq_codes,
+    )
+
+    corpus, cents, assign, cb, cells = _ann_fixture(spark, n=72)
+    work = tempfile.mkdtemp(prefix="pqcodes_compact_")
+    codes_dir = f"{work}/codes"
+    try:
+        batches = ((0, 0, 30), (1, 30, 60), (2, 60, 72))
+        for b, lo, hi in batches[:2]:
+            process_ingest_batch_pq_codes(
+                corpus.filter(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+                ),
+                b, codes_dir, cb, cells=cells,
+            )
+        compact_ingest_index(spark, codes_dir)
+        leaf = os.listdir(codes_dir)
+        assert "ingest_batch=-1" in leaf and "ingest_batch=0" not in leaf
+        assert any(
+            d.startswith("_cell=")
+            for d in os.listdir(f"{codes_dir}/ingest_batch=-1")
+        )
+        # sidecars survived the swap
+        assert os.path.exists(f"{codes_dir}/_codebooks_fingerprint")
+        assert os.path.exists(f"{codes_dir}/_cells_fingerprint")
+        # a re-driven FOLDED batch no-ops instead of double-appending
+        b1, lo, hi = batches[1]
+        process_ingest_batch_pq_codes(
+            corpus.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            b1, codes_dir, cb, cells=cells,
+        )
+        assert spark.read.parquet(codes_dir).count() == 60
+        # post-compaction append still fingerprint-gated and celled
+        b2, lo, hi = batches[2]
+        process_ingest_batch_pq_codes(
+            corpus.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            b2, codes_dir, cb, cells=cells,
+        )
+        stored = spark.read.parquet(codes_dir)
+        assert stored.count() == 72 and "_cell" in stored.columns
+        # pruned serving off the folded+appended table == fresh build
+        queries = corpus.filter(F.col("vec_id").isin([0, 33, 64])).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        served_df = ivf_pq_topk(
+            corpus, queries, k=5, nprobe=2,
+            ivf_index=(cents, None), pq_index=(cb, stored),
+        )
+        fresh = ivf_pq_topk(
+            corpus, queries, k=5, nprobe=2,
+            ivf_index=(cents, assign),
+            pq_index=pq_build_index(corpus, m=4, n_codes=8, refine_iters=1),
+        ).collect()
+        assert sorted(map(tuple, served_df.collect())) == sorted(
+            map(tuple, fresh)
+        )
+        # the scan is still partition-pruned after the fold
+        plan = plan_string(served_df)
+        assert any(
+            "PartitionFilters" in ln and "_cell" in ln
+            for ln in plan.splitlines()
+        ), plan
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

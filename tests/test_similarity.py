@@ -1597,3 +1597,57 @@ def test_ivfpq_nprobe_recall_monotone(spark, pq_clustered):
     # nprobe = n_centroids probes everything: with the prefilter cut
     # not binding the re-rank sees every vector — exact recall
     assert recalls[-1] == 1.0, recalls
+
+
+def test_ivfpq_membership_from_codes_table(spark, pq_clustered):
+    """Round 12: ``ivf_index=(centroids, None)`` derives cell
+    membership from the codes frame's ``_cell`` column — the faiss
+    inverted-list shape (codes stored IN the lists, no assignment
+    table at serving time). Must be row-identical to the
+    assignment-join path, with or without partition pruning, and must
+    refuse a codes frame that has no ``_cell`` to derive from."""
+    from garden_net_backend_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_pq_topk,
+        pq_build_index,
+    )
+
+    queries = pq_clustered.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cb, codes = pq_build_index(pq_clustered, m=8, n_codes=16, refine_iters=1)
+    cents, assign = ivf_build_index(pq_clustered, n_centroids=8, refine_iters=1)
+    assign = assign.localCheckpoint(eager=True)
+    # the celled codes frame the ingest face maintains, built in-memory:
+    # same codes, each row carrying its IVF cell
+    celled = codes.join(
+        assign.select("vec_id", F.col("centroid_id").alias("_cell")), "vec_id"
+    ).localCheckpoint(eager=True)
+    via_assign = ivf_pq_topk(
+        pq_clustered, queries, k=5, nprobe=3,
+        ivf_index=(cents, assign), pq_index=(cb, codes),
+    ).collect()
+    via_codes = ivf_pq_topk(
+        pq_clustered, queries, k=5, nprobe=3,
+        ivf_index=(cents, None), pq_index=(cb, celled),
+    ).collect()
+    assert sorted(map(tuple, via_codes)) == sorted(map(tuple, via_assign))
+    # pruning off (stale-_cell escape hatch): membership still comes
+    # from _cell, just without the isin partition filter — same rows
+    unpruned = ivf_pq_topk(
+        pq_clustered, queries, k=5, nprobe=3, prune_cells=False,
+        ivf_index=(cents, None), pq_index=(cb, celled),
+    ).collect()
+    assert sorted(map(tuple, unpruned)) == sorted(map(tuple, via_assign))
+    # chunked serving path: the per-chunk ADC passes each derive
+    # membership from the same celled frame
+    chunked = ivf_pq_topk(
+        pq_clustered, queries, k=5, nprobe=3, query_batch_size=2,
+        ivf_index=(cents, None), pq_index=(cb, celled),
+    ).collect()
+    assert sorted(map(tuple, chunked)) == sorted(map(tuple, via_assign))
+    with pytest.raises(ValueError, match="_cell"):
+        ivf_pq_topk(
+            pq_clustered, queries, k=5, nprobe=3,
+            ivf_index=(cents, None), pq_index=(cb, codes),
+        )
