@@ -2470,6 +2470,8 @@ def process_serve_batch_ann(
     query_vec_col: str = "query_vec",
     query_batch_size: int = 4096,
     metrics: bool = True,
+    codebooks_fp: str | None = None,
+    cells_fp: str | None = None,
 ) -> None:
     """ANN query-SERVING face — the consumer half of the loop whose
     producer half is :func:`process_ingest_batch_pq_codes`: answer a
@@ -2498,7 +2500,11 @@ def process_serve_batch_ann(
     Cost per batch: probe window (|queries|·n_centroids broadcast) +
     pruned codes scan (nprobe/n_centroids of the table) + candidate-
     sized ADC + candidate-sized exact re-rank. No corpus-sized term.
-    """
+    ``codebooks_fp`` / ``cells_fp`` let a long-lived caller (the
+    stream wrapper) pass the frozen frames' fingerprints precomputed —
+    the frames can't drift mid-stream, so recomputing two collect jobs
+    per micro-batch buys nothing; the sidecar COMPARISON still runs
+    every batch."""
     _check_batch_id(batch_id)
     spark = batch.sparkSession
     qrows_probe = batch.limit(1).take(1)
@@ -2509,7 +2515,7 @@ def process_serve_batch_ann(
     _check_compacting_marker(spark, codes_dir)
     base = codes_dir.rstrip("/")
     stored_fp = _read_small_text(spark, base + "/_codebooks_fingerprint")
-    fp = codebooks_fingerprint(codebooks)
+    fp = codebooks_fp or codebooks_fingerprint(codebooks)
     if stored_fp is None or stored_fp.strip() != fp:
         raise ValueError(
             "ann serve: the codebooks frame does not match the stored "
@@ -2520,7 +2526,7 @@ def process_serve_batch_ann(
             "rebuild_pq_codes first."
         )
     stored_cfp = _read_small_text(spark, base + "/_cells_fingerprint")
-    cfp = cells_fingerprint(cells)
+    cfp = cells_fp or cells_fingerprint(cells)
     if stored_cfp is None or stored_cfp.strip() != cfp:
         raise ValueError(
             "ann serve: the cells frame does not match the stored codes "
@@ -2609,12 +2615,18 @@ def ann_query_stream(
     ``ivf_pq_topk`` → results partitioned by ``serve_batch``. The
     serving twin of :func:`ingest_pq_codes_stream`; run both against
     the same ``codes_dir`` and newly ingested vectors become
-    retrievable at the ingest stream's micro-batch cadence."""
+    retrievable at the ingest stream's micro-batch cadence. The frozen
+    frames' fingerprints are computed ONCE here and handed to every
+    batch (the frames cannot drift inside one stream), so the
+    per-batch verification cost is two sidecar reads + string
+    compares, not two collect jobs."""
+    fp = codebooks_fingerprint(codebooks)
+    cfp = cells_fingerprint(cells)
 
     def _dispatch(df: DataFrame, batch_id: int) -> None:
         process_serve_batch_ann(
             df, batch_id, results_dir, cells, codebooks, codes_dir,
-            corpus_dir, **kernel_kwargs
+            corpus_dir, codebooks_fp=fp, cells_fp=cfp, **kernel_kwargs
         )
 
     writer = stream_queries.writeStream.foreachBatch(_dispatch).option(
