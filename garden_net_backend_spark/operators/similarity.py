@@ -1926,7 +1926,29 @@ def ann_shared_rerank(
     scored rows, not the plan), and each arm's per-query top-k window
     runs over a semi-join back onto ITS OWN candidate set ∪ self-ids —
     row-identical to the standalone re-rank (pinned in tests), at one
-    corpus scan total instead of len(arms)."""
+    corpus scan total instead of len(arms).
+
+    Query rows are deduped exactly like the producers dedupe theirs
+    (``_dedup_query_rows`` — exact duplicates collapse, conflicting
+    duplicates raise): a duplicated query row would otherwise double
+    every scored candidate through the broadcast join and the per-arm
+    top-k would emit each neighbor twice (review r12). The arm
+    survivor frames and the self-id join are materialized ONCE
+    (candidate-sized eager checkpoints) so each arm's ADC plan runs a
+    single time — it feeds both the union being scored and that arm's
+    own semi-join candidate set (review r12: the lazy frames were
+    evaluated in both places)."""
+    qrows = _dedup_query_rows(
+        queries.select(query_id_col, query_vec_col).collect(),
+        query_id_col, query_vec_col, "ann_shared_rerank",
+    )
+    queries = queries.sparkSession.createDataFrame(
+        qrows, queries.select(query_id_col, query_vec_col).schema
+    )
+    arm_top_r = {
+        arm: t.select("query_id", "_cid").localCheckpoint(eager=True)
+        for arm, t in arm_top_r.items()
+    }
     selfc = (
         queries.select(F.col(query_id_col).alias("query_id"))
         .join(
@@ -1935,11 +1957,9 @@ def ann_shared_rerank(
             "inner",
         )
         .select("query_id", "_cid")
+        .localCheckpoint(eager=True)
     )
-    all_cand = _tree_union(
-        [t.select("query_id", "_cid") for t in arm_top_r.values()]
-        + [selfc]
-    ).distinct()
+    all_cand = _tree_union(list(arm_top_r.values()) + [selfc]).distinct()
     scored = (
         all_cand.join(
             corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col)),
@@ -1965,9 +1985,7 @@ def ann_shared_rerank(
     wr = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     out = {}
     for arm, top_r in arm_top_r.items():
-        cand = (
-            top_r.select("query_id", "_cid").unionByName(selfc).distinct()
-        )
+        cand = top_r.unionByName(selfc).distinct()
         out[arm] = (
             scored.join(cand, ["query_id", "_cid"], "left_semi")
             .select("query_id", F.col("_cid").alias(id_col), "cosine")

@@ -1206,13 +1206,19 @@ def _swap_live(
     # generations a previous higher-N run left behind (review r11:
     # lowering backup_generations must not strand corpus-sized
     # .precompact.K dirs forever, posing as valid restore points).
-    # Enumerated by GLOB, not contiguous probing (advisor r11): a
-    # gapped chain — `.precompact.1` hand-removed while `.precompact.2`
-    # survives — used to stop the old exists() walk at the gap and
-    # strand every deeper generation forever.
+    # Enumerated by LISTING THE PARENT and literal-prefix matching,
+    # not contiguous probing (advisor r11: a gapped chain —
+    # `.precompact.1` hand-removed while `.precompact.2` survives —
+    # used to stop the old exists() walk at the gap and strand every
+    # deeper generation forever) and not globStatus (review r12: a
+    # base path containing Hadoop glob metacharacters like `run[2]`
+    # would silently match nothing — or someone else's dirs).
     bn = live_p.getName()
-    stale = fs.globStatus(
-        jvm.org.apache.hadoop.fs.Path(base + ".precompact*")
+    parent_p = live_p.getParent()
+    stale = (
+        fs.listStatus(parent_p)
+        if parent_p is not None and fs.exists(parent_p)
+        else []
     )
     for st in (stale if stale is not None else []):
         name = st.getPath().getName()
@@ -2504,7 +2510,18 @@ def process_serve_batch_ann(
     stream wrapper) pass the frozen frames' fingerprints precomputed —
     the frames can't drift mid-stream, so recomputing two collect jobs
     per micro-batch buys nothing; the sidecar COMPARISON still runs
-    every batch."""
+    every batch.
+
+    Malformed queries must not become poison pills (review r12:
+    ``ivf_pq_topk`` raises on a query id carrying two DIFFERENT
+    vectors, and an uncaught raise inside ``foreachBatch`` fails the
+    stream, which then replays the same committed batch forever).
+    Per batch: exact-duplicate query rows collapse, and ids with
+    conflicting vectors are REJECTED for this batch — the remaining
+    queries are served, the metrics row records the drop
+    (``n_rejected``), and the rejected ids simply have no result rows
+    (resubmit with one vector to get an answer). Deterministic, so
+    replays converge."""
     _check_batch_id(batch_id)
     spark = batch.sparkSession
     qrows_probe = batch.limit(1).take(1)
@@ -2557,40 +2574,58 @@ def process_serve_batch_ann(
         F.col("_cvec").alias("centroid_vec"),
     )
     t0 = time.time()
-    result = ivf_pq_topk(
-        corpus.select(id_col, vec_col),
-        batch.select(query_id_col, query_vec_col),
-        k=k,
-        nprobe=nprobe,
-        id_col=id_col,
-        vec_col=vec_col,
-        query_id_col=query_id_col,
-        query_vec_col=query_vec_col,
-        ivf_index=(centroids, None),
-        pq_index=(codebooks, stored_codes),
-        query_batch_size=query_batch_size,
-    ).withColumn("serve_batch", F.lit(int(batch_id)))
-    t1 = time.time()
-    (
-        result.write.mode("overwrite")
-        .options(partitionOverwriteMode="dynamic")
-        .partitionBy("serve_batch")
-        .parquet(results_dir)
+    # poison-pill guard (review r12): collapse exact-duplicate query
+    # rows; REJECT ids whose duplicates carry different vectors (they
+    # have no well-defined answer) instead of letting ivf_pq_topk's
+    # raise wedge the stream on every checkpoint replay
+    qcols = batch.select(query_id_col, query_vec_col).dropDuplicates()
+    conflicted = (
+        qcols.groupBy(query_id_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .select(query_id_col)
     )
+    clean = qcols.join(
+        conflicted, query_id_col, "left_anti"
+    ).localCheckpoint(eager=True)
+    n_served_ids = clean.count()
+    if n_served_ids:
+        result = ivf_pq_topk(
+            corpus.select(id_col, vec_col),
+            clean,
+            k=k,
+            nprobe=nprobe,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            ivf_index=(centroids, None),
+            pq_index=(codebooks, stored_codes),
+            query_batch_size=query_batch_size,
+        ).withColumn("serve_batch", F.lit(int(batch_id)))
+        t1 = time.time()
+        (
+            result.write.mode("overwrite")
+            .options(partitionOverwriteMode="dynamic")
+            .partitionBy("serve_batch")
+            .parquet(results_dir)
+        )
+    else:
+        t1 = time.time()
     if metrics:
         t2 = time.time()
         input_fp = _input_fingerprint(batch, query_id_col, query_vec_col)
-        n_in = int(input_fp.split(":")[0])
-        out = spark.read.parquet(results_dir).filter(
-            F.col("serve_batch") == int(batch_id)
-        )
+        # n_in counts DISTINCT query ids in; n_accepted counts ids
+        # served (k result rows each) — the delta is the conflicted
+        # ids this batch rejected
+        n_in = qcols.select(query_id_col).distinct().count()
         _write_batch_metrics(
             spark,
             results_dir.rstrip("/") + "_metrics",
             "ann_serve",
             batch_id,
             n_in,
-            out.count(),
+            n_served_ids,
             True,
             t1 - t0,
             t2 - t1,

@@ -2265,3 +2265,59 @@ def test_pq_codes_compaction_preserves_pruned_serving(spark):
         ), plan
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_ann_serve_conflicted_query_ids_rejected_not_poison(spark):
+    """Review r12: a query id arriving with two DIFFERENT vectors has
+    no well-defined answer — the serving face must reject THAT id for
+    the batch (metrics record the drop) and serve the rest, never let
+    the raise escape foreachBatch and wedge the stream into replaying
+    the same committed batch forever. Exact-duplicate rows collapse."""
+    from garden_net_backend_spark.streaming.ingest import (
+        ann_query_stream,
+        process_ingest_batch_pq_codes,
+    )
+
+    corpus, cents, assign, cb, cells = _ann_fixture(spark)
+    work = tempfile.mkdtemp(prefix="ann_poison_")
+    codes_dir, corpus_dir = f"{work}/codes", f"{work}/corpus"
+    results_dir = f"{work}/results"
+    try:
+        process_ingest_batch_pq_codes(corpus, 0, codes_dir, cb, cells=cells)
+        corpus.write.parquet(corpus_dir)
+        vecs = {
+            r["vec_id"]: list(map(float, r["embedding"]))
+            for r in corpus.collect()
+        }
+        feed = f"{work}/qfeed"
+        os.makedirs(feed)
+        rows = [
+            {"query_id": 7, "query_vec": vecs[7]},       # conflicted …
+            {"query_id": 7, "query_vec": vecs[8]},       # … two vectors
+            {"query_id": 0, "query_vec": vecs[0]},       # exact dup …
+            {"query_id": 0, "query_vec": vecs[0]},       # … collapses
+            {"query_id": 17, "query_vec": vecs[17]},     # clean
+        ]
+        with open(f"{feed}/f0.json", "w") as fh:
+            for rec in rows:
+                fh.write(json.dumps(rec) + "\n")
+        stream = spark.readStream.schema(
+            "query_id long, query_vec array<float>"
+        ).json(feed)
+        q = ann_query_stream(
+            stream, results_dir, f"{work}/ckpt", cells, cb, codes_dir,
+            corpus_dir, k=5, nprobe=2,
+        )
+        q.awaitTermination(300)
+        assert q.exception() is None, q.exception()
+        got = spark.read.parquet(results_dir)
+        served_ids = {r["query_id"] for r in got.select("query_id").collect()}
+        assert served_ids == {0, 17}  # conflicted id 7 dropped
+        assert got.filter(F.col("query_id") == 0).count() == 5  # k, not 2k
+        m = spark.read.parquet(f"{results_dir}_metrics").collect()
+        assert len(m) == 1
+        assert (m[0]["n_in"], m[0]["n_accepted"], m[0]["n_rejected"]) == (
+            3, 2, 1,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1651,3 +1651,42 @@ def test_ivfpq_membership_from_codes_table(spark, pq_clustered):
             pq_clustered, queries, k=5, nprobe=3,
             ivf_index=(cents, None), pq_index=(cb, codes),
         )
+
+
+def test_ann_shared_rerank_dedupes_and_refuses_conflicts(spark, pq_clustered):
+    """Review r12: a duplicated query row used to double every scored
+    candidate through the broadcast join (each neighbor emitted twice,
+    so only ~k/2 distinct results survived the top-k). Exact
+    duplicates must collapse — identical output to the deduped frame —
+    and a conflicting duplicate id must raise like the producers."""
+    from garden_net_backend_spark.operators.similarity import (
+        ann_shared_rerank,
+        pq_build_index,
+        pq_topk,
+    )
+
+    queries = pq_clustered.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    doubled = queries.unionByName(queries)
+    pq_idx = pq_build_index(pq_clustered, m=8, n_codes=16, refine_iters=1)
+    pq_idx = (pq_idx[0], pq_idx[1].localCheckpoint(eager=True))
+    cand = pq_topk(
+        pq_clustered, queries, k=5, index=pq_idx, return_candidates=True
+    ).localCheckpoint(eager=True)
+    clean = ann_shared_rerank(pq_clustered, queries, {"pq": cand}, k=5)
+    dup = ann_shared_rerank(pq_clustered, doubled, {"pq": cand}, k=5)
+    want = sorted(map(tuple, clean["pq"].collect()))
+    got = sorted(map(tuple, dup["pq"].collect()))
+    assert got == want
+    # k DISTINCT neighbors per query, no doubled rows
+    per_q = {}
+    for qid, vid, _cos, _rank in got:
+        per_q.setdefault(qid, []).append(vid)
+    assert all(len(v) == len(set(v)) == 5 for v in per_q.values()), per_q
+    conflicted = spark.createDataFrame(
+        [(1, [1.0] * 64), (1, [0.5] * 64)],
+        "query_id long, query_vec array<float>",
+    )
+    with pytest.raises(ValueError, match="two different"):
+        ann_shared_rerank(pq_clustered, conflicted, {"pq": cand}, k=5)
