@@ -301,7 +301,14 @@ BENCH_NOTES = {
     "lookups + one (gate,query_id) window/agg instead of four of "
     "each). Alternating quiet A/B, all four arms, row-identical: "
     "old 8.6-12.4s vs fused 8.5-8.8s — about -1.5s mean and much "
-    "tighter variance; expect q38 quiet ≈ 8.5s.",
+    "tighter variance; expect q38 quiet ≈ 8.5s. Catalog-interleaved "
+    "runs can miss that floor entirely (one r12 run sampled "
+    "17.8/55.6/14.7 with in-sample sibling load quiet at the best "
+    "sample, while standalone immediately after read 8.4/8.5/8.5 at "
+    "the same rev): q38's four persisted-index arms are the most "
+    "sensitive in the catalog to executor cache/GC state left by the "
+    "preceding queries. Judge the arm on standalone quiet A/Bs, not "
+    "on a single interleaved record.",
     "q56_embedding_dup_suite": "suite = exact cosine near-dup + "
     "former q57 LSH-blocked arm (avalanche-hashed hyperplanes per the "
     "100x drill fix) + round-8 semdedup arm + round-9 seminc arm "

@@ -2467,7 +2467,7 @@ def process_serve_batch_ann(
     cells: DataFrame,
     codebooks: DataFrame,
     codes_dir: str,
-    corpus_dir: str,
+    corpus_dir: str | None,
     k: int = 10,
     nprobe: int = 4,
     id_col: str = "vec_id",
@@ -2478,6 +2478,7 @@ def process_serve_batch_ann(
     metrics: bool = True,
     codebooks_fp: str | None = None,
     cells_fp: str | None = None,
+    mode: str = "exact",
 ) -> None:
     """ANN query-SERVING face — the consumer half of the loop whose
     producer half is :func:`process_ingest_batch_pq_codes`: answer a
@@ -2503,9 +2504,28 @@ def process_serve_batch_ann(
     batches are immediately visible (eventual completeness is the
     ingest stream's cadence, not a rebuild).
 
+    Two serving modes (the faiss IndexIVFPQ / IndexRefine pair):
+
+    - ``mode="exact"`` (default): ADC survivors are exact-decimal
+      re-ranked against the stored corpus vectors (``corpus_dir``) —
+      returned ``cosine`` scores are exact and self-retrieval is
+      structural. The candidate JOIN is candidate-sized, but the
+      corpus-vector fetch feeding it is a corpus-wide column scan
+      (id + vec) per batch — the one corpus-sized term left in the
+      request path. Fine while the corpus scan is cheap relative to
+      the batch; at 100 TB give the vectors an id-keyed point store
+      or use:
+    - ``mode="adc"``: index-only serving — top-k straight from the
+      ADC scores of the probed cells' codes, ``corpus_dir`` never
+      read (pass None). The request path touches ONLY the pruned
+      codes partitions: no corpus term at all, at faiss's usual
+      accuracy trade (scores are quantized approximations, column
+      ``adc_score``; no self-id union — a corpus-member query ranks
+      its own code like any other).
+
     Cost per batch: probe window (|queries|·n_centroids broadcast) +
     pruned codes scan (nprobe/n_centroids of the table) + candidate-
-    sized ADC + candidate-sized exact re-rank. No corpus-sized term.
+    sized ADC, plus in exact mode the re-rank's corpus column scan.
     ``codebooks_fp`` / ``cells_fp`` let a long-lived caller (the
     stream wrapper) pass the frozen frames' fingerprints precomputed —
     the frames can't drift mid-stream, so recomputing two collect jobs
@@ -2522,6 +2542,10 @@ def process_serve_batch_ann(
     (``n_rejected``), and the rejected ids simply have no result rows
     (resubmit with one vector to get an answer). Deterministic, so
     replays converge."""
+    if mode not in ("exact", "adc"):
+        raise ValueError(
+            f"ann serve: mode must be 'exact' or 'adc' (got {mode!r})"
+        )
     _check_batch_id(batch_id)
     spark = batch.sparkSession
     qrows_probe = batch.limit(1).take(1)
@@ -2564,9 +2588,16 @@ def process_serve_batch_ann(
             "the serving face probes the (ingest_batch, _cell) layout "
             "process_ingest_batch_pq_codes(cells=...) maintains."
         )
-    corpus = _read_if_exists(spark, corpus_dir)
-    if corpus is None:
-        raise ValueError(f"ann serve: no corpus at {corpus_dir!r}")
+    corpus = None
+    if mode == "exact":
+        if corpus_dir is None:
+            raise ValueError(
+                "ann serve: mode='exact' re-ranks against the stored "
+                "corpus vectors — pass corpus_dir (or serve mode='adc')"
+            )
+        corpus = _read_if_exists(spark, corpus_dir)
+        if corpus is None:
+            raise ValueError(f"ann serve: no corpus at {corpus_dir!r}")
     from ..operators.similarity import _alias_cells
 
     centroids = _alias_cells(cells).select(
@@ -2590,9 +2621,7 @@ def process_serve_batch_ann(
     ).localCheckpoint(eager=True)
     n_served_ids = clean.count()
     if n_served_ids:
-        result = ivf_pq_topk(
-            corpus.select(id_col, vec_col),
-            clean,
+        kw = dict(
             k=k,
             nprobe=nprobe,
             id_col=id_col,
@@ -2602,7 +2631,32 @@ def process_serve_batch_ann(
             ivf_index=(centroids, None),
             pq_index=(codebooks, stored_codes),
             query_batch_size=query_batch_size,
-        ).withColumn("serve_batch", F.lit(int(batch_id)))
+        )
+        if mode == "exact":
+            result = ivf_pq_topk(corpus.select(id_col, vec_col), clean, **kw)
+        else:
+            # index-only: prefilter=k makes the ADC pass itself the
+            # top-k; corpus is never touched with return_candidates
+            # (both indexes are handed in, and the re-rank is skipped)
+            from pyspark.sql import Window as _W
+
+            top = ivf_pq_topk(
+                None, clean, prefilter=k, return_candidates=True, **kw
+            )
+            wq = _W.partitionBy("query_id").orderBy(
+                F.desc("adc"), F.asc("_cid")
+            )
+            result = (
+                top.withColumn("rank", F.row_number().over(wq))
+                .filter(F.col("rank") <= k)
+                .select(
+                    "query_id",
+                    F.col("_cid").alias(id_col),
+                    F.round("adc", 9).alias("adc_score"),
+                    "rank",
+                )
+            )
+        result = result.withColumn("serve_batch", F.lit(int(batch_id)))
         t1 = time.time()
         (
             result.write.mode("overwrite")
@@ -2640,7 +2694,7 @@ def ann_query_stream(
     cells: DataFrame,
     codebooks: DataFrame,
     codes_dir: str,
-    corpus_dir: str,
+    corpus_dir: str | None,
     available_now: bool = True,
     **kernel_kwargs,
 ):

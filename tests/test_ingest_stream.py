@@ -2321,3 +2321,89 @@ def test_ann_serve_conflicted_query_ids_rejected_not_poison(spark):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_ann_serve_adc_mode_index_only(spark):
+    """mode='adc' (round 12): index-only serving — top-k straight from
+    the ADC scores of the probed cells' codes, corpus never read
+    (corpus_dir=None). Oracle: NumPy recomputes every query's ADC
+    table from the stored codes + codebooks and takes top-k under the
+    same (adc desc, id asc) order — the face must match exactly."""
+    import numpy as np
+
+    from garden_net_backend_spark.streaming.ingest import (
+        process_ingest_batch_pq_codes,
+        process_serve_batch_ann,
+    )
+
+    corpus, cents, assign, cb, cells = _ann_fixture(spark)
+    work = tempfile.mkdtemp(prefix="ann_adc_")
+    codes_dir, results_dir = f"{work}/codes", f"{work}/results"
+    try:
+        process_ingest_batch_pq_codes(corpus, 0, codes_dir, cb, cells=cells)
+        queries = corpus.filter(F.col("vec_id").isin([3, 21, 40])).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        process_serve_batch_ann(
+            queries, 0, results_dir, cells, cb, codes_dir, None,
+            k=5, nprobe=2, mode="adc",
+        )
+        got = sorted(
+            (r["query_id"], r["rank"], r["vec_id"], r["adc_score"])
+            for r in spark.read.parquet(results_dir).collect()
+        )
+        # --- independent NumPy oracle ---------------------------------
+        cb_rows = cb.collect()
+        m = 1 + max(r["subspace"] for r in cb_rows)
+        ncodes = 1 + max(r["code"] for r in cb_rows)
+        sub = len(cb_rows[0]["sub_vec"])
+        books = np.zeros((m, ncodes, sub))
+        for r in cb_rows:
+            books[r["subspace"], r["code"]] = r["sub_vec"]
+        stored = spark.read.parquet(codes_dir).collect()
+        codes = {r["vec_id"]: list(r["codes"]) for r in stored}
+        cell_of = {r["vec_id"]: r["_cell"] for r in stored}
+        cents_rows = {
+            r["centroid_id"]: np.asarray(r["centroid_vec"], dtype=float)
+            for r in cents.collect()
+        }
+        want = []
+        for q in queries.collect():
+            qv = np.asarray(q["query_vec"], dtype=float)
+            qn = qv / np.linalg.norm(qv)
+            # nprobe nearest centroids by cosine, ties by centroid id
+            def _cos(c):
+                return float(c @ qn / (np.linalg.norm(c) * 1.0))
+            probed = sorted(
+                cents_rows,
+                key=lambda cid: (-_cos(cents_rows[cid] / np.linalg.norm(cents_rows[cid])), cid),
+            )[:2]
+            lut = np.stack(
+                [qn[j * sub:(j + 1) * sub] @ books[j].T for j in range(m)]
+            )
+            scored = []
+            for vid, cl in codes.items():
+                if cell_of[vid] not in probed:
+                    continue
+                s = sum(lut[j, cl[j]] for j in range(m))
+                scored.append((-s, vid))
+            scored.sort()
+            for rank, (negs, vid) in enumerate(scored[:5], start=1):
+                want.append(
+                    (q["query_id"], rank, vid, round(-negs, 9))
+                )
+        assert got == sorted(want)
+        # exact mode with corpus_dir=None must refuse loudly
+        with pytest.raises(ValueError, match="corpus_dir"):
+            process_serve_batch_ann(
+                queries, 1, results_dir, cells, cb, codes_dir, None,
+                k=5, nprobe=2, mode="exact",
+            )
+        with pytest.raises(ValueError, match="mode"):
+            process_serve_batch_ann(
+                queries, 1, results_dir, cells, cb, codes_dir, None,
+                k=5, nprobe=2, mode="bogus",
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
