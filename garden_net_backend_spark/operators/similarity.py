@@ -1996,7 +1996,7 @@ def ann_shared_rerank(
 
 
 def ivf_pq_topk(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     queries: DataFrame,
     k: int = 10,
     nprobe: int = 4,
@@ -2061,10 +2061,25 @@ def ivf_pq_topk(
     runs over the unioned survivors (judge r11 task 2) — identical
     output to the unchunked run. ``return_candidates=True`` returns
     the raw ADC survivor frame (query_id, _cid, adc) for
-    :func:`ann_shared_rerank`."""
+    :func:`ann_shared_rerank` — and is the only mode that accepts
+    ``corpus=None`` (index-only serving: both indexes prebuilt, no
+    re-rank, the corpus never touched)."""
     if query_batch_size < 1:
         raise ValueError(
             f"query_batch_size must be >= 1 (got {query_batch_size})"
+        )
+    if corpus is None and not (
+        return_candidates and ivf_index is not None and pq_index is not None
+    ):
+        # corpus=None is the index-only idiom (ADC serving): legal ONLY
+        # when both indexes are handed in AND the exact re-rank is
+        # skipped — fail here with the contract, not deep in the
+        # re-rank with an AttributeError (review r12)
+        raise ValueError(
+            "ivf_pq_topk: corpus=None requires return_candidates=True "
+            "with BOTH ivf_index and pq_index prebuilt (the index-only "
+            "ADC path); the exact re-rank and inline index builds need "
+            "the corpus frame."
         )
     if prefilter is None:
         prefilter = max(4 * k, k)

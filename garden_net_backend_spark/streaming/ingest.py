@@ -2546,6 +2546,13 @@ def process_serve_batch_ann(
         raise ValueError(
             f"ann serve: mode must be 'exact' or 'adc' (got {mode!r})"
         )
+    if mode == "adc" and corpus_dir is not None:
+        raise ValueError(
+            "ann serve: mode='adc' never reads the corpus — passing "
+            "corpus_dir with it is contradictory (did you want "
+            "mode='exact' re-ranked cosine scores?). Pass "
+            "corpus_dir=None for index-only serving."
+        )
     _check_batch_id(batch_id)
     spark = batch.sparkSession
     qrows_probe = batch.limit(1).take(1)
@@ -2598,6 +2605,20 @@ def process_serve_batch_ann(
         corpus = _read_if_exists(spark, corpus_dir)
         if corpus is None:
             raise ValueError(f"ann serve: no corpus at {corpus_dir!r}")
+    # the two modes write DIFFERENT result schemas (cosine vs
+    # adc_score) — a mode switch on a populated results_dir would
+    # silently fork the table partition by partition, so the mode is
+    # stamped on first write and verified ever after, exactly like the
+    # frame fingerprints (review r12)
+    mode_path = results_dir.rstrip("/") + "/_serve_mode"
+    stored_mode = _read_small_text(spark, mode_path)
+    if stored_mode is not None and stored_mode.strip() != mode:
+        raise ValueError(
+            f"ann serve: {results_dir!r} holds {stored_mode.strip()!r}-"
+            f"mode results but this batch asked for mode={mode!r} — the "
+            "two schemas (cosine vs adc_score) cannot share one table. "
+            "Serve into a fresh results_dir or keep the stamped mode."
+        )
     from ..operators.similarity import _alias_cells
 
     centroids = _alias_cells(cells).select(
@@ -2643,16 +2664,26 @@ def process_serve_batch_ann(
             top = ivf_pq_topk(
                 None, clean, prefilter=k, return_candidates=True, **kw
             )
+            # rank over the ROUNDED score so the stored (adc_score,
+            # vec_id) columns reproduce the stored rank exactly — the
+            # same round-then-rank discipline as _pq_exact_rerank
+            # (review r12: ranking on raw adc but storing 9-decimal
+            # adc_score let the stored order contradict the rank). NOT
+            # a duplicate of the window inside ivf_pq_topk: that one
+            # cuts the top-R candidate set under the RAW score and is
+            # shared with the exact path; this one is the auditable
+            # output order of the adc mode.
             wq = _W.partitionBy("query_id").orderBy(
-                F.desc("adc"), F.asc("_cid")
+                F.desc("adc_score"), F.asc("_cid")
             )
             result = (
-                top.withColumn("rank", F.row_number().over(wq))
+                top.withColumn("adc_score", F.round("adc", 9))
+                .withColumn("rank", F.row_number().over(wq))
                 .filter(F.col("rank") <= k)
                 .select(
                     "query_id",
                     F.col("_cid").alias(id_col),
-                    F.round("adc", 9).alias("adc_score"),
+                    "adc_score",
                     "rank",
                 )
             )
@@ -2664,6 +2695,8 @@ def process_serve_batch_ann(
             .partitionBy("serve_batch")
             .parquet(results_dir)
         )
+        if stored_mode is None:
+            _write_small_text(spark, mode_path, mode)
     else:
         t1 = time.time()
     if metrics:

@@ -2389,10 +2389,14 @@ def test_ann_serve_adc_mode_index_only(spark):
                 s = sum(lut[j, cl[j]] for j in range(m))
                 scored.append((-s, vid))
             scored.sort()
-            for rank, (negs, vid) in enumerate(scored[:5], start=1):
-                want.append(
-                    (q["query_id"], rank, vid, round(-negs, 9))
-                )
+            # the face ranks over the ROUNDED score (auditable from
+            # the stored columns) after the raw-score top-k cut
+            rounded = sorted(
+                (round(-negs, 9), vid) for negs, vid in scored[:5]
+            )
+            rounded = sorted(rounded, key=lambda t: (-t[0], t[1]))
+            for rank, (sc, vid) in enumerate(rounded, start=1):
+                want.append((q["query_id"], rank, vid, sc))
         assert got == sorted(want)
         # exact mode with corpus_dir=None must refuse loudly
         with pytest.raises(ValueError, match="corpus_dir"):
@@ -2405,5 +2409,31 @@ def test_ann_serve_adc_mode_index_only(spark):
                 queries, 1, results_dir, cells, cb, codes_dir, None,
                 k=5, nprobe=2, mode="bogus",
             )
+        # adc never reads the corpus: passing corpus_dir with it is a
+        # contradictory config, refused
+        with pytest.raises(ValueError, match="contradictory"):
+            process_serve_batch_ann(
+                queries, 1, results_dir, cells, cb, codes_dir,
+                f"{work}/unused_corpus", k=5, nprobe=2, mode="adc",
+            )
+        # the results table is stamped with its mode on first write —
+        # a later exact-mode batch into the same dir would fork the
+        # schema (cosine vs adc_score) and must be refused
+        corpus.write.parquet(f"{work}/corpus")
+        assert os.path.exists(f"{results_dir}/_serve_mode")
+        with pytest.raises(ValueError, match="cannot share one table"):
+            process_serve_batch_ann(
+                queries, 2, results_dir, cells, cb, codes_dir,
+                f"{work}/corpus", k=5, nprobe=2, mode="exact",
+            )
+        # replaying the SAME mode into the stamped dir stays legal
+        process_serve_batch_ann(
+            queries, 0, results_dir, cells, cb, codes_dir, None,
+            k=5, nprobe=2, mode="adc",
+        )
+        assert sorted(
+            (r["query_id"], r["rank"], r["vec_id"], r["adc_score"])
+            for r in spark.read.parquet(results_dir).collect()
+        ) == got
     finally:
         shutil.rmtree(work, ignore_errors=True)
