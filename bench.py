@@ -228,6 +228,17 @@ _MAX_LINE_CHARS = 1900  # driver tail-captures ~2000 chars and json-parses
 # is a live CATALOG name — stale keys after a consolidation were the
 # round-6 failure mode.
 BENCH_NOTES = {
+    "_adc_serving_scope": "extras.ann_ivfpq_adc_serving_* times the "
+    "WHOLE serving face per batch (process_serve_batch_ann mode='adc': "
+    "dedup/conflict guard jobs, sidecar fingerprint verification, "
+    "fresh codes-table read, results parquet write) while "
+    "ann_ivfpq_pruned_serving_* times only the ivf_pq_topk(...)."
+    "collect() call — so at bench scale (2k vectors) the face reads "
+    "SLOWER than the op even though its request path does strictly "
+    "less scan work (no corpus term). The like-for-like face-vs-face "
+    "comparison at 200k x 64d is SCALING_RAW_ANN_ADC_MODE.json: adc "
+    "3.85s vs exact 5.06s per 64-query batch, with the recall/quality "
+    "trade quantified there.",
     "_r6_consolidation": "round 6 folded the 55-name catalog to 50 "
     "(driver caps CORRECTNESS at the first 50 sorted names): "
     "q25/q27→q23, q28→q26, q31→q30, q54→q38, q57→q56, q68→q67, "
@@ -570,6 +581,27 @@ def main() -> None:
                 _release()
             extras["ann_ivfpq_pruned_serving_sec"] = _pruned_samples
             extras["ann_ivfpq_pruned_serving_min_sec"] = min(_pruned_samples)
+            # the index-only ADC serving face (mode='adc'): the request
+            # path reads ONLY the probed cells' codes — no corpus term
+            # at all (scores are the quantized approximations; the
+            # recall/quality trade is quantified in
+            # SCALING_RAW_ANN_ADC_MODE.json)
+            from garden_net_backend_spark.streaming.ingest import (
+                process_serve_batch_ann,
+            )
+
+            _adc_samples = []
+            for _i in range(3):
+                _rd = _pruned_work + "/adc_results"
+                t0 = time.time()
+                process_serve_batch_ann(
+                    _pq_queries, _i, _rd, _cents, _pq_cb, _codes_dir,
+                    None, k=5, nprobe=4, mode="adc", metrics=False,
+                )
+                _adc_samples.append(round(time.time() - t0, 3))
+                _release()
+            extras["ann_ivfpq_adc_serving_sec"] = _adc_samples
+            extras["ann_ivfpq_adc_serving_min_sec"] = min(_adc_samples)
         finally:
             _shutil.rmtree(_pruned_work, ignore_errors=True)
     except Exception as exc:

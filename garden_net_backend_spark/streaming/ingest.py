@@ -2370,7 +2370,9 @@ def ingest_pq_codes_stream(
     **kernel_kwargs,
 ):
     """PQ-codes counterpart of :func:`ingest_dedup_stream` — wire a
-    streaming vector source into the codes-table maintenance loop."""
+    streaming vector source into the codes-table maintenance loop.
+    The serving twin (a QUERY stream answered off this table) is
+    :func:`ann_query_stream`."""
 
     def _dispatch(df: DataFrame, batch_id: int) -> None:
         process_ingest_batch_pq_codes(
