@@ -319,7 +319,9 @@ BENCH_NOTES = {
     "the same rev): q38's four persisted-index arms are the most "
     "sensitive in the catalog to executor cache/GC state left by the "
     "preceding queries. Judge the arm on standalone quiet A/Bs, not "
-    "on a single interleaved record.",
+    "on a single interleaved record — extras.q38_standalone_min_sec "
+    "records that anchor every round (two standalone samples right "
+    "after the index builds, before the catalog pass).",
     "q56_embedding_dup_suite": "suite = exact cosine near-dup + "
     "former q57 LSH-blocked arm (avalanche-hashed hyperplanes per the "
     "100x drill fix) + round-8 semdedup arm + round-9 seminc arm "
@@ -606,6 +608,29 @@ def main() -> None:
             _shutil.rmtree(_pruned_work, ignore_errors=True)
     except Exception as exc:
         extras["ann_ivfpq_pruned_serving_error"] = repr(exc)[:200]
+
+    # --- q38 standalone quiet anchor (round 12) -----------------------
+    # q38's catalog-interleaved samples are the most sensitive in the
+    # suite to executor cache/GC state left by preceding queries (one
+    # r12 run sampled 17.8/55.6/14.7 while standalone read 8.4-8.5 at
+    # the same rev), so every round also records two standalone samples
+    # taken right here — JVM warm from the index builds, no preceding
+    # catalog pass — as the stable per-round anchor for the suite.
+    try:
+        _q38_standalone = []
+        for _ in range(3):
+            t0 = time.time()
+            _measure(
+                q38_suite_impl(
+                    spark, sf_dir, ivf_index=_ivf_index, pq_index=_pq_index
+                )
+            )
+            _q38_standalone.append(round(time.time() - t0, 3))
+            _release()
+        extras["q38_standalone_sec"] = _q38_standalone
+        extras["q38_standalone_min_sec"] = min(_q38_standalone)
+    except Exception as exc:
+        extras["q38_standalone_error"] = repr(exc)[:200]
 
     # --- q63/q64/q67 family: shared network build --------------------
     # Materialize the family's shared checkpoints once, outside every

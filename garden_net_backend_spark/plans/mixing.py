@@ -219,3 +219,100 @@ def pack_sequences(
         (span_begin - F.col("seq_id") * s).cast("long").alias("tok_begin"),
         (span_end - span_begin).cast("long").alias("n_tokens_in_seq"),
     )
+
+
+def cluster_quota_sample(
+    vectors: DataFrame,
+    cells: DataFrame,
+    quota: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+    method: str = "threshold",
+    assign: str = "arrow",
+    cell_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Diversity sampling over an embedding column: assign every
+    vector to its nearest FROZEN cell, then cap each cell at ``quota``
+    survivors — the cluster-then-uniform curation step that keeps a
+    training mix from being dominated by whatever content is most
+    duplicated in embedding space (the SemDeDup-family companion:
+    dedup removes near-identical points, this bounds per-REGION mass).
+    Returns the input rows + ``_cell`` + ``kept`` boolean (callers
+    filter; keeping both makes audits and oracles cover every
+    decision, the ``weighted_sample_by_source`` convention).
+
+    Selection is deterministic in the ``md5(seed:id)`` hash order —
+    stable under reprocessing, partitioning, and engine choice (same
+    discipline as every sampler in this module). Two methods, chosen
+    by the 100 TB shape of the cell-size distribution:
+
+    - ``method="threshold"`` (default, the at-scale path): keep iff
+      ``u < quota / |cell|`` with cell sizes from ONE combinable
+      groupBy broadcast back onto the scan — two scans total, zero
+      per-cell sorts, so a pathological mega-cell costs the same as
+      any other. Keeps ``quota`` per cell in EXPECTATION (binomial
+      jitter ~ ±2√quota); cells at or under quota are kept whole,
+      exactly.
+    - ``method="exact"``: per-cell top-``quota`` under the hash order
+      via one window — exact counts, at the cost of sorting each
+      cell's rows in a single task (the classic skewed-window shape;
+      fine while the largest cell fits a task comfortably).
+
+    ``cells`` is any frame ``_alias_cells`` accepts ((cell_id,
+    centroid) or (centroid_id, centroid_vec)); pass the SAME frozen
+    frame the rest of the pipeline uses so regions mean the same thing
+    everywhere. ``cell_counts`` (optional, (``_cell``, ``n``)) lets a
+    caller reuse counts it already maintains; otherwise one aggregate
+    derives them."""
+    from ..operators.similarity import _alias_cells, _assign_cells
+
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1 (got {quota})")
+    if method not in ("threshold", "exact"):
+        raise ValueError(
+            f"method must be 'threshold' or 'exact' (got {method!r})"
+        )
+    assigned = vectors.join(
+        _assign_cells(
+            vectors.select(id_col, vec_col), _alias_cells(cells),
+            id_col, vec_col, assign,
+        ),
+        id_col,
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(str(seed)), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    if method == "exact":
+        w = W.partitionBy("_cell").orderBy(u.asc(), F.col(id_col).asc())
+        return assigned.withColumn(
+            "kept", F.row_number().over(w) <= quota
+        )
+    counts = (
+        cell_counts
+        if cell_counts is not None
+        else assigned.groupBy("_cell").agg(F.count("*").alias("n"))
+    )
+    # u is uniform on [0, 2^32); keep iff u < floor(quota·2^32 / n) —
+    # INTEGER division (SQL div), so the per-cell threshold is exact
+    # and engine-portable with no double-rounding drift; n <= quota
+    # saturates the threshold at 2^32 and keeps the whole cell
+    thr = F.least(
+        F.lit(1 << 32).cast("long"),
+        F.expr(f"CAST({int(quota) * (1 << 32)} AS BIGINT) div n"),
+    )
+    return (
+        assigned.join(F.broadcast(counts.withColumn("_thr", thr)), "_cell")
+        .withColumn("kept", u < F.col("_thr"))
+        .drop("n", "_thr")
+    )

@@ -2437,3 +2437,59 @@ def test_ann_serve_adc_mode_index_only(spark):
         ) == got
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_ann_ingest_then_serve_cadence(spark):
+    """The producer/consumer loop at micro-batch cadence: vectors
+    ingested through the pq-codes face become retrievable by the NEXT
+    served query batch — the serving face reads the maintained table
+    fresh per batch, no rebuild, no restart. Also pins that results
+    from earlier serve batches are immutable history (the later ingest
+    does not rewrite them)."""
+    from garden_net_backend_spark.streaming.ingest import (
+        process_ingest_batch_pq_codes,
+        process_serve_batch_ann,
+    )
+
+    corpus, cents, assign, cb, cells = _ann_fixture(spark, n=64)
+    work = tempfile.mkdtemp(prefix="ann_cadence_")
+    codes_dir, results_dir = f"{work}/codes", f"{work}/results"
+    try:
+        first = corpus.filter(F.col("vec_id") < 32)
+        later = corpus.filter(F.col("vec_id") >= 32)
+        process_ingest_batch_pq_codes(first, 0, codes_dir, cb, cells=cells)
+        # vec 32's nearest anchor-mates are mostly in the later half
+        # (ids ≡ 0 mod 4 for anchor 0 etc.); query with vec 4's vector
+        q = corpus.filter(F.col("vec_id") == 4).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ).localCheckpoint(eager=True)
+        process_serve_batch_ann(
+            q, 0, results_dir, cells, cb, codes_dir, None,
+            k=10, nprobe=4, mode="adc",
+        )
+        got0 = {
+            r["vec_id"]
+            for r in spark.read.parquet(results_dir)
+            .filter(F.col("serve_batch") == 0).collect()
+        }
+        assert got0 and all(v < 32 for v in got0), got0  # only batch-0 rows
+        process_ingest_batch_pq_codes(later, 1, codes_dir, cb, cells=cells)
+        process_serve_batch_ann(
+            q, 1, results_dir, cells, cb, codes_dir, None,
+            k=10, nprobe=4, mode="adc",
+        )
+        res = spark.read.parquet(results_dir)
+        got1 = {
+            r["vec_id"]
+            for r in res.filter(F.col("serve_batch") == 1).collect()
+        }
+        # the fresh rows are retrievable in the very next serve batch
+        assert any(v >= 32 for v in got1), got1
+        # and serve batch 0's stored answer is untouched history
+        assert {
+            r["vec_id"]
+            for r in res.filter(F.col("serve_batch") == 0).collect()
+        } == got0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -411,3 +411,86 @@ def test_curate_training_corpus_semantic_dedup_family(spark):
     assert sum(r["n_dup_dropped"] for r in audit) == 2
     # cluster cohesion through the leakage-safe split
     assert d[0]["split"] == d[2]["split"] == d[4]["split"]
+
+
+def test_cluster_quota_sample(spark):
+    """Diversity sampling (round 12): frozen-cell assignment → per-cell
+    cap. exact method: per-cell survivor count == min(quota, |cell|),
+    survivors are the quota smallest md5(seed:id) hashes (engine-
+    portable order, pinned by brute force). threshold method: cells at
+    or under quota keep EVERYTHING; oversized cells keep iff
+    u < quota/|cell| (brute-force reproduced); both deterministic
+    under repartitioning."""
+    import hashlib
+
+    import numpy as np
+
+    from garden_net_backend_spark.plans.mixing import cluster_quota_sample
+
+    # three well-separated 8-d cells with very different masses
+    rng = np.random.default_rng(11)
+    anchors = np.eye(3, 8) * 10.0
+    sizes = [4, 30, 200]  # under / over / far over quota
+    rows, i = [], 0
+    for c, sz in enumerate(sizes):
+        for _ in range(sz):
+            v = anchors[c] + rng.standard_normal(8) * 0.05
+            rows.append((i, v.tolist()))
+            i += 1
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cells = spark.createDataFrame(
+        [(c, anchors[c].tolist()) for c in range(3)],
+        "cell_id long, centroid array<double>",
+    )
+
+    def _u(seed, vid):
+        return int(
+            hashlib.md5(f"{seed}:{vid}".encode()).hexdigest()[:8], 16
+        )
+
+    quota = 10
+    ex = cluster_quota_sample(
+        vecs, cells, quota, method="exact", seed=3
+    ).collect()
+    assert len(ex) == sum(sizes) and all("_cell" in r.asDict() for r in ex)
+    by_cell = {}
+    for r in ex:
+        by_cell.setdefault(r["_cell"], []).append(r)
+    assert sorted(len(v) for v in by_cell.values()) == sorted(sizes)
+    for c, members in by_cell.items():
+        kept = sorted(r["vec_id"] for r in members if r["kept"])
+        want = sorted(
+            vid
+            for vid in sorted(
+                (r["vec_id"] for r in members),
+                key=lambda v: (_u(3, v), v),
+            )[:quota]
+        )
+        assert kept == want
+        assert len(kept) == min(quota, len(members))
+    # threshold method: exact-keep under quota, brute-force elsewhere
+    th = cluster_quota_sample(
+        vecs, cells, quota, method="threshold", seed=3
+    ).collect()
+    cell_sz = {c: len(v) for c, v in by_cell.items()}
+    for r in th:
+        n = cell_sz[r["_cell"]]
+        want_kept = (
+            True
+            if n <= quota
+            else _u(3, r["vec_id"]) < min(1 << 32, (quota << 32) // n)
+        )
+        assert r["kept"] == want_kept, (r, n)
+    # determinism under repartitioning (both methods)
+    again = cluster_quota_sample(
+        vecs.repartition(13), cells, quota, method="threshold", seed=3
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, th))
+    again_ex = cluster_quota_sample(
+        vecs.repartition(7), cells, quota, method="exact", seed=3
+    ).collect()
+    assert sorted(map(tuple, again_ex)) == sorted(map(tuple, ex))
+    with pytest.raises(ValueError, match="quota"):
+        cluster_quota_sample(vecs, cells, 0)
+    with pytest.raises(ValueError, match="method"):
+        cluster_quota_sample(vecs, cells, 5, method="fuzzy")
