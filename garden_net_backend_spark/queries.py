@@ -2002,7 +2002,33 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q45_scalar_misc",
     f"""
-    WITH {_SHINGLES_SQL}
+    WITH {_SHINGLES_SQL},
+      {_EMB_NORMS_SQL},
+      cq_base AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < 800),
+      cq_seeds AS (SELECT vec_id AS cell_id, embedding AS cvec
+                   FROM cq_base ORDER BY vec_id LIMIT 8),
+      cq_sdot AS (
+        SELECT b.vec_id, s.cell_id,
+               CAST(SUM(CAST(CAST(b.embedding[i] AS DOUBLE)
+                             * CAST(s.cvec[i] AS DOUBLE)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        FROM cq_base b, cq_seeds s, dims
+        GROUP BY 1, 2),
+      cq_assign AS (
+        SELECT vec_id, cell_id FROM (
+          SELECT d.vec_id, d.cell_id,
+                 ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+                   CASE WHEN nv.nrm * ns.nrm = 0 THEN 0.0
+                        ELSE d.dot / (SQRT(nv.nrm) * SQRT(ns.nrm)) END
+                   DESC, d.cell_id) AS rn
+          FROM cq_sdot d JOIN norms nv ON d.vec_id = nv.vec_id
+                         JOIN norms ns ON d.cell_id = ns.vec_id)
+        WHERE rn = 1),
+      cq_thr AS (
+        SELECT cell_id, LEAST(4294967296, 257698037760 // n) AS thr
+        FROM (SELECT cell_id, COUNT(*) AS n FROM cq_assign
+              GROUP BY cell_id))
     SELECT 'array_rank' AS gate, token AS k, CAST(rank AS DOUBLE) AS val
     FROM (SELECT token, ROW_NUMBER() OVER (ORDER BY token) AS rank FROM (
             SELECT DISTINCT unnest(string_split(p_name, ' ')) AS token
@@ -2158,6 +2184,12 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         (SELECT CAST(unnest(generate_series(0, {_MAXTOK_SQL})) AS BIGINT) AS j)
       WHERE n > 0 AND j <= ((off + n - 1) // 64) - (off // 64)),
       (SELECT 0 AS arm UNION ALL SELECT 1)
+    UNION ALL
+    SELECT 'cluster_quota', CAST(a.vec_id AS VARCHAR),
+           CAST(a.cell_id * 2 + CASE WHEN
+             {_hex8_sql("substr(md5('7:' || CAST(a.vec_id AS VARCHAR)), 1, 8)")}
+             < t.thr THEN 1 ELSE 0 END AS DOUBLE)
+    FROM cq_assign a JOIN cq_thr t ON a.cell_id = t.cell_id
     """,
     doc="Scalar-kernel suite as a (gate, key, value) long form (former "
     "q45/q46/q47/q52 gates): split → explode → distinct → sorted-with-"
@@ -2205,7 +2237,14 @@ def q44_rounding_and_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/quality.unigram_nll: add-k unigram NLL, self-scoring "
     "mode — k=0.5 keeps every log2 argument an exact double and the "
     "decimal-bridge sum makes the score engine-portable, so the gate "
-    "hash-checks the model-based quality signal bit-for-bit).",
+    "hash-checks the model-based quality signal bit-for-bit), and "
+    "cluster-quota diversity sampling "
+    "(plans/mixing.cluster_quota_sample, round 12: nearest-frozen-cell "
+    "assignment — the 8 lowest-id vectors as oracle-reproducible seed "
+    "cells, exact-decimal argmax — then keep iff md5-uniform u < "
+    "floor(quota·2^32/|cell|), integer division; the val column packs "
+    "cell_id*2+kept so BOTH the assignment and the keep decision are "
+    "hash-gated per vector).",
 )
 def q45_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms = q45_arms(spark, sf_dir)
@@ -2222,7 +2261,7 @@ _Q45_STATIC_ARMS: dict = {}
 _Q45_ARM_ORDER = (
     "array_rank", "count_distinct", "json_extract", "map_lookup",
     "chunk", "split", "redact", "rep_top2gram", "quant8", "contam",
-    "mix", "unigram_nll", "pack",
+    "mix", "unigram_nll", "pack", "cluster_quota",
 )
 
 
@@ -2361,12 +2400,46 @@ def _q45_static_arms(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         .cast("double")
         .alias("val"),
     )
+    # cluster-quota diversity sampling (round 12): frozen seed cells =
+    # the 8 lowest-id vectors (the q56 oracle-reproducible trick), the
+    # exact-decimal assignment mode, threshold method — every CTE of
+    # the oracle is a pure function of the embeddings table. val packs
+    # BOTH gated decisions bijectively: cell_id*2 + kept.
+    from .plans.mixing import cluster_quota_sample
+
+    emb800 = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 800)
+    )
+    cq_seeds = (
+        emb800.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    quota_rows = cluster_quota_sample(
+        emb800, cq_seeds, quota=60, seed=7, method="threshold",
+        assign="exact",
+    ).select(
+        F.lit("cluster_quota").alias("gate"),
+        F.col("vec_id").cast("string").alias("k"),
+        (
+            F.col("_cell").cast("long") * 2
+            + F.col("kept").cast("long")
+        )
+        .cast("double")
+        .alias("val"),
+    )
     arms = {
         "array_rank": arr,
         "count_distinct": cd_long,
         "json_extract": js_long,
         "map_lookup": map_rows,
         "quant8": quant_rows,
+        "cluster_quota": quota_rows,
     }
     _Q45_STATIC_ARMS[key] = {"arms": arms, "_sc": spark.sparkContext}
     return dict(arms)
