@@ -392,7 +392,18 @@ BENCH_NOTES = {
     "cost) and extras.q45_arm_sec._plan_build ≈ the per-call doc-arm "
     "construction (~1s) instead of ~0. In extras.q45_arm_sec the arms "
     "share the one checkpoint built for that attribution pass, so the "
-    "first document arm measured carries the materialization.",
+    "first document arm measured carries the materialization. Round "
+    "12 adds the 'cluster_quota' arm (plans/mixing.cluster_quota_"
+    "sample — embedding-diversity sampling: nearest-frozen-cell "
+    "assign via one Arrow argmin pass + one combinable cell-size "
+    "groupBy broadcast back, method='threshold' so no per-cell "
+    "sort): expect ~+0.5-1s structural — one embeddings scan + "
+    "cell assign + a tiny broadcast join, no corpus-sized shuffle "
+    "(embeddings is the small table at bench scale). Measured: "
+    "q45_arm_sec.cluster_quota 1.4s in the attribution pass (first-"
+    "touch cell build included) while the q45 headline moved 5.47 -> "
+    "5.20s — the arm shares the suite's lazy union evaluation, so "
+    "its marginal cost inside the headline is under host noise.",
     "q70_randomization_properties": "r9 driver delta 3.75→4.62s is "
     "LOAD, not structural (judge r9 task 5): no q70-touching commit "
     "landed in r9; its r9 driver samples were 5.0/6.4/4.6s at 1-min "
