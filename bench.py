@@ -320,7 +320,7 @@ BENCH_NOTES = {
     "sensitive in the catalog to executor cache/GC state left by the "
     "preceding queries. Judge the arm on standalone quiet A/Bs, not "
     "on a single interleaved record — extras.q38_standalone_min_sec "
-    "records that anchor every round (two standalone samples right "
+    "records that anchor every round (three standalone samples right "
     "after the index builds, before the catalog pass).",
     "q56_embedding_dup_suite": "suite = exact cosine near-dup + "
     "former q57 LSH-blocked arm (avalanche-hashed hyperplanes per the "
@@ -624,7 +624,7 @@ def main() -> None:
     # q38's catalog-interleaved samples are the most sensitive in the
     # suite to executor cache/GC state left by preceding queries (one
     # r12 run sampled 17.8/55.6/14.7 while standalone read 8.4-8.5 at
-    # the same rev), so every round also records two standalone samples
+    # the same rev), so every round also records three standalone samples
     # taken right here — JVM warm from the index builds, no preceding
     # catalog pass — as the stable per-round anchor for the suite.
     try:
