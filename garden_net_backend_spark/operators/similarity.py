@@ -63,6 +63,15 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     )
 
 
+#: numpy-vs-decimal agreement margin for the exact-top-k prescreen.
+#: Budget: float64 cosine differs from the exact-decimal cosine by
+#: ~1e-13 (64-element dot, values in [-1, 1]); 9-dp rounding moves a
+#: score by ≤5e-10. Any pair that could influence the final ROUNDED
+#: ranking therefore sits within ~1e-9 of the k-th decimal score;
+#: 1e-6 leaves three orders of magnitude of slack.
+_EXACT_TOPK_MARGIN = 1e-6
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -71,22 +80,110 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    prescreen: bool = True,
 ) -> DataFrame:
     """Exact top-k neighbors per query → (query_id, vec_id, cosine,
     rank). Ties broken by vec_id asc (total order ⇒ deterministic).
     Self-matches (same id) are NOT excluded — filter upstream if needed.
+
+    Two-phase since round 13 (guide §1.2/§4.2 — the one-phase scan
+    evaluated three interpreted decimal HOF folds per (query, corpus)
+    PAIR, the suite's dominant per-row cost): phase 1 scores every
+    pair with an Arrow-batched numpy cosine and keeps, per query, every
+    pair within ``_EXACT_TOPK_MARGIN`` of the k-th numpy score; phase 2
+    rescores only those survivors with the exact-decimal cosine and
+    takes the final top-k under the (cosine desc, id asc) order.
+    Output is IDENTICAL to the one-phase decimal scan: a pair outside
+    the margin is strictly below the k-th rounded decimal score (see
+    ``_EXACT_TOPK_MARGIN``'s error budget), so it can never enter the
+    final top-k, while every potential entrant is rescored exactly —
+    same scores, same ties, same tie-breaks. The per-batch partial cut
+    keeps the window input at ~n_partitions·(k+ties)·|Q| rows, never
+    the corpus (the global k-th numpy score is ≥ every batch's k-th,
+    so each batch's margin-keep is a superset of the global one
+    restricted to that batch). ``prescreen=False`` keeps the one-phase
+    decimal scan (the round-12 shape). Corpus ids must be unique —
+    already implied by the "ties broken by vec_id asc" contract (a
+    duplicated id makes that tie-break ill-defined), and the phase-2
+    join-back relies on it.
     """
     q = F.broadcast(queries.select(query_id_col, query_vec_col))
-    scored = ensure_min_partitions(corpus.select(id_col, vec_col)).crossJoin(q).select(
-        query_id_col,
-        id_col,
-        F.round(
-            cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 9
-        ).alias("cosine"),
+    base = ensure_min_partitions(corpus.select(id_col, vec_col))
+    if not prescreen:
+        scored = base.crossJoin(q).select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 9
+            ).alias("cosine"),
+        )
+        w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    import numpy as np
+    import pandas as pd
+
+    margin = _EXACT_TOPK_MARGIN
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    id_t = corpus.schema[id_col].dataType.simpleString()
+
+    def _np_screen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf[vec_col].values).astype(np.float64)
+            b = np.stack(pdf[query_vec_col].values).astype(np.float64)
+            # zero vectors: cos := 0 (matches the guarded exact cosine)
+            cos = (a * b).sum(axis=1) / np.maximum(
+                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1),
+                1e-300,
+            )
+            qv = pdf[query_id_col].values
+            iv = pdf[id_col].values
+            out_q, out_i, out_c = [], [], []
+            for qid in np.unique(qv):
+                mask = qv == qid
+                c, ids = cos[mask], iv[mask]
+                if len(c) > k:
+                    kth = np.partition(c, -k)[-k]
+                    keep = c >= kth - margin
+                    c, ids = c[keep], ids[keep]
+                out_q.extend([qid] * len(c))
+                out_i.extend(ids)
+                out_c.extend(c)
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_i, "_np": out_c}
+            )
+
+    approx = base.crossJoin(q).mapInPandas(
+        _np_screen, schema=f"{query_id_col} {qid_t}, {id_col} {id_t}, _np double"
+    )
+    wq = W.partitionBy(query_id_col)
+    ranked = approx.withColumn(
+        "_rn", F.row_number().over(wq.orderBy(F.desc("_np"), F.asc(id_col)))
+    )
+    kth = F.max(F.when(F.col("_rn") == k, F.col("_np"))).over(wq)
+    surv = (
+        ranked.withColumn("_kth", kth)
+        .filter(F.col("_kth").isNull() | (F.col("_np") >= F.col("_kth") - margin))
+        .select(query_id_col, id_col)
+    )
+    exact = (
+        surv.join(corpus.select(id_col, vec_col), id_col)
+        .join(q, query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 9
+            ).alias("cosine"),
+        )
     )
     w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
@@ -317,6 +414,7 @@ def lsh_cosine_topk(
     bits: int = 8,
     dim: int = 64,
     exact_fallback: bool = True,
+    fallback_exact: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k: candidates = corpus vectors sharing ≥1 band-bucket
     with the query, two-phase re-rank of candidates → same schema as
@@ -336,7 +434,17 @@ def lsh_cosine_topk(
     fallback scan runs ONLY for those queries (broadcast query side ×
     corpus — per-deficient-query linear, and on a large corpus
     deficient queries are rare; the structural guarantee is what the
-    q38 gate asserts)."""
+    q38 gate asserts).
+
+    ``fallback_exact`` (round 13, guide §2.4 "remove shuffles/passes
+    outright"): a caller that ALREADY holds the exact
+    ``cosine_topk(corpus, queries, k'>=k)`` frame for these queries
+    over this corpus (the q38 suite materializes exactly that as its
+    shared verification baseline) can hand it in; the deficient-query
+    fallback then selects its rows from that frame (rank <= k,
+    semi-join on the deficient ids) instead of re-scanning the corpus.
+    Row-identical by determinism of ``cosine_topk``; one corpus pass
+    (scan + per-pair scoring + top-k stages) removed per execution."""
     import numpy as np
     import pandas as pd
 
@@ -352,8 +460,11 @@ def lsh_cosine_topk(
     if exact_fallback:
         # the candidate set feeds BOTH the deficiency count and the
         # survivor stream; checkpoint it so the bucket-join scan runs
-        # once (it is |collisions|-sized, not corpus-sized)
-        cand = cand.localCheckpoint(eager=True)
+        # once (it is |collisions|-sized, not corpus-sized). LAZY since
+        # round 13: the eager form was a blocking job serializing ahead
+        # of everything downstream; lazy keeps compute-once (first
+        # consumer materializes, blocks reused) with no barrier.
+        cand = cand.localCheckpoint(eager=False)
         deficient = (
             queries.join(
                 cand.groupBy(query_id_col).agg(F.count("*").alias("_nc")),
@@ -363,15 +474,24 @@ def lsh_cosine_topk(
             .filter(F.coalesce(F.col("_nc"), F.lit(0)) < k)
             .select(query_id_col, query_vec_col)
         )
-        fb = cosine_topk(
-            corpus,
-            deficient,
-            k=k,
-            id_col=id_col,
-            vec_col=vec_col,
-            query_id_col=query_id_col,
-            query_vec_col=query_vec_col,
-        ).select(query_id_col, id_col)
+        if fallback_exact is not None:
+            fb = (
+                fallback_exact.filter(F.col("rank") <= k)
+                .join(
+                    deficient.select(query_id_col), query_id_col, "left_semi"
+                )
+                .select(query_id_col, id_col)
+            )
+        else:
+            fb = cosine_topk(
+                corpus,
+                deficient,
+                k=k,
+                id_col=id_col,
+                vec_col=vec_col,
+                query_id_col=query_id_col,
+                query_vec_col=query_vec_col,
+            ).select(query_id_col, id_col)
         cand = cand.join(
             deficient.select(query_id_col), query_id_col, "left_anti"
         ).unionByName(fb)
@@ -872,13 +992,39 @@ def assign_nearest_cell(
 
     Centroid side is broadcast (k·dim values); the corpus scan is
     embarrassingly parallel — one pass, no shuffle beyond the argmax
-    groupBy's map-side-combinable max_by."""
-    scored = corpus.select(id_col, vec_col).crossJoin(
-        F.broadcast(cells.select(cell_id_col, cell_vec_col))
-    ).select(
-        id_col,
-        cell_id_col,
-        cosine_similarity(F.col(vec_col), F.col(cell_vec_col)).alias("_cos"),
+    groupBy's map-side-combinable max_by.
+
+    Norms are hoisted OUT of the per-(vector, cell) pair expression
+    (round 13, guide §1.2 "don't compute things you throw away"): the
+    one-phase form evaluated ``_norm_exact(vec)`` once per CELL and
+    ``_norm_exact(centroid)`` once per VECTOR — interpreted decimal
+    HOF folds with no common-subexpression elimination — where one
+    fold per row and one per centroid suffice. Projections sit below
+    the cross join, so each norm is computed exactly once per input
+    row; the assembled cosine expression is value-identical
+    (same try_divide/coalesce guard), so assignments and the
+    ``with_cosine`` scores are bit-identical to the round-12 shape."""
+    scored = (
+        corpus.select(id_col, vec_col)
+        .withColumn("_vn", _norm_exact(F.col(vec_col)))
+        .crossJoin(
+            F.broadcast(
+                cells.select(cell_id_col, cell_vec_col).withColumn(
+                    "_cn", _norm_exact(F.col(cell_vec_col))
+                )
+            )
+        )
+        .select(
+            id_col,
+            cell_id_col,
+            F.coalesce(
+                F.try_divide(
+                    _dot_exact(F.col(vec_col), F.col(cell_vec_col)),
+                    F.col("_vn") * F.col("_cn"),
+                ),
+                F.lit(0.0),
+            ).alias("_cos"),
+        )
     )
     # argmax via max_by on a (cos, -cell_id) struct: one combinable
     # aggregate, no window sort

@@ -1775,6 +1775,14 @@ def q38_suite_impl(
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
+    # round 13 (guide §2.4): the pq and ivfpq arms each driver-collect
+    # the query frame to build their LUTs — two blocking parquet-scan
+    # jobs per execution for the same 10 rows. Collect ONCE here and
+    # hand every consumer a local frame: the arms' internal collects
+    # become LocalTableScan no-ops and the gate's query broadcasts stop
+    # re-scanning parquet. Content-identical, so every arm and the
+    # oracle see the same rows.
+    queries = spark.createDataFrame(queries.collect(), queries.schema)
     # gate path (no prebuilt indexes handed in): build each index ONCE
     # and share it across the arms — the builds are deterministic pure
     # functions, so the shared index is bit-identical to what each arm
@@ -1788,11 +1796,15 @@ def q38_suite_impl(
         _cb, _codes = pq_build_index(emb, m=8, n_codes=16, refine_iters=1)
         pq_index = (_cb, _codes.localCheckpoint(eager=True))
     # all four arms verify against the SAME exact baseline (same
-    # corpus, queries, k) — materialize the |Q|·k-row frame once,
-    # eagerly, so no arm re-runs the brute-force decimal scan
-    # (measured −2s); checkpoint blocks are |Q|·k rows, dropped by the
-    # ContextCleaner when the caller releases the frame.
-    exact = cosine_topk(emb, queries, k=5).localCheckpoint(eager=True)
+    # corpus, queries, k) — checkpoint the |Q|·k-row frame so no arm
+    # re-runs the brute-force scan (round 11, measured −2s vs none).
+    # LAZY since round 13 (guide §2.6 "overlap independent jobs"): the
+    # eager form was a blocking barrier — the whole suite waited on the
+    # baseline scan before any arm stage could start; lazy keeps the
+    # compute-once contract (first consumer materializes, the block
+    # store dedups concurrent requests) while the baseline scan runs
+    # CONCURRENTLY with the arm plans inside the union job.
+    exact = cosine_topk(emb, queries, k=5).localCheckpoint(eager=False)
     # The four raw arm results union into ONE tagged frame and pass
     # through ONE fused property-gate pipeline (round 12): the arm
     # plans stay concurrent underneath the union while ~3 gate
@@ -1811,8 +1823,12 @@ def q38_suite_impl(
     # ivfpq arm reuses BOTH prebuilt indexes when the bench hands them
     # in — the marginal cost is one probed-member ADC join-scan + its
     # re-rank, never a rebuild (judge r10 task 1).
+    # round 13: the lsh arm's always-k exact fallback reuses THIS
+    # checkpointed exact frame (fallback_exact=) instead of re-scanning
+    # the corpus with its own cosine_topk — row-identical by
+    # determinism, one corpus pass fewer per execution (guide §2.4).
     tagged = (
-        lsh_cosine_topk(emb, queries, k=5)
+        lsh_cosine_topk(emb, queries, k=5, fallback_exact=exact)
         .select(F.lit("lsh").alias("gate"), "*")
         .unionByName(
             ivf_cosine_topk(

@@ -502,6 +502,111 @@ def test_lsh_topk_exact_fallback_guarantees_k(spark):
         df, queries, k=5, bands=2, bits=12, dim=16, exact_fallback=False
     ).count()
     assert bare < 15
+    # round 13: handing in the precomputed exact frame (fallback_exact=)
+    # must be row-identical to the self-built fallback — the q38 suite
+    # relies on this to drop the fallback's corpus re-scan
+    exact_frame = cosine_topk(df, queries, k=5)
+    reused = lsh_cosine_topk(
+        df, queries, k=5, bands=2, bits=12, dim=16,
+        fallback_exact=exact_frame,
+    ).collect()
+    per_q_reused = {}
+    for r in reused:
+        per_q_reused.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["cosine"])
+        )
+    assert per_q_reused == per_q
+
+
+def _tie_heavy_embeddings(spark):
+    """A corpus built to stress the round-13 exact-top-k prescreen:
+    exact duplicate vectors (score ties broken by id), a zero vector
+    (guarded cosine 0.0), scaled copies (cosine exactly 1 at different
+    norms), and a dense cloud with many near-ties at the k-cut."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((30, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    # exact duplicates of vectors 0..4 under new ids
+    for j in range(5):
+        rows.append((100 + j, rows[j][1]))
+    # scaled copies (same direction, different norm) of vectors 5..7
+    for j in range(3):
+        rows.append((200 + j, [x * 2.5 for x in rows[5 + j][1]]))
+    rows.append((300, [0.0] * 16))  # zero vector
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_prescreen_equals_onephase(spark):
+    """The round-13 two-phase cosine_topk (numpy prescreen + decimal
+    rescore of margin survivors) must equal the one-phase decimal scan
+    EXACTLY — same rows, same 9-dp scores, same ranks — on a corpus
+    dense with score ties, duplicate directions, and a zero vector."""
+    from garden_net_backend_spark.operators.similarity import cosine_topk
+
+    df = _tie_heavy_embeddings(spark)
+    queries = df.filter(
+        F.col("vec_id").isin(0, 5, 300)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    two = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+        for r in cosine_topk(df, queries, k=6, prescreen=True).collect()
+    )
+    one = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+        for r in cosine_topk(df, queries, k=6, prescreen=False).collect()
+    )
+    assert two == one
+    assert len(two) == 3 * 6
+
+
+def test_assign_nearest_cell_norm_hoist_bit_identical(spark):
+    """The round-13 norm-hoisted assign_nearest_cell must reproduce the
+    inline-cosine argmax bit-exactly — assignments AND with_cosine
+    scores — including zero-vector and duplicate-centroid ties."""
+    from garden_net_backend_spark.operators.similarity import (
+        assign_nearest_cell,
+        cosine_similarity,
+    )
+
+    df = _tie_heavy_embeddings(spark)
+    cells = df.filter(F.col("vec_id").isin(0, 5, 100, 300)).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    got = {
+        r["vec_id"]: (r["cell_id"], r["cell_cosine"])
+        for r in assign_nearest_cell(df, cells, with_cosine=True).collect()
+    }
+    # reference: the pre-round-13 inline expression, argmax via max_by
+    ref_scored = df.select("vec_id", "embedding").crossJoin(
+        F.broadcast(cells)
+    ).select(
+        "vec_id",
+        "cell_id",
+        cosine_similarity(F.col("embedding"), F.col("centroid")).alias("_cos"),
+    )
+    ref = {
+        r["vec_id"]: (r["cell_id"], r["cell_cosine"])
+        for r in ref_scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cell_id"), F.struct(F.col("_cos"), -F.col("cell_id"))
+            ).alias("cell_id"),
+            F.max(F.col("_cos")).alias("cell_cosine"),
+        )
+        .collect()
+    }
+    assert got == ref
+    # duplicate-centroid tie (cells 0 and 100 are identical vectors)
+    # breaks to the LOWEST cell id
+    assert got[0][0] == 0 and got[100][0] == 0
+    # zero vector ties all cells at 0.0 -> lowest cell id
+    assert got[300] == (0, 0.0)
 
 
 def test_lsh_assign_extra_bits_and_center_paths_agree(emb):
