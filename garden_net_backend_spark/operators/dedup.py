@@ -110,6 +110,15 @@ def ngram_jaccard_pairs(
     ).select(F.col(id_col).alias("_id"), F.explode("_grams").alias("_sh"))
     if hash_keys:
         sh = sh.select("_id", F.xxhash64("_sh").alias("_sh"))
+    # round 13 (guide §2.4): the inverted-index self-join plus the size
+    # aggregate consume this exploded frame three times (four with the
+    # df-cap), and Spark plans each consumer as its own full
+    # text→shingle→explode pipeline (no exchange reuse across self-join
+    # sides). Checkpoint the (id, shingle) rows once — corpus-token-
+    # sized blocks, the same materialized-inverted-index trade every
+    # posting-list system makes; dropped by the ContextCleaner with the
+    # frame.
+    sh = sh.localCheckpoint(eager=True)
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("_sh")
@@ -198,7 +207,13 @@ def ngram_jaccard_pairs_prefix(
             ensure_min_partitions(docs), text_col, "_grams", n, shingle
         ).select(F.col(id_col).alias("_id"), "_grams")
     else:
-        grams = grams.select(F.col(id_col).alias("_id"), "_grams")
+        grams = grams.select(
+            F.col(id_col).alias("_id"),
+            "_grams",
+            # reuse a precomputed hashed-gram column when the caller's
+            # shared checkpoint carries one (round 13)
+            *(["_hg"] if "_hg" in grams.columns else []),
+        )
     sh = grams.select("_id", F.explode("_grams").alias("_sh"))
     dfreq = sh.groupBy("_sh").agg(F.count("*").alias("_df"))
     ranked = sh.join(dfreq, "_sh")
@@ -234,10 +249,13 @@ def ngram_jaccard_pairs_prefix(
     # distinct shingles equals the string intersection up to a 2⁻⁶⁴
     # per-pair collision — the same fingerprint trade as the window
     # dedup above; sizes are exact either way
-    hgrams = grams.select(
-        "_id",
-        F.transform(F.col("_grams"), lambda g: F.xxhash64(g)).alias("_hg"),
-    )
+    if "_hg" in grams.columns:
+        hgrams = grams.select("_id", "_hg")
+    else:
+        hgrams = grams.select(
+            "_id",
+            F.transform(F.col("_grams"), lambda g: F.xxhash64(g)).alias("_hg"),
+        )
     ga = hgrams.withColumnsRenamed({"_id": "id_a", "_hg": "_ga"})
     gb = hgrams.withColumnsRenamed({"_id": "id_b", "_hg": "_gb"})
     return (
@@ -373,21 +391,44 @@ def minhash_dedup_pairs(
 
     ``grams``: optional precomputed shingle frame; when given,
     ``ngram``/``shingle`` are IGNORED (see minhash_signatures) — both
-    the signatures and the exact verification use the frame as-is.
+    the signatures and the exact verification use the frame as-is. A
+    ``_hg`` column (xxhash64 of each shingle), when present, feeds the
+    verification directly so the hashing projection is not re-derived.
+
+    Round-13 plan notes (guide §2.4): the banded candidate self-join
+    used to plan TWO full signature pipelines (shingle explode + 64
+    min-aggregates per side — Spark does not reuse the exchange across
+    self-join sides); the |docs|-row signature frame is checkpointed
+    once instead. Verification intersects xxhash64-hashed shingle
+    arrays rather than the n-gram strings — 8-byte fixed elements
+    instead of variable-length text, the same fingerprint trade
+    :func:`ngram_jaccard_pairs_prefix` has always used (identical
+    Jaccard up to a ~2⁻⁶⁴ per-pair collision; sizes are exact either
+    way).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         docs, text_col, id_col, num_hashes, ngram, seed, shingle, grams=grams
-    )
+    ).localCheckpoint(eager=True)
     cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
     if grams is None:
         shing = with_shingles(docs, text_col, "_grams", ngram, shingle).select(
             F.col(id_col).alias("id"), "_grams"
         )
     else:
-        shing = grams.select(F.col(id_col).alias("id"), "_grams")
-    ga = shing.withColumnsRenamed({"id": "id_a", "_grams": "_ga"})
-    gb = shing.withColumnsRenamed({"id": "id_b", "_grams": "_gb"})
+        shing = grams.select(
+            F.col(id_col).alias("id"),
+            *(["_grams"] if "_hg" not in grams.columns else ["_hg"]),
+        )
+    if "_hg" not in shing.columns:
+        shing = shing.select(
+            "id",
+            F.transform(F.col("_grams"), lambda g: F.xxhash64(g)).alias("_hg"),
+        )
+    else:
+        shing = shing.select("id", "_hg")
+    ga = shing.withColumnsRenamed({"id": "id_a", "_hg": "_ga"})
+    gb = shing.withColumnsRenamed({"id": "id_b", "_hg": "_gb"})
     verified = (
         cands.join(ga, "id_a")
         .join(gb, "id_b")
@@ -646,27 +687,34 @@ def _dup_window_positions(
     is the corpus-wide canonical first occurrence (min by (id, pos))
     of that window's content.
 
-    One combinable groupBy on the fingerprint + one equi-join back.
+    Corpus-wide occurrence count and first occurrence run as WINDOW
+    aggregates over ``partitionBy(wkey)`` (round 13, guide §2.2/§2.4):
+    the old groupBy + equi-join-back consumed the fingerprint frame
+    twice, and Spark planned each consumer as its own full token-hash
+    window scan (the dominant cost; no exchange reuse across self-join
+    sides). One scan + one Exchange on ``wkey`` now — identical rows
+    (the join kept exactly the wins rows of >1-occurrence keys, which
+    is the ``_cnt > 1`` filter).
     A fingerprint collision (2⁻⁶⁴ per window pair) would merge two
     window groups — the standard fingerprint trade, same as the LSH
     band hashing above.
     """
     wins = _window_fingerprints(docs, text_col, id_col, min_tokens, seed)
-    firsts = (
-        wins.groupBy("wkey")
-        .agg(
-            F.count("*").alias("_cnt"),
-            F.min(F.struct("id", "pos")).alias("_first"),
+    wk = W.partitionBy("wkey")
+    return (
+        wins.select(
+            "id",
+            "pos",
+            F.count("*").over(wk).alias("_cnt"),
+            F.min(F.struct("id", "pos")).over(wk).alias("_first"),
         )
         .filter(F.col("_cnt") > 1)
         .select(
-            "wkey",
+            "id",
+            "pos",
             F.col("_first.id").alias("first_id"),
             F.col("_first.pos").alias("first_pos"),
         )
-    )
-    return wins.join(firsts, "wkey").select(
-        "id", "pos", "first_id", "first_pos"
     )
 
 
@@ -952,7 +1000,13 @@ def excise_duplicate_spans_incremental(
     buckets; without bucketing each ingest pays one full index
     shuffle.
     """
-    wins = _window_fingerprints(shard, text_col, id_col, min_tokens, seed)
+    # round 13 (guide §2.4): both the index probe and the shard-index
+    # merge consume the shard fingerprints — checkpoint once (shard-
+    # sized, the ingest unit) so the token-hash scan runs once, not
+    # twice
+    wins = _window_fingerprints(
+        shard, text_col, id_col, min_tokens, seed
+    ).localCheckpoint(eager=True)
     joined = wins.join(
         index.select("wkey", "n_occurrences", "first_id", "first_pos"),
         "wkey",
@@ -1040,34 +1094,74 @@ def line_dedup(
     each surviving line's original form, joined by ``joiner``.
 
     100 TB shape (same as :func:`window_index`): explode to one row per
-    line, ONE map-side-combinable groupBy on the line-content hash
-    (count + min-struct first occurrence), one hash-keyed join back,
-    one per-doc regroup — no pair join, nothing quadratic; a line
+    line, count + min-struct first occurrence per line-content hash, a
+    per-doc regroup — no pair join, nothing quadratic; a line
     duplicated a million times costs its occurrence count. The shuffle
     key is ``xxhash64(norm)`` so long boilerplate lines shuffle as
     8-byte keys, not bodies (the q29 oracle regroups on the STRINGS,
     so the gate also pins hash grouping == content grouping).
+
+    Round 13 (guide §2.2/§2.4): the corpus-wide stats run as WINDOW
+    aggregates over ``partitionBy(_k)`` instead of a groupBy + join
+    back — the old shape consumed the exploded-lines frame four times
+    (stats, the join probe, the non-qualifying union branch, and the
+    per-doc total), and Spark planned each consumer as its own full
+    split+normalize+hash pipeline (no exchange reuse across self-join
+    sides). Now the explode is computed ONCE: one Exchange on ``_k``
+    for the window, one on ``id`` for the regroup, and both per-doc
+    counts (kept + total) fold into the same aggregate. A non-
+    qualifying line never matches a qualifying group (same content ⇒
+    same length ⇒ same ``_qual``), so gating ``cut`` on ``_qual``
+    reproduces the old qualifying-only stats exactly.
     """
     lines = _line_rows(docs, text_col, id_col, sep, min_chars, normalize)
-    stats = (
-        lines.filter("_qual")
-        .groupBy("_k")
-        .agg(
-            F.count("*").alias("_c"),
-            F.min(F.struct("id", "pos")).alias("_first"),
+    wk = W.partitionBy("_qual", "_k")
+    marked = lines.select(
+        "id",
+        "pos",
+        "line",
+        "_qual",
+        F.count("*").over(wk).alias("_c"),
+        F.min(F.struct("id", "pos")).over(wk).alias("_first"),
+    )
+    cut = (
+        F.col("_qual")
+        & (F.col("_c") >= min_count)
+        & ~(
+            (F.col("_first.id") == F.col("id"))
+            & (F.col("_first.pos") == F.col("pos"))
         )
     )
-    marked = lines.filter("_qual").join(stats, "_k")
-    cut = (F.col("_c") >= min_count) & ~(
-        (F.col("_first.id") == F.col("id"))
-        & (F.col("_first.pos") == F.col("pos"))
+    per_doc = marked.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(~cut, F.struct("pos", "line")))
+                ),
+                lambda s: s["line"],
+            ),
+            joiner,
+        ).alias("clean_text"),
+        F.sum(F.when(~cut, 1).otherwise(0)).alias("n_kept_lines"),
+        F.count("*").alias("_n"),
     )
-    kept = (
-        marked.filter(~cut)
-        .select("id", "pos", "line")
-        .unionByName(lines.filter(~F.col("_qual")).select("id", "pos", "line"))
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept_lines", F.lit(0)).cast("long").alias(
+                "n_kept_lines"
+            ),
+            (
+                F.coalesce("_n", F.lit(0))
+                - F.coalesce("n_kept_lines", F.lit(0))
+            )
+            .cast("long")
+            .alias("n_cut_lines"),
+        )
     )
-    return _rebuild_lines(docs, lines, kept, id_col, joiner)
 
 
 def _line_rows(
@@ -1203,7 +1297,13 @@ def line_dedup_incremental(
     ``normalize`` must match the values the index was built with
     (parameter drift shows up in ``audit_ingest_index`` as wholesale
     key disagreement)."""
-    rows = _line_rows(shard, text_col, id_col, sep, min_chars, normalize)
+    # round 13 (guide §2.4): the index probe, the non-qualifying union
+    # branch, the rebuild totals, and the shard-index delta all consume
+    # the exploded line rows — checkpoint once (shard-sized, the ingest
+    # unit) so the split+normalize+hash scan runs once, not four times
+    rows = _line_rows(
+        shard, text_col, id_col, sep, min_chars, normalize
+    ).localCheckpoint(eager=True)
     qual = rows.filter("_qual")
     joined = qual.join(
         index.select(

@@ -80,19 +80,17 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
-    prescreen: bool = True,
+    prescreen: bool = False,
 ) -> DataFrame:
     """Exact top-k neighbors per query → (query_id, vec_id, cosine,
     rank). Ties broken by vec_id asc (total order ⇒ deterministic).
     Self-matches (same id) are NOT excluded — filter upstream if needed.
 
-    Two-phase since round 13 (guide §1.2/§4.2 — the one-phase scan
-    evaluated three interpreted decimal HOF folds per (query, corpus)
-    PAIR, the suite's dominant per-row cost): phase 1 scores every
-    pair with an Arrow-batched numpy cosine and keeps, per query, every
-    pair within ``_EXACT_TOPK_MARGIN`` of the k-th numpy score; phase 2
-    rescores only those survivors with the exact-decimal cosine and
-    takes the final top-k under the (cosine desc, id asc) order.
+    ``prescreen=True`` (round 13, guide §1.2/§4.2): phase 1 scores
+    every pair with an Arrow-batched numpy cosine and keeps, per query,
+    every pair within ``_EXACT_TOPK_MARGIN`` of the k-th numpy score;
+    phase 2 rescores only those survivors with the exact-decimal cosine
+    and takes the final top-k under the (cosine desc, id asc) order.
     Output is IDENTICAL to the one-phase decimal scan: a pair outside
     the margin is strictly below the k-th rounded decimal score (see
     ``_EXACT_TOPK_MARGIN``'s error budget), so it can never enter the
@@ -101,11 +99,19 @@ def cosine_topk(
     keeps the window input at ~n_partitions·(k+ties)·|Q| rows, never
     the corpus (the global k-th numpy score is ≥ every batch's k-th,
     so each batch's margin-keep is a superset of the global one
-    restricted to that batch). ``prescreen=False`` keeps the one-phase
-    decimal scan (the round-12 shape). Corpus ids must be unique —
-    already implied by the "ties broken by vec_id asc" contract (a
-    duplicated id makes that tie-break ill-defined), and the phase-2
-    join-back relies on it.
+    restricted to that batch). Corpus ids must be unique — already
+    implied by the "ties broken by vec_id asc" contract (a duplicated
+    id makes that tie-break ill-defined), and the phase-2 join-back
+    relies on it.
+
+    Default OFF after A/B at sf0.1 (round 13): the prescreen replaces
+    the |Q|·|C| interpreted decimal folds with a matmul but ADDS a
+    Python stage, a ranking window and a survivor join-back — at bench
+    scale (20k pairs) those fixed stages cost ~1s MORE than the folds
+    they save (q37 0.78s → 1.72s measured), while the decimal scan is
+    already sub-second. The two-phase shape is the right one when
+    |C| grows (the fold cost is linear in pairs, the stage overhead
+    constant) — flip it on for corpus-scale exact baselines.
     """
     q = F.broadcast(queries.select(query_id_col, query_vec_col))
     base = ensure_min_partitions(corpus.select(id_col, vec_col))
@@ -825,21 +831,73 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Exact embedding-cosine near-dup pairs → (id_a, id_b, cosine).
 
-    Broadcast nested-loop over ``id_a < id_b``; numpy prescreen kills
-    sub-threshold pairs cheaply (semantics-preserving, see
-    ``_prescreen_pairs``), exact-decimal scoring on survivors. O(n²) by
-    definition — the verification baseline; the scale path is
+    O(n²) by definition — the verification baseline; the scale path is
     :func:`embedding_dup_pairs_lsh`.
+
+    ``prescreen=True`` (round 13, guide §4.2/§2.4): phase 1 is ONE
+    Arrow scan of the corpus with the other side held as a broadcast
+    numpy matrix — each batch scores its rows against every corpus
+    vector in a single float64 matmul and emits only id pairs within
+    the standard prescreen margin (threshold − 1e-6, the
+    ``_prescreen_pairs`` error budget); phase 2 joins the (few)
+    survivor pairs back to their vectors and scores them with the
+    exact-decimal cosine. Output identical to the nested-loop form —
+    the margin provably cannot drop a pair the exact filter keeps.
+    The old shape materialized all n²/2 pair rows THROUGH the
+    broadcast-nested-loop join with both 64-float payloads attached
+    (~n²·512 bytes into Arrow) before the prescreen could drop them;
+    the matmul form never materializes a sub-margin pair anywhere.
+    The corpus side was always broadcast here, so holding it as a
+    driver-collected matrix keeps the same memory contract.
+    ``prescreen=False`` keeps the one-phase nested-loop scan with
+    exact-decimal scoring of every pair.
     """
     base = corpus.select(id_col, vec_col)
     a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    pairs = ensure_min_partitions(a).join(
-        F.broadcast(b), F.col("id_a") < F.col("id_b")
+    if not prescreen:
+        pairs = ensure_min_partitions(a).join(
+            F.broadcast(b), F.col("id_a") < F.col("id_b")
+        )
+        return _exact_pair_scores(pairs, threshold)
+    import numpy as np
+    import pandas as pd
+
+    rows = base.collect()
+    ids = np.array([r[0] for r in rows])
+    mat = (
+        np.array([list(r[1]) for r in rows], dtype=np.float64)
+        if rows
+        else np.zeros((0, 1))
     )
-    if prescreen:
-        pairs = _prescreen_pairs(pairs, threshold)
-    return _exact_pair_scores(pairs, threshold)
+    nrm = np.linalg.norm(mat, axis=1)
+    margin = threshold - 1e-6
+    idt = corpus.schema[id_col].dataType.simpleString()
+    bc = base.sparkSession.sparkContext.broadcast((ids, mat, nrm))
+
+    def _screen(batches):
+        b_ids, b_mat, b_nrm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_mat = np.stack(pdf[vec_col].values).astype(np.float64)
+            a_ids = pdf[id_col].values
+            # zero vectors: cos := 0 (matches the guarded exact cosine)
+            cos = (a_mat @ b_mat.T) / np.maximum(
+                np.linalg.norm(a_mat, axis=1)[:, None] * b_nrm[None, :],
+                1e-300,
+            )
+            keep = (cos >= margin) & (
+                a_ids[:, None] < np.asarray(b_ids)[None, :]
+            )
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame({"id_a": a_ids[ai], "id_b": b_ids[bi]})
+
+    surv = ensure_min_partitions(base).mapInPandas(
+        _screen, schema=f"id_a {idt}, id_b {idt}"
+    )
+    pair_vecs = surv.join(a, "id_a").join(F.broadcast(b), "id_b")
+    return _exact_pair_scores(pair_vecs, threshold)
 
 
 def embedding_dup_pairs_lsh(
@@ -923,7 +981,13 @@ def embedding_dup_pairs_lsh(
         dim,
         extra_bits=split_reserve_bits if split else 0,
         center_vec=center_vec,
-    )
+    ).localCheckpoint(eager=True)
+    # ^ round 13 (guide §2.4): the candidate self-join (and the
+    # hot-bucket size aggregate when the guard is on) consume the
+    # bucket frame two/three times, and Spark plans each consumer as
+    # its own full Arrow matmul assignment scan (no exchange reuse
+    # across self-join sides). One checkpoint = one scan; blocks are
+    # (n·bands) 24-byte rows, dropped with the frame.
     if max_bucket_size is not None:
         sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("_sz"))
         if split:

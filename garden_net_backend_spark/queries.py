@@ -1331,9 +1331,17 @@ def q30_jaccard_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text→shingle regex pipeline four times (prefix: index + verify;
     # minhash: signatures + verify). Blocks are corpus-token-sized and
     # dropped by the ContextCleaner with the frame.
+    # the checkpoint also carries the xxhash64-hashed gram arrays
+    # (round 13): BOTH emitters verify candidates over the hashed
+    # arrays (prefix always has; minhash since r13), so hashing once
+    # here keeps verification reads pointer-cheap for both arms
     grams = (
         with_shingles(ensure_min_partitions(docs), "text", "_grams", 3, "word")
-        .select("doc_id", "_grams")
+        .select(
+            "doc_id",
+            "_grams",
+            F.transform(F.col("_grams"), lambda g: F.xxhash64(g)).alias("_hg"),
+        )
         .localCheckpoint(eager=True)
     )
     exact = ngram_jaccard_pairs_prefix(
@@ -1367,9 +1375,16 @@ def q30_jaccard_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q32_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash, simhash_near_pairs
 
-    return simhash_near_pairs(
-        simhash(_t(spark, sf_dir, "documents"), hash_fn="md5")
+    # round 13 (guide §2.4): simhash_near_pairs self-joins the
+    # fingerprint frame, and Spark plans the two sides as two FULL
+    # simhash pipelines (md5-hash every token twice + two 65-aggregate
+    # groupBys — plan nodes 4-17 vs 21-34 in plans/r13/..._before.txt,
+    # zero ReusedExchange). Checkpoint the |docs|-row fingerprint frame
+    # once; the self-join then reads 2k cached rows per side.
+    fp = simhash(_t(spark, sf_dir, "documents"), hash_fn="md5").localCheckpoint(
+        eager=True
     )
+    return simhash_near_pairs(fp)
 
 
 @register(

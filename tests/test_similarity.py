@@ -142,6 +142,44 @@ def test_embedding_dup_pairs_matches_numpy(spark, emb):
     assert all(a < b for a, b in got_map)
 
 
+def test_embedding_dup_pairs_prescreen_equals_nested_loop(spark):
+    """The round-13 matmul prescreen (one Arrow scan vs the broadcast
+    nested-loop pair materialization) must emit EXACTLY the pairs and
+    scores of the one-phase form — stressed with exact duplicates
+    (cosine 1.0), a pair sitting exactly ON the threshold after 9-dp
+    rounding, a pair just under it, and a zero vector (guarded cosine
+    := 0 on both paths)."""
+    import math
+
+    from garden_net_backend_spark.operators.similarity import (
+        embedding_dup_pairs,
+    )
+
+    tau = 0.5
+    ang = math.acos(tau)  # exactly-on-threshold pair
+    rows = [
+        ("a", [1.0, 0.0, 0.0]),
+        ("b", [1.0, 0.0, 0.0]),  # exact dup of a
+        ("c", [math.cos(ang), math.sin(ang), 0.0]),  # cos(a,c) == tau
+        ("d", [math.cos(ang + 1e-4), math.sin(ang + 1e-4), 0.0]),  # just under
+        ("e", [0.0, 0.0, 0.0]),  # zero vector
+        ("f", [-1.0, 0.0, 0.0]),  # negative cosine
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    key = lambda r: (r["id_a"], r["id_b"], r["cosine"])
+    one = sorted(
+        key(r)
+        for r in embedding_dup_pairs(df, threshold=tau, prescreen=False).collect()
+    )
+    two = sorted(
+        key(r)
+        for r in embedding_dup_pairs(df, threshold=tau, prescreen=True).collect()
+    )
+    assert one == two
+    assert ("a", "b", 1.0) in one  # the exact-dup pair survives both paths
+    assert any(p[:2] == ("a", "c") for p in one)  # on-threshold kept
+
+
 def test_embedding_dup_lsh_planted_recall_and_precision(spark, emb):
     from garden_net_backend_spark.operators.similarity import (
         embedding_dup_pairs,
