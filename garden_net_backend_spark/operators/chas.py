@@ -217,19 +217,54 @@ def randomize_edges_distance_matched(
     fan = e.crossJoin(F.broadcast(runs))
 
     # within (run, stratum): pair i-th src (by stable key order) with
-    # i-th dst (by seeded random order)
-    from pyspark.sql import Window as W
-
-    w_src = W.partitionBy("run", "stratum").orderBy(src, dst)
-    w_dst = W.partitionBy("run", "stratum").orderBy("_r")
-    left = fan.select(
-        "run", "stratum", src, F.row_number().over(w_src).alias("_i")
+    # i-th dst (by seeded random order). Round 13 (guide §2.4): one
+    # groupBy collecting BOTH orderings as sorted arrays, zipped
+    # elementwise — the old two-windows + row_number equi-join shape
+    # paid four Exchanges + four sorts per invocation (two window
+    # exchanges on (run, stratum), then the pairing join re-hashed
+    # both sides on (run, stratum, _i)); this is ONE Exchange on the
+    # group key. Row-multiset identical: array_sort(struct(src, dst))
+    # is exactly the w_src order, array_sort(struct(_r, dst)) the
+    # w_dst order (hash ties — 2⁻⁶⁴ per pair — broke
+    # nondeterministically before, by dst now), and zip_with pairs the
+    # same i-th elements the join matched on _i. Skew note: the
+    # per-(run, stratum) array materializes the stratum in one
+    # aggregation buffer — the SAME per-stratum single-task shape the
+    # windows had (partitionBy can't split a key either, guide §2.5);
+    # dist_match=False's one-global-stratum skew is inherent to the
+    # free-permutation semantics, not to this form.
+    paired = fan.groupBy("run", "stratum").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+            )
+        ).alias("_sl"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.xxhash64(
+                        F.col(src), F.col(dst), F.col("run"), F.lit(seed)
+                    ).alias("_r"),
+                    F.col(dst).alias("_d"),
+                )
+            )
+        ).alias("_dl"),
     )
-    right = (
-        fan.withColumn(
-            "_r", F.xxhash64(F.col(src), F.col(dst), F.col("run"), F.lit(seed))
-        )
-        .select("run", "stratum", dst, F.row_number().over(w_dst).alias("_i"))
+    return paired.select(
+        "run",
+        "stratum",
+        F.explode(
+            F.zip_with(
+                F.col("_sl"),
+                F.col("_dl"),
+                lambda a, b: F.struct(
+                    a["_s"].alias("_zs"), b["_d"].alias("_zd")
+                ),
+            )
+        ).alias("_e"),
+    ).select(
+        "run",
+        F.col("_e._zs").alias(src),
+        F.col("_e._zd").alias(dst),
+        *(["stratum"] if keep_stratum else []),
     )
-    out_cols = ["run", src, dst] + (["stratum"] if keep_stratum else [])
-    return left.join(right, ["run", "stratum", "_i"]).select(*out_cols)
