@@ -19,8 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.exact import exact_corr
-from .graph import symmetrize
+from ..functions.exact import _DEC  # decimal-exact moment sums (see exact_corr)
 
 
 def chas(
@@ -49,7 +48,19 @@ def chas(
     and Spark has been observed broadcasting the EDGE side — 466k rows
     — then shuffling the edge×feature intermediate, ~3.5s of the q66
     gate; the hint turns that into <1s with no shuffle.)"""
-    sym = symmetrize(edges, src, dst)
+    # Round 13 (guide §2.3 — halve the joined stream): the corr runs
+    # over the SYMMETRIZED edge list, but every moment sum over sym is
+    # exactly recoverable from ONE direction — for each edge (a, b),
+    # sym holds (a, b) and (b, a), so Σ_sym x = Σ_E x + Σ_E y,
+    # Σ_sym x² = Σ_E x² + Σ_E y², Σ_sym xy = 2·Σ_E xy, n_sym = 2·n_E,
+    # and Σ_sym x = Σ_sym y. The sums are decimal(38,8) — EXACT
+    # arithmetic, so the folded decimals equal the sym-stream decimals
+    # bit for bit, and the final double combination below is the same
+    # op sequence :func:`exact_corr` applies (sx and sy are equal
+    # doubles, so sx·sy ≡ sx·sx). Null semantics match too: a moment
+    # is null iff no row has both endpoints' values non-null — a
+    # symmetric condition. Joins and aggregation now touch |E| rows
+    # instead of 2|E|.
     f_src = features.select(
         F.col(node_key).alias("src"),
         F.col(feature_col).alias("feature"),
@@ -62,10 +73,40 @@ def chas(
     )
     if broadcast_features:
         f_src, f_dst = F.broadcast(f_src), F.broadcast(f_dst)
-    paired = sym.join(f_src, "src").join(f_dst, ["dst", "feature"])
-    return paired.groupBy("feature").agg(
-        exact_corr(F.col("x"), F.col("y")).alias("chas")
+    x, y = F.col("x"), F.col("y")
+    paired = (
+        edges.select(src, dst)
+        .withColumnsRenamed({src: "src", dst: "dst"})
+        .join(f_src, "src")
+        .join(f_dst, ["dst", "feature"])
     )
+    agg = paired.groupBy("feature").agg(
+        F.count(F.when(x.isNotNull() & y.isNotNull(), 1)).alias("_n"),
+        F.sum(F.when(y.isNotNull(), x).cast(_DEC)).alias("_sx"),
+        F.sum(F.when(x.isNotNull(), y).cast(_DEC)).alias("_sy"),
+        F.sum(F.when(y.isNotNull(), x * x).cast(_DEC)).alias("_sxx"),
+        F.sum(F.when(x.isNotNull(), y * y).cast(_DEC)).alias("_syy"),
+        F.sum((x * y).cast(_DEC)).alias("_sxy"),
+    )
+    # the half-sums are added as decimal(30,8): (38,8)+(38,8) would
+    # overflow precision 38 and Spark's allowPrecisionLoss then DROPS
+    # the 8th decimal (scale 7) — measured as a 1e-12 corr divergence;
+    # (30,8)+(30,8) → (31,8), exact, with the same ≪1e22 magnitude
+    # contract the decimal sums already carry
+    _half = "decimal(30,8)"
+
+    def fold2(a, b):
+        return (F.col(a).cast(_half) + F.col(b).cast(_half)).cast("double")
+
+    n = (F.col("_n") * 2).cast("double")
+    sx = fold2("_sx", "_sy")
+    sxx = fold2("_sxx", "_syy")
+    # decimal ADDITION (scale-preserving, exact) rather than ×2 — the
+    # doubled sum equals the sym-stream decimal exactly
+    sxy = fold2("_sxy", "_sxy")
+    num = n * sxy - sx * sx
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * sxx - sx * sx)
+    return agg.select("feature", (num / den).alias("chas"))
 
 
 def feature_abundance(

@@ -1487,7 +1487,15 @@ def q33_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    from .functions.partitioning import ensure_min_partitions
+
+    # round 13 (guide §2.5 input skew): the documents parquet is one
+    # input split at bench scale, so every per-row regex/HOF metric ran
+    # on a single core — decompose: lang_id 0.42s + quality 0.48 +
+    # fingerprint 0.37 + gopher 0.38 + token counts 0.26 ≈ the whole
+    # 1.7-2.4s q33 wall, serial. Fan the scan out once; the metrics
+    # are embarrassingly parallel per row.
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     g = gopher_rules(F.col("text"))
     return d.select(
         "doc_id",
