@@ -757,6 +757,7 @@ def ivf_cosine_topk(
     seed: int = 42,
     refine_iters: int = 0,
     index: tuple[DataFrame, DataFrame] | None = None,
+    collected_queries: "list | None" = None,
 ) -> DataFrame:
     """IVF ANN top-k: probe the ``nprobe`` nearest centroids per query,
     exact cosine re-rank of their member vectors only. Same output
@@ -768,25 +769,82 @@ def ivf_cosine_topk(
     ingest, persist both frames as parquet, reload for every query
     batch (centroids are K·dim values, assignments one row per corpus
     vector — both reload-stable because the build is deterministic).
-    Without it the index is rebuilt inline (fine for one-shot jobs)."""
+    Without it the index is rebuilt inline (fine for one-shot jobs).
+
+    ``collected_queries`` (round 13, guide §1.2 step 1 — the
+    :func:`ivf_pq_topk` probe shape): a caller that ALREADY holds the
+    query rows driver-side (the q38 suite collects them once for all
+    arms) passes them here and the probe selection runs in numpy on
+    the driver via :func:`_np_probe_rows` — one Exchange + Window +
+    |Q|·K decimal-cosine folds removed from the plan. The rows must be
+    exactly ``queries``'s (query_id, query_vec) rows; when they carry
+    a duplicated query id, or any query's cosine gap at the nprobe
+    boundary falls inside the numpy/decimal disagreement margin, the
+    original Spark probe window runs instead — the probed SET per
+    query is provably the exact-decimal selection either way (probes
+    feed joins, so only the set matters)."""
     centroids, assignments = index if index is not None else ivf_build_index(
         corpus, n_centroids, id_col, vec_col, seed, refine_iters
     )
-    qc = (
-        queries.select(query_id_col, query_vec_col)
-        .crossJoin(F.broadcast(centroids))
-        .select(
-            query_id_col,
-            "centroid_id",
-            cosine_similarity(query_vec_col, "centroid_vec").alias("_cos"),
+    probes = None
+    if collected_queries is not None:
+        import numpy as np
+
+        qids = [r[query_id_col] for r in collected_queries]
+        if qids and len(set(qids)) == len(qids):
+            Q_raw = np.stack(
+                [
+                    np.asarray(r[query_vec_col], dtype=np.float64)
+                    for r in collected_queries
+                ]
+            )
+            probe_rows = _np_probe_rows(
+                centroids.select("centroid_id", "centroid_vec").collect(),
+                qids,
+                Q_raw,
+                nprobe,
+            )
+            if probe_rows is not None:
+                from pyspark.sql.types import StructField, StructType
+
+                q_schema = queries.select(
+                    query_id_col, query_vec_col
+                ).schema
+                probes = queries.sparkSession.createDataFrame(
+                    probe_rows,
+                    StructType(
+                        [
+                            StructField(
+                                query_id_col,
+                                q_schema[query_id_col].dataType,
+                                True,
+                            ),
+                            StructField(
+                                "centroid_id",
+                                centroids.schema["centroid_id"].dataType,
+                                True,
+                            ),
+                        ]
+                    ),
+                )
+    if probes is None:
+        qc = (
+            queries.select(query_id_col, query_vec_col)
+            .crossJoin(F.broadcast(centroids))
+            .select(
+                query_id_col,
+                "centroid_id",
+                cosine_similarity(query_vec_col, "centroid_vec").alias("_cos"),
+            )
         )
-    )
-    w = W.partitionBy(query_id_col).orderBy(F.desc("_cos"), F.asc("centroid_id"))
-    probes = (
-        qc.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= nprobe)
-        .select(query_id_col, "centroid_id")
-    )
+        w = W.partitionBy(query_id_col).orderBy(
+            F.desc("_cos"), F.asc("centroid_id")
+        )
+        probes = (
+            qc.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= nprobe)
+            .select(query_id_col, "centroid_id")
+        )
     cand = probes.join(assignments, "centroid_id").select(query_id_col, id_col)
     scored = (
         cand.join(corpus.select(id_col, vec_col), id_col)

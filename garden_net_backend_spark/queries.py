@@ -1805,7 +1805,8 @@ def q38_suite_impl(
     # become LocalTableScan no-ops and the gate's query broadcasts stop
     # re-scanning parquet. Content-identical, so every arm and the
     # oracle see the same rows.
-    queries = spark.createDataFrame(queries.collect(), queries.schema)
+    q_rows = queries.collect()
+    queries = spark.createDataFrame(q_rows, queries.schema)
     # gate path (no prebuilt indexes handed in): build each index ONCE
     # and share it across the arms — the builds are deterministic pure
     # functions, so the shared index is bit-identical to what each arm
@@ -1823,15 +1824,23 @@ def q38_suite_impl(
     # _pq_codebook_rows accepts the collected row list directly
     pq_index = (pq_index[0].collect(), pq_index[1])
     # all four arms verify against the SAME exact baseline (same
-    # corpus, queries, k) — checkpoint the |Q|·k-row frame so no arm
+    # corpus, queries, k) — materialize the |Q|·k-row frame so no arm
     # re-runs the brute-force scan (round 11, measured −2s vs none).
-    # LAZY since round 13 (guide §2.6 "overlap independent jobs"): the
-    # eager form was a blocking barrier — the whole suite waited on the
-    # baseline scan before any arm stage could start; lazy keeps the
-    # compute-once contract (first consumer materializes, the block
-    # store dedups concurrent requests) while the baseline scan runs
-    # CONCURRENTLY with the arm plans inside the union job.
-    exact = cosine_topk(emb, queries, k=5).localCheckpoint(eager=False)
+    # COLLECTED since round 13 (guide §1.2 step 2, applied to the
+    # driver boundary): the frame is 50 rows by construction (|Q|=10,
+    # k=5), and every consumer is a broadcast/lookup side (the gate's
+    # ex_rank/ex_member broadcasts, the lsh always-k fallback's
+    # semi-join source). A localCheckpoint — even a lazy one — pays a
+    # full Catalyst planning pass of the brute-force-scan tree at
+    # CONSTRUCTION time (df→RDD plans the query), ~1.4-2.1s of serial
+    # driver work per suite build measured at sf0.1; collecting instead
+    # runs the same scan as one small job and hands every consumer a
+    # LocalTableScan, which also makes the three downstream consumer
+    # plans trivially cheap to analyze. Row-identical by determinism of
+    # cosine_topk.
+    def _b_exact():
+        exact_df = cosine_topk(emb, queries, k=5)
+        return spark.createDataFrame(exact_df.collect(), exact_df.schema)
     # The four raw arm results union into ONE tagged frame and pass
     # through ONE fused property-gate pipeline (round 12): the arm
     # plans stay concurrent underneath the union while ~3 gate
@@ -1851,31 +1860,59 @@ def q38_suite_impl(
     # in — the marginal cost is one probed-member ADC join-scan + its
     # re-rank, never a rebuild (judge r10 task 1).
     # round 13: the lsh arm's always-k exact fallback reuses THIS
-    # checkpointed exact frame (fallback_exact=) instead of re-scanning
+    # materialized exact frame (fallback_exact=) instead of re-scanning
     # the corpus with its own cosine_topk — row-identical by
     # determinism, one corpus pass fewer per execution (guide §2.4).
+    #
+    # round 13 (guide §2.6, applied to the DRIVER boundary): the four
+    # arm plans are independent DataFrame constructions — deep trees
+    # whose eager analysis and py4j chatter cost seconds of SERIAL
+    # driver time per suite build (measured: lsh 2.4-3.0s, ivfpq
+    # 1.6-2.0s, pq 0.8-0.9s back to back on a quiet host, roughly half
+    # the suite's quiet wall). Build them on a small thread pool so
+    # the Catalyst analysis of one arm overlaps the py4j round-trips
+    # of another (py4j's pinned-thread mode gives each Python thread
+    # its own JVM channel; plan construction is side-effect-free and
+    # each arm's plan is independent of thread timing, so the
+    # assembled union is bit-identical to the serial build). The lsh
+    # arm needs the collected `exact` frame (its always-k fallback
+    # source), so its thread runs the exact scan first — the other
+    # arms' construction overlaps that blocking job too.
+    def _b_lsh():
+        ex = _b_exact()
+        return ex, lsh_cosine_topk(
+            emb, queries, k=5, fallback_exact=ex
+        ).select(F.lit("lsh").alias("gate"), "*")
+
+    def _b_ivf():
+        # collected_queries: the suite already holds the query rows
+        # driver-side — the ivf probe selection runs in numpy (the
+        # ivf_pq_topk probe shape), one Exchange + Window fewer
+        return ivf_cosine_topk(
+            emb, queries, k=5, nprobe=4, n_centroids=32,
+            refine_iters=1, index=ivf_index, collected_queries=q_rows,
+        ).select(F.lit("ivf").alias("gate"), "*")
+
+    def _b_pq():
+        return pq_topk(
+            emb, queries, k=5, m=8, n_codes=16, refine_iters=1,
+            index=pq_index,
+        ).select(F.lit("pq").alias("gate"), "*")
+
+    def _b_ivfpq():
+        return ivf_pq_topk(
+            emb, queries, k=5, nprobe=4, n_centroids=32, m=8,
+            n_codes=16, refine_iters=1, ivf_index=ivf_index,
+            pq_index=pq_index,
+        ).select(F.lit("ivfpq").alias("gate"), "*")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [pool.submit(f) for f in (_b_lsh, _b_ivf, _b_pq, _b_ivfpq)]
+        (exact, a_lsh), a_ivf, a_pq, a_ivfpq = [f.result() for f in futs]
     tagged = (
-        lsh_cosine_topk(emb, queries, k=5, fallback_exact=exact)
-        .select(F.lit("lsh").alias("gate"), "*")
-        .unionByName(
-            ivf_cosine_topk(
-                emb, queries, k=5, nprobe=4, n_centroids=32,
-                refine_iters=1, index=ivf_index,
-            ).select(F.lit("ivf").alias("gate"), "*")
-        )
-        .unionByName(
-            pq_topk(
-                emb, queries, k=5, m=8, n_codes=16, refine_iters=1,
-                index=pq_index,
-            ).select(F.lit("pq").alias("gate"), "*")
-        )
-        .unionByName(
-            ivf_pq_topk(
-                emb, queries, k=5, nprobe=4, n_centroids=32, m=8,
-                n_codes=16, refine_iters=1, ivf_index=ivf_index,
-                pq_index=pq_index,
-            ).select(F.lit("ivfpq").alias("gate"), "*")
-        )
+        a_lsh.unionByName(a_ivf).unionByName(a_pq).unionByName(a_ivfpq)
     )
     return _ann_property_gate_tagged(emb, queries, tagged, 5, exact)
 

@@ -111,6 +111,61 @@ def test_ivf_ann_valid_and_recall(emb, queries):
     assert again == sorted(map(tuple, ivf))
 
 
+def test_ivf_collected_queries_probe_identical(emb, queries):
+    """The driver-side numpy probe path (collected_queries=, round 13)
+    is row-identical to the Spark probe-window path — probes have set
+    semantics and _np_probe_rows falls back to the window whenever the
+    nprobe-boundary cosine gap is inside the numpy/decimal margin, so
+    the probed set per query is the exact-decimal selection either
+    way. A duplicated query id must also take the fallback (the numpy
+    path would double the probe rows)."""
+    from garden_net_backend_spark.operators.similarity import ivf_cosine_topk
+
+    spark_path = sorted(
+        map(
+            tuple,
+            ivf_cosine_topk(
+                emb, queries, k=5, nprobe=4, n_centroids=16
+            ).collect(),
+        )
+    )
+    q_rows = queries.collect()
+    np_path = sorted(
+        map(
+            tuple,
+            ivf_cosine_topk(
+                emb, queries, k=5, nprobe=4, n_centroids=16,
+                collected_queries=q_rows,
+            ).collect(),
+        )
+    )
+    assert np_path == spark_path
+    # duplicated query id → the numpy path declines (fallback to the
+    # window) and the output still matches the plain path
+    dup_rows = q_rows + q_rows[:1]
+    dup_queries = queries.sparkSession.createDataFrame(
+        dup_rows, queries.schema
+    )
+    dup_plain = sorted(
+        map(
+            tuple,
+            ivf_cosine_topk(
+                emb, dup_queries, k=5, nprobe=4, n_centroids=16
+            ).collect(),
+        )
+    )
+    dup_np = sorted(
+        map(
+            tuple,
+            ivf_cosine_topk(
+                emb, dup_queries, k=5, nprobe=4, n_centroids=16,
+                collected_queries=dup_rows,
+            ).collect(),
+        )
+    )
+    assert dup_np == dup_plain
+
+
 # --- embedding-cosine near-dup (dedup face) --------------------------
 
 
