@@ -508,38 +508,53 @@ def q15_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over two categoricals, tagged union.",
 )
 def q16_grouping_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 13 (guide §2.4 — remove a full pass): the gsets arm's
+    # grouping sets ((rf), (ls), ()) are exactly the CUBE lattice minus
+    # its finest (rf, ls) cell, so ONE cube pass carrying BOTH measures
+    # (sum l_quantity for the gsets arm, sum l_extendedprice for the
+    # cube arm) replaces the two full lineitem scans the two arms used
+    # to plan. Projecting the two arms straight off the shared
+    # aggregate does NOT keep the sharing — column pruning specializes
+    # each union branch back to a single-measure subtree and the plan
+    # reverts to two scans (observed) — so the lattice is COLLECTED:
+    # it is cardinality-bounded by construction ((|rf|+1)·(|ls|+1)
+    # cells — tens of rows at any data scale), and both arms become
+    # projections of one local frame. One lineitem scan per execution,
+    # plan-verified (the after-plan's two union branches are
+    # LocalTableScans fed by a single aggregate job). Values unchanged:
+    # the exact decimal sums see the same per-row inputs under the same
+    # groupings, and grouping_id() != 0 selects precisely the three
+    # gsets groupings ((rf) = ls aggregated, (ls) = rf aggregated,
+    # () = both).
     li = _t(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("lineitem_gs")
-    gs = spark.sql(
-        f"""
-        SELECT 'gsets' AS gate, COALESCE(l_returnflag, 'ALL') AS returnflag,
-               COALESCE(l_linestatus, 'ALL') AS linestatus,
-               COUNT(*) AS n,
-               {exact_dsum_sql('l_quantity')} AS sum_val
-        FROM lineitem_gs
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
+    both_df = li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        exact.dsum(F.col("l_quantity")).alias("_sum_qty"),
+        exact.dsum(F.col("l_extendedprice")).alias("_sum_price"),
+        F.grouping_id().alias("_gid"),
     )
-    cube = (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.count("*").alias("n"),
-            exact.dsum(F.col("l_extendedprice")).alias("sum_val"),
-        )
-        .select(
-            F.lit("cube").alias("gate"),
-            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
-            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
-            "n",
-            "sum_val",
-        )
+    both = spark.createDataFrame(both_df.collect(), both_df.schema)
+    returnflag = F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias(
+        "returnflag"
+    )
+    linestatus = F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias(
+        "linestatus"
+    )
+    gs = both.filter(F.col("_gid") != 0).select(
+        F.lit("gsets").alias("gate"),
+        returnflag,
+        linestatus,
+        "n",
+        F.col("_sum_qty").alias("sum_val"),
+    )
+    cube = both.select(
+        F.lit("cube").alias("gate"),
+        returnflag,
+        linestatus,
+        "n",
+        F.col("_sum_price").alias("sum_val"),
     )
     return gs.unionByName(cube)
-
-
-def exact_dsum_sql(expr: str) -> str:
-    """Spark-SQL spelling of the exact decimal sum (same as the oracle's)."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,8))) AS DOUBLE)"
 
 
 # =====================================================================
