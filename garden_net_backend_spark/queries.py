@@ -526,7 +526,16 @@ def q16_grouping_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groupings, and grouping_id() != 0 selects precisely the three
     # gsets groupings ((rf) = ls aggregated, (ls) = rf aggregated,
     # () = both).
-    li = _t(spark, sf_dir, "lineitem")
+    # parallelize the scan (guide §2.5 — the q33 fix): lineitem is ONE
+    # input split at bench scale, and folding the two arms into one
+    # cube job also folded their two concurrently-scheduled scan
+    # stages into one single-task stage; repartitioning spreads the
+    # Expand(×4) + double-decimal partial aggregate across the cores.
+    # Decimal sums are exact and associative, so the result is
+    # partitioning-invariant.
+    from .functions.partitioning import ensure_min_partitions
+
+    li = ensure_min_partitions(_t(spark, sf_dir, "lineitem"))
     both_df = li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"),
         exact.dsum(F.col("l_quantity")).alias("_sum_qty"),
