@@ -2489,9 +2489,18 @@ def _q45_static_arms(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         F.element_at(lookup, (F.col("c_nationkey") % 5).cast("int")).alias("k"),
         F.col("c_custkey").cast("double").alias("val"),
     )
+    from .functions.partitioning import ensure_min_partitions
     from .operators.similarity import quantize_embeddings_int8
 
-    quant_rows = quantize_embeddings_int8(_t(spark, sf_dir, "embeddings")).select(
+    # parallelize the scan (guide §2.5 — the q33/q16 fix): embeddings
+    # is ONE input split at bench scale and this arm runs ~128k
+    # interpreted HOF ops per execution (per-element decimal round +
+    # weighted fold over 64-float arrays) — single-task without the
+    # repartition (arm attribution showed it as q45's heaviest arm).
+    # Per-row deterministic map ⇒ partitioning-invariant rows.
+    quant_rows = quantize_embeddings_int8(
+        ensure_min_partitions(_t(spark, sf_dir, "embeddings"))
+    ).select(
         F.lit("quant8").alias("gate"),
         F.col("vec_id").cast("string").alias("k"),
         F.aggregate(
@@ -2560,8 +2569,17 @@ def _q45_doc_arms(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
     # one FRESH shared scan for the 8 document arms (lazy checkpoint —
     # the first action materializes it once; every arm branch then
-    # reads the same blocks instead of re-scanning the parquet)
-    docs = _t(spark, sf_dir, "documents").localCheckpoint(eager=False)
+    # reads the same blocks instead of re-scanning the parquet).
+    # ensure_min_partitions BEFORE the checkpoint (round 13, guide
+    # §2.5 — the q33/q16/quant8 fix): documents is ONE input split at
+    # bench scale, so the un-repartitioned checkpoint cached a single
+    # partition and every arm's regex/HOF/explode work downstream ran
+    # single-task off it.
+    from .functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        _t(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
     chunk_rows = chunk_tokens(docs, max_tokens=64, overlap=16).select(
         F.lit("chunk").alias("gate"),
         F.concat_ws(
@@ -3269,6 +3287,13 @@ def q59_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_media_from_documents,
     )
 
+    # NOT repartitioned (round 13, measured): unlike q33/q16/q45 the
+    # §2.5 one-split fix LOSES here — `media` is consumed by three
+    # pipelines, so ensure_min_partitions adds three payload-carrying
+    # round-robin shuffles (each with its sort-before-repartition
+    # pass) while the per-row codec work is light at this scale;
+    # interleaved A/B read 0.74s one-split vs 1.21s repartitioned
+    # (noop, min-of-4).
     media = synthesize_media_from_documents(_t(spark, sf_dir, "documents"))
     feats = extract_media_features(media).select("media_id", "kind", "n_bytes")
     geo = resize_images(media, 224, 224).select("media_id", "width", "height")
