@@ -95,7 +95,16 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Flagship scan→filter→groupBy→agg (TPC-H Q1 shape; SURVEY F1+A4+A5).",
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # parallelize the scan (round 13, guide §2.5 — the q33/q16/q45
+    # fix): lineitem is ONE input split at bench scale, so the five
+    # decimal partial aggregates ran on a single core; exact decimal
+    # sums are associative ⇒ partitioning-invariant. Alternating-pair
+    # A/B (noop, 6 pairs): 1.574s one-split vs 1.158s repartitioned.
+    # The pushed filter/ReadSchema the gate asserts sit on the scan
+    # BELOW the repartition, unchanged.
+    from .functions.partitioning import ensure_min_partitions
+
+    li = ensure_min_partitions(_t(spark, sf_dir, "lineitem"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
