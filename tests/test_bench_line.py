@@ -207,6 +207,27 @@ def test_property_hot_map_never_breaks_the_line():
     check()
 
 
+def test_cpus_field_echoed_and_optional():
+    """Judge r13 task 2: the one-line JSON must echo the session's
+    effective core count so the driver's scaling heuristic can see the
+    $SPARK_GRAFT_CPUS ack in BENCH_r{N} itself (the r13
+    ``suspect_cpus_ignored`` flag was a false positive because the ack
+    lived only in BENCH_DETAIL.json)."""
+    t = _timings(50)
+    line = render_bench_line(sum(t.values()), t, "0.1", cpus=8)
+    parsed = json.loads(line)
+    assert parsed["cpus"] == 8
+    assert len(line) <= _MAX_LINE_CHARS
+    assert set(parsed["queries"]) == set(t)
+    # cpus omitted when not passed (legacy shape stays parseable)
+    assert "cpus" not in json.loads(render_bench_line(sum(t.values()), t, "0.1"))
+    # main() passes it unconditionally
+    import bench
+
+    src = open(bench.__file__).read()
+    assert "cpus=spark.sparkContext.defaultParallelism" in src
+
+
 def test_signal_read_flags_loadavg_fallback(monkeypatch):
     """Advisor r11: a /proc parse failure silently switched units
     (1-min loadavg vs busy cores) with no marker — _signal_read now
