@@ -305,6 +305,88 @@ def lsh_bucket(
     return bucket
 
 
+def _np_bucket_planes(bands: int, bits: int, extra_bits: int, dim: int):
+    """(planes, weights, sub_weights) numpy triple shared by the Arrow
+    executor closure and the driver-side bucketing of collected query
+    rows — ONE code path computes the bucket math everywhere, so the
+    two are identical by construction."""
+    import numpy as np
+
+    nb = bits + extra_bits
+    planes = np.array(
+        [
+            _plane_vector(band * 64 + bit, dim)
+            for band in range(bands)
+            for bit in range(nb)
+        ]
+    ).T  # dim × (bands·nb)
+    weights = np.array([1 << b for b in range(bits)], dtype=np.int64)
+    sub_weights = np.array([1 << b for b in range(extra_bits)], dtype=np.int64)
+    return planes, weights, sub_weights
+
+
+def _np_bucket_cols(
+    ids, x, bands, bits, extra_bits, planes, weights, sub_weights, mu=None
+):
+    """Bucket columns for a batch of vectors (n × dim float64) — the
+    single implementation of the sign-LSH bucket math (see
+    :func:`_np_bucket_planes`)."""
+    import numpy as np
+
+    if mu is not None:
+        x = x - mu
+    signs = (x @ planes) > 0  # n × bands·(bits+extra)
+    n = len(ids)
+    nb = bits + extra_bits
+    grouped = signs.reshape(n, bands, nb)
+    buckets = grouped[:, :, :bits] @ weights  # n × bands
+    cols = {
+        "id": np.repeat(ids, bands),
+        "band": np.tile(np.arange(bands), n),
+        "bucket": buckets.reshape(-1),
+    }
+    if extra_bits:
+        cols["sub"] = (grouped[:, :, bits:] @ sub_weights).reshape(-1)
+    return cols
+
+
+def _lsh_bucket_rows_local(
+    rows, id_col: str, vec_col: str, bands: int, bits: int, dim: int
+) -> "list[tuple[int, int, int]] | None":
+    """Driver-side bucket assignment for a SMALL collected row list
+    (round 14, guide §1.2 step 1): the q38 suite already holds its 10
+    query rows driver-side, so the query-side ``lsh_assign_buckets``
+    Arrow scan (a mapInPandas plan branch + its executor stage, built
+    and run per suite execution) is replaced by one numpy call over
+    |Q|·bands values. Returns ``None`` on any malformed input (null /
+    ragged vectors, duplicate ids) — the caller falls back to the
+    Spark path, which owns the error semantics (ADVICE r13 pattern).
+    Bit-identical to the Arrow path: both call :func:`_np_bucket_cols`
+    on the same :func:`_np_bucket_planes` constants."""
+    import numpy as np
+
+    try:
+        ids = [r[id_col] for r in rows]
+        if not ids or len(set(ids)) != len(ids) or any(i is None for i in ids):
+            return None
+        x = np.stack(
+            [np.asarray(r[vec_col], dtype=np.float64) for r in rows]
+        )
+        if x.ndim != 2 or x.shape[1] != dim:
+            return None
+        planes, weights, _ = _np_bucket_planes(bands, bits, 0, dim)
+        cols = _np_bucket_cols(
+            np.asarray(ids, dtype=np.int64), x, bands, bits, 0,
+            planes, weights, None,
+        )
+    except Exception:
+        return None
+    return [
+        (int(i), int(b), int(k))
+        for i, b, k in zip(cols["id"], cols["band"], cols["bucket"])
+    ]
+
+
 def lsh_assign_buckets(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -351,35 +433,20 @@ def lsh_assign_buckets(
         import numpy as np
         import pandas as pd
 
-        nb = bits + extra_bits
-        planes = np.array(
-            [
-                _plane_vector(band * 64 + bit, dim)
-                for band in range(bands)
-                for bit in range(nb)
-            ]
-        ).T  # dim × (bands·nb)
-        weights = np.array([1 << b for b in range(bits)], dtype=np.int64)
-        sub_weights = np.array([1 << b for b in range(extra_bits)], dtype=np.int64)
+        planes, weights, sub_weights = _np_bucket_planes(
+            bands, bits, extra_bits, dim
+        )
         mu = np.asarray(center_vec, dtype=np.float64) if center_vec is not None else None
 
         def _assign(batches):
             for pdf in batches:
                 x = np.stack(pdf[vec_col].values).astype(np.float64)  # n × dim
-                if mu is not None:
-                    x = x - mu
-                signs = (x @ planes) > 0  # n × bands·nb
-                n = len(pdf)
-                grouped = signs.reshape(n, bands, nb)
-                buckets = grouped[:, :, :bits] @ weights  # n × bands
-                cols = {
-                    "id": np.repeat(pdf[id_col].values, bands),
-                    "band": np.tile(np.arange(bands), n),
-                    "bucket": buckets.reshape(-1),
-                }
-                if extra_bits:
-                    cols["sub"] = (grouped[:, :, bits:] @ sub_weights).reshape(-1)
-                yield pd.DataFrame(cols)
+                yield pd.DataFrame(
+                    _np_bucket_cols(
+                        pdf[id_col].values, x, bands, bits, extra_bits,
+                        planes, weights, sub_weights, mu,
+                    )
+                )
 
         schema = "id long, band int, bucket long" + (
             ", sub long" if extra_bits else ""
@@ -479,10 +546,23 @@ def lsh_cosine_topk(
     dim: int = 64,
     exact_fallback: bool = True,
     fallback_exact: DataFrame | None = None,
+    collected_queries: "list | None" = None,
 ) -> DataFrame:
     """ANN top-k: candidates = corpus vectors sharing ≥1 band-bucket
     with the query, two-phase re-rank of candidates → same schema as
     ``cosine_topk``, always exactly k rows per query (see fallback).
+
+    ``collected_queries`` (round 14, guide §1.2 step 1): a caller that
+    ALREADY holds the query rows driver-side (the q38 suite collects
+    them once for all arms) passes them here and the query-side bucket
+    assignment runs in numpy on the driver — the qb ``mapInPandas``
+    plan branch (built per execution, run as its own Arrow stage) is
+    replaced by a |Q|·bands-row local frame. Bit-identical buckets:
+    the driver path calls the same ``_np_bucket_cols`` math on the
+    same ``_np_bucket_planes`` constants the Arrow closure uses. The
+    rows must be exactly ``queries``'s (query_id, query_vec) rows;
+    malformed rows (nulls, ragged vectors, duplicate ids) fall back to
+    the Spark bucket scan, which owns the error semantics.
 
     Phase 1 ranks ALL candidates on an Arrow-batched numpy cosine
     (cheap); phase 2 rescoring touches only the k·|Q| survivors with
@@ -508,12 +588,30 @@ def lsh_cosine_topk(
     fallback then selects its rows from that frame (rank <= k,
     semi-join on the deficient ids) instead of re-scanning the corpus.
     Row-identical by determinism of ``cosine_topk``; one corpus pass
-    (scan + per-pair scoring + top-k stages) removed per execution."""
+    (scan + per-pair scoring + top-k stages) removed per execution.
+    May also be a ZERO-ARG CALLABLE returning that frame (round 14):
+    it is resolved only when the fallback branch is assembled — i.e.
+    AFTER the candidate checkpoint above it is set up — so a caller
+    computing the exact frame concurrently (the q38 suite runs the
+    exact collect as a pool task) overlaps that job with this
+    operator's own construction instead of serializing ahead of it."""
     import numpy as np
     import pandas as pd
 
     cb = lsh_assign_buckets(corpus, id_col, vec_col, bands, bits, dim)
-    qb = lsh_assign_buckets(queries, query_id_col, query_vec_col, bands, bits, dim)
+    qb = None
+    if collected_queries is not None:
+        q_bucket_rows = _lsh_bucket_rows_local(
+            collected_queries, query_id_col, query_vec_col, bands, bits, dim
+        )
+        if q_bucket_rows is not None:
+            qb = queries.sparkSession.createDataFrame(
+                q_bucket_rows, "id long, band int, bucket long"
+            )
+    if qb is None:
+        qb = lsh_assign_buckets(
+            queries, query_id_col, query_vec_col, bands, bits, dim
+        )
     cand = (
         cb.join(
             qb.withColumnRenamed("id", "_qid"), ["band", "bucket"]
@@ -538,6 +636,10 @@ def lsh_cosine_topk(
             .filter(F.coalesce(F.col("_nc"), F.lit(0)) < k)
             .select(query_id_col, query_vec_col)
         )
+        if fallback_exact is not None and not isinstance(
+            fallback_exact, DataFrame
+        ):
+            fallback_exact = fallback_exact()  # deferred frame (round 14)
         if fallback_exact is not None:
             fb = (
                 fallback_exact.filter(F.col("rank") <= k)
@@ -786,48 +888,75 @@ def ivf_cosine_topk(
     centroids, assignments = index if index is not None else ivf_build_index(
         corpus, n_centroids, id_col, vec_col, seed, refine_iters
     )
+    # the centroid side of a prebuilt index may arrive as an
+    # already-collected row list (round 14): a suite probing several
+    # arms against ONE index collects the centroid table once and
+    # hands the rows to each arm — same pattern as _pq_codebook_rows.
+    # The Spark-window fallback below (margin-ambiguous probes,
+    # malformed queries) recreates the frame from the rows.
+    centroid_rows = centroids if isinstance(centroids, list) else None
+    if centroid_rows is not None:
+        centroids = None
     probes = None
     if collected_queries is not None:
         import numpy as np
 
-        qids = [r[query_id_col] for r in collected_queries]
-        if qids and len(set(qids)) == len(qids):
-            Q_raw = np.stack(
-                [
-                    np.asarray(r[query_vec_col], dtype=np.float64)
-                    for r in collected_queries
-                ]
-            )
-            probe_rows = _np_probe_rows(
-                centroids.select("centroid_id", "centroid_vec").collect(),
-                qids,
-                Q_raw,
-                nprobe,
-            )
-            if probe_rows is not None:
-                from pyspark.sql.types import StructField, StructType
-
-                q_schema = queries.select(
-                    query_id_col, query_vec_col
-                ).schema
-                probes = queries.sparkSession.createDataFrame(
-                    probe_rows,
-                    StructType(
-                        [
-                            StructField(
-                                query_id_col,
-                                q_schema[query_id_col].dataType,
-                                True,
-                            ),
-                            StructField(
-                                "centroid_id",
-                                centroids.schema["centroid_id"].dataType,
-                                True,
-                            ),
-                        ]
-                    ),
+        # guarded end-to-end (ADVICE r13): malformed query rows (null /
+        # ragged vectors) must fall back to the Spark probe window —
+        # its guarded cosine and null ordering own the error semantics
+        try:
+            qids = [r[query_id_col] for r in collected_queries]
+            if qids and len(set(qids)) == len(qids):
+                Q_raw = np.stack(
+                    [
+                        np.asarray(r[query_vec_col], dtype=np.float64)
+                        for r in collected_queries
+                    ]
                 )
+                probe_rows = _np_probe_rows(
+                    centroid_rows
+                    if centroid_rows is not None
+                    else centroids.select(
+                        "centroid_id", "centroid_vec"
+                    ).collect(),
+                    qids,
+                    Q_raw,
+                    nprobe,
+                )
+            else:
+                probe_rows = None
+        except Exception:
+            probe_rows = None
+        if probe_rows is not None:
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            q_schema = queries.select(
+                query_id_col, query_vec_col
+            ).schema
+            probes = queries.sparkSession.createDataFrame(
+                probe_rows,
+                StructType(
+                    [
+                        StructField(
+                            query_id_col,
+                            q_schema[query_id_col].dataType,
+                            True,
+                        ),
+                        StructField(
+                            "centroid_id",
+                            LongType()
+                            if centroid_rows is not None
+                            else centroids.schema["centroid_id"].dataType,
+                            True,
+                        ),
+                    ]
+                ),
+            )
     if probes is None:
+        if centroids is None:
+            centroids = queries.sparkSession.createDataFrame(
+                centroid_rows, "centroid_id long, centroid_vec array<double>"
+            )
         qc = (
             queries.select(query_id_col, query_vec_col)
             .crossJoin(F.broadcast(centroids))
@@ -2024,6 +2153,7 @@ def pq_topk(
     index: tuple[DataFrame, DataFrame] | None = None,
     query_batch_size: int = 4096,
     return_candidates: bool = False,
+    collected_queries: "list | None" = None,
 ) -> DataFrame:
     """PQ ANN top-k: ADC-scan the codes table (asymmetric distance —
     per-query lookup tables over the codebooks, m lookups per corpus
@@ -2070,7 +2200,17 @@ def pq_topk(
         corpus, m, n_codes, id_col, vec_col, seed, refine_iters
     )
     cb = _pq_codebook_rows(codebooks)
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    # ``collected_queries`` (round 14, guide §1.2 step 1): the LUT
+    # build needs the query rows driver-side anyway — a caller that
+    # already holds them (the q38 suite collects once for all arms)
+    # skips this collect job. The rows must be exactly ``queries``'s
+    # (query_id, query_vec) rows — same trust contract as
+    # ivf_cosine_topk(collected_queries=).
+    qrows = (
+        collected_queries
+        if collected_queries is not None
+        else queries.select(query_id_col, query_vec_col).collect()
+    )
     if not qrows:
         raise ValueError("pq_topk: empty query frame")
     qrows = _dedup_query_rows(qrows, query_id_col, query_vec_col, "pq_topk")
@@ -2346,6 +2486,7 @@ def ivf_pq_topk(
     prune_cells: bool = True,
     return_candidates: bool = False,
     rerank_vecs: str = "auto",
+    collected_queries: "list | None" = None,
 ) -> DataFrame:
     """IVF-PQ composition — the at-scale serving shape both tiers
     point at: IVF prunes WHICH vectors are ADC-scored (only the
@@ -2468,7 +2609,13 @@ def ivf_pq_topk(
             "column (the process_ingest_batch_pq_codes(cells=...) "
             "layout); this codes frame has none."
         )
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    # collected_queries: skip the collect job when the caller already
+    # holds the rows (same trust contract as pq_topk / ivf_cosine_topk)
+    qrows = (
+        collected_queries
+        if collected_queries is not None
+        else queries.select(query_id_col, query_vec_col).collect()
+    )
     if not qrows:
         raise ValueError("ivf_pq_topk: empty query frame")
     qrows = _dedup_query_rows(
@@ -2643,6 +2790,10 @@ def _ivf_pq_adc_top_r(
         axis=1,
     )
     qpos = {int(q): i for i, q in enumerate(qids)}
+    # the centroid side may arrive as an already-collected row list
+    # (round 14): a suite probing several arms against ONE index
+    # collects the centroid table once — the _pq_codebook_rows pattern
+    centroid_rows = centroids if isinstance(centroids, list) else None
     # nprobe nearest centroids per query under the exact-decimal cosine
     # order. Round 13 (guide §1.2 step 1 — remove a whole pass): the
     # queries are ALREADY driver-collected (the LUT needs them) and the
@@ -2657,12 +2808,18 @@ def _ivf_pq_adc_top_r(
     # Spark probe window for ALL queries of the chunk — selection
     # provably identical to the round-12 path either way.
     probe_rows = _np_probe_rows(
-        centroids.select("centroid_id", "centroid_vec").collect(),
+        centroid_rows
+        if centroid_rows is not None
+        else centroids.select("centroid_id", "centroid_vec").collect(),
         qids,
         Q_raw,
         nprobe,
     )
     if probe_rows is None:
+        if centroid_rows is not None:
+            centroids = spark.createDataFrame(
+                centroid_rows, "centroid_id long, centroid_vec array<double>"
+            )
         q_chunk = spark.createDataFrame(qrows, q_schema)
         qc = q_chunk.crossJoin(F.broadcast(centroids)).select(
             F.col(query_id_col).alias("query_id"),
@@ -2683,7 +2840,7 @@ def _ivf_pq_adc_top_r(
                 .collect()
             )
         ]
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import LongType, StructField, StructType
 
     probes = spark.createDataFrame(
         probe_rows,
@@ -2694,7 +2851,9 @@ def _ivf_pq_adc_top_r(
                 ),
                 StructField(
                     "centroid_id",
-                    centroids.schema["centroid_id"].dataType,
+                    LongType()
+                    if centroid_rows is not None
+                    else centroids.schema["centroid_id"].dataType,
                     True,
                 ),
             ]

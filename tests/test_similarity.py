@@ -1888,3 +1888,173 @@ def test_ann_shared_rerank_dedupes_and_refuses_conflicts(spark, pq_clustered):
     )
     with pytest.raises(ValueError, match="two different"):
         ann_shared_rerank(pq_clustered, conflicted, {"pq": cand}, k=5)
+
+
+def test_lsh_collected_queries_buckets_identical(emb, queries):
+    """Round 14: the driver-side numpy query bucketing
+    (collected_queries=) is row-identical to the Spark mapInPandas
+    bucket scan — both call _np_bucket_cols on the same
+    _np_bucket_planes constants, so this pins the wiring, not the
+    math. Malformed rows (duplicate ids) must fall back to the Spark
+    path and still match."""
+    q_rows = queries.collect()
+    plain = sorted(map(tuple, lsh_cosine_topk(emb, queries, k=5).collect()))
+    fast = sorted(
+        map(
+            tuple,
+            lsh_cosine_topk(
+                emb, queries, k=5, collected_queries=q_rows
+            ).collect(),
+        )
+    )
+    assert fast == plain
+    # duplicate id → _lsh_bucket_rows_local declines, Spark path runs
+    from garden_net_backend_spark.operators.similarity import (
+        _lsh_bucket_rows_local,
+    )
+
+    assert _lsh_bucket_rows_local(
+        q_rows + q_rows[:1], "query_id", "query_vec", 8, 8, 64
+    ) is None
+    # ragged vector → declines (ADVICE r13: malformed input must fall
+    # back, not crash)
+    import pyspark.sql.types as T
+
+    bad = [{"query_id": 1, "query_vec": [1.0] * 64},
+           {"query_id": 2, "query_vec": [1.0] * 63}]
+    assert _lsh_bucket_rows_local(bad, "query_id", "query_vec", 8, 8, 64) is None
+
+
+def test_lsh_deferred_fallback_exact_identical(emb, queries):
+    """Round 14: fallback_exact may be a zero-arg callable resolved at
+    fallback-branch assembly (the q38 suite overlaps the exact collect
+    with the arm's construction) — output row-identical to handing the
+    frame directly, including on an all-deficient corpus."""
+    spark = emb.sparkSession
+    ex_df = cosine_topk(emb, queries, k=5)
+    ex = spark.createDataFrame(ex_df.collect(), ex_df.schema)
+    direct = sorted(
+        map(
+            tuple,
+            lsh_cosine_topk(emb, queries, k=5, fallback_exact=ex).collect(),
+        )
+    )
+    deferred = sorted(
+        map(
+            tuple,
+            lsh_cosine_topk(
+                emb, queries, k=5, fallback_exact=lambda: ex
+            ).collect(),
+        )
+    )
+    assert deferred == direct
+
+
+def test_ivf_centroid_rows_path_identical(emb, queries):
+    """Round 14: handing the ivf index's centroid side as an
+    already-collected row list (the q38 suite collects it once for the
+    ivf and ivfpq arms) is row-identical to handing the frame — for
+    both the numpy probe path and the Spark-window fallback (forced
+    via a duplicated query id)."""
+    from garden_net_backend_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_cosine_topk,
+        ivf_pq_topk,
+        pq_build_index,
+    )
+
+    spark = emb.sparkSession
+    cents, assign = ivf_build_index(emb, n_centroids=16)
+    assign = assign.localCheckpoint(eager=True)
+    cent_rows = cents.collect()
+    q_rows = queries.collect()
+    want = sorted(
+        map(
+            tuple,
+            ivf_cosine_topk(
+                emb, queries, k=5, nprobe=4, n_centroids=16,
+                index=(cents, assign), collected_queries=q_rows,
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            ivf_cosine_topk(
+                emb, queries, k=5, nprobe=4, n_centroids=16,
+                index=(cent_rows, assign), collected_queries=q_rows,
+            ).collect(),
+        )
+    )
+    assert got == want
+    # duplicated query id → numpy probe declines → the rows path must
+    # recreate the centroid frame for the Spark probe window
+    dup = spark.createDataFrame(q_rows + q_rows[:1], queries.schema)
+    want_dup = sorted(
+        map(
+            tuple,
+            ivf_cosine_topk(
+                emb, dup, k=5, nprobe=4, n_centroids=16,
+                index=(cents, assign),
+            ).collect(),
+        )
+    )
+    got_dup = sorted(
+        map(
+            tuple,
+            ivf_cosine_topk(
+                emb, dup, k=5, nprobe=4, n_centroids=16,
+                index=(cent_rows, assign),
+                collected_queries=dup.collect(),
+            ).collect(),
+        )
+    )
+    assert got_dup == want_dup
+    # ivf_pq_topk: centroid rows + collected queries vs frames
+    cb, codes = pq_build_index(emb, m=8, n_codes=16, refine_iters=1)
+    codes = codes.localCheckpoint(eager=True)
+    cb_rows = cb.collect()
+    want_pq = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                emb, queries, k=5, nprobe=4, n_centroids=16,
+                ivf_index=(cents, assign), pq_index=(cb, codes),
+            ).collect(),
+        )
+    )
+    got_pq = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                emb, queries, k=5, nprobe=4, n_centroids=16,
+                ivf_index=(cent_rows, assign), pq_index=(cb_rows, codes),
+                collected_queries=q_rows,
+            ).collect(),
+        )
+    )
+    assert got_pq == want_pq
+
+
+def test_pq_collected_queries_identical(emb, queries):
+    """Round 14: pq_topk(collected_queries=) skips the per-call query
+    collect job; output row-identical."""
+    from garden_net_backend_spark.operators.similarity import (
+        pq_build_index,
+        pq_topk,
+    )
+
+    cb, codes = pq_build_index(emb, m=8, n_codes=16, refine_iters=1)
+    codes = codes.localCheckpoint(eager=True)
+    idx = (cb, codes)
+    want = sorted(map(tuple, pq_topk(emb, queries, k=5, index=idx).collect()))
+    got = sorted(
+        map(
+            tuple,
+            pq_topk(
+                emb, queries, k=5, index=idx,
+                collected_queries=queries.collect(),
+            ).collect(),
+        )
+    )
+    assert got == want
