@@ -55,27 +55,32 @@ def stopword_hits(text: Column, lang: str) -> Column:
 def lang_id(text: Column) -> Column:
     """N-gram/stopword language-ID heuristic: argmax of per-language
     stopword hits, deterministic tie-break by language code; 'und'
-    (undetermined) when no stopwords hit at all."""
-    pairs = F.array(
-        *[
-            F.struct(
-                stopword_hits(text, lang).alias("hits"), F.lit(lang).alias("lang")
-            )
-            for lang in sorted(LANG_STOPWORDS)
-        ]
-    )
-    # max by (hits, then reverse-alphabetical lang) == argmax with
-    # alphabetical tie-break when we pick array_max on (hits, -lang)…
-    # simpler: sort by hits desc, lang asc and take element 0.
-    best = F.array_sort(
-        pairs,
-        lambda a, b: F.when(a["hits"] > b["hits"], -1)
-        .when(a["hits"] < b["hits"], 1)
-        .when(a["lang"] < b["lang"], -1)
-        .when(a["lang"] > b["lang"], 1)
-        .otherwise(0),
-    ).getItem(0)
-    return F.when(best["hits"] <= 0, F.lit("und")).otherwise(best["lang"])
+    (undetermined) when no stopwords hit at all.
+
+    Implemented as a nested CASE chain over the per-language hit
+    counts — the same shape the SQL oracle uses — rather than sorting
+    a struct array with a comparator lambda: comparator HOFs are
+    interpreted per element (never codegen), measured 1.4× slower at
+    sf0.1; the CASE chain stays inside whole-stage codegen and the
+    repeated hit-count subtrees are shared by codegen subexpression
+    elimination. Value-identical: the first language (alphabetical)
+    whose hits are ≥ every later language's hits IS the
+    (hits desc, lang asc) argmax."""
+    langs = sorted(LANG_STOPWORDS)
+    hits = {lang: stopword_hits(text, lang) for lang in langs}
+    expr = F.lit(langs[-1])
+    for i in range(len(langs) - 2, -1, -1):
+        cond = None
+        for j in range(i + 1, len(langs)):
+            c = hits[langs[i]] >= hits[langs[j]]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(langs[i])).otherwise(expr)
+    any_hit = None
+    for lang in langs:
+        any_hit = (
+            hits[lang] if any_hit is None else F.greatest(any_hit, hits[lang])
+        )
+    return F.when(any_hit <= 0, F.lit("und")).otherwise(expr)
 
 
 def quality_score(text: Column) -> Column:
@@ -90,8 +95,13 @@ def quality_score(text: Column) -> Column:
     Rounded to 6 decimals. NULL/empty text → 0.0.
     """
     n = F.length(text)
-    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}]", ""))
-    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z ]", ""))
+    # count matches of the char class instead of building a filtered
+    # COPY of the string and measuring it (round 14, guide §1.2 step 2:
+    # regexp_replace allocates a new string per row per class —
+    # measured 2.2× slower than regexp_count at sf0.1, values
+    # identical: both are "number of chars in the class")
+    punct = F.regexp_count(text, F.lit(r"[.,;:!?'\"()\[\]{}]"))
+    alpha = F.regexp_count(text, F.lit(r"[A-Za-z ]"))
     ntok = token_count(text)
     # chars minus separators per token; greatest(·,1) guards
     # whitespace-only text (ntok=0 but n>0 — ANSI divide-by-zero
@@ -129,7 +139,10 @@ def gopher_rules(text: Column) -> Column:
     toks = F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
     nw = F.size(toks)
     nw_safe = F.greatest(nw, F.lit(1))
-    chars_no_ws = F.length(F.regexp_replace(text, r"\s", ""))
+    # length minus whitespace-count == length of the whitespace-stripped
+    # copy, without building the copy (round 14 — same regexp_count
+    # swap as quality_score)
+    chars_no_ws = F.length(text) - F.regexp_count(text, F.lit(r"\s"))
     mean_wl = F.round(chars_no_ws / nw_safe.cast("double"), 9)
     symbols = F.regexp_count(text, F.lit(r"#|\.\.\."))
     sym_ratio = F.round(symbols / nw_safe.cast("double"), 9)

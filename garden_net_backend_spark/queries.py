@@ -1528,6 +1528,15 @@ def q33_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprint 0.37 + gopher 0.38 + token counts 0.26 ≈ the whole
     # 1.7-2.4s q33 wall, serial. Fan the scan out once; the metrics
     # are embarrassingly parallel per row.
+    # round 14: a Generate-barrier split of this projection (the
+    # with_shingles trick) was built and interleave-A/B'd — it reads
+    # BETTER cold (1.40 vs 3.05 first sample: smaller codegen regions
+    # JIT sooner) but WORSE at steady state (min-of-6 0.604 vs 0.482:
+    # the barrier's struct materialization is pure overhead once the
+    # one-projection's generated class is JIT-compiled, and the bench's
+    # min-of-samples measures the warm number). Reverted; the round-14
+    # q33 wins live in functions/text.py (regexp_count for the
+    # char-class counts, CASE-chain lang_id argmax).
     d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     g = gopher_rules(F.col("text"))
     return d.select(
